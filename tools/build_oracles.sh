@@ -1,0 +1,45 @@
+#!/bin/bash
+# Build golden-oracle CLIs from the reference's vendored decoder libraries
+# (read-only at /root/reference/thirdparty) into .oracle_build/ (gitignored).
+# The oracles give the conformance suite bit-exact ground truth from the
+# exact library versions the reference product ships.  Reference code is
+# compiled in place, never copied into this repo.
+set -euo pipefail
+REF=${REF:-/root/reference/thirdparty}
+OUT=${OUT:-$(dirname "$0")/../.oracle_build}
+mkdir -p "$OUT"
+OUT=$(cd "$OUT" && pwd)
+
+build_flac() {
+  local src="$REF/flac-1.2.1"
+  [ -d "$src" ] || { echo "no flac source"; return 1; }
+  local obj="$OUT/flac_obj"; mkdir -p "$obj"
+  local cfg="$OUT/flac_cfg"; mkdir -p "$cfg/FLAC"
+  # minimal config.h: the library only needs these on linux/x86_64
+  cat > "$cfg/config.h" <<'EOF'
+#define FLAC__NO_ASM 1
+#define FLAC__HAS_OGG 0
+#define CPU_IS_LITTLE_ENDIAN 1
+#define CPU_IS_BIG_ENDIAN 0
+#define FLAC__ALIGN_MALLOC_DATA 1
+#define HAVE_INTTYPES_H 1
+#define HAVE_STDINT_H 1
+#define SIZEOF_VOIDP 8
+#define VERSION "1.2.1"
+EOF
+  local cflags="-O2 -DHAVE_CONFIG_H -I$cfg -I$src/include -I$src/src/libFLAC/include -w"
+  local objs=()
+  for c in bitmath bitreader bitwriter cpu crc fixed float format lpc md5 \
+           memory stream_decoder stream_encoder stream_encoder_framing window; do
+    gcc $cflags -c "$src/src/libFLAC/$c.c" -o "$obj/$c.o"
+    objs+=("$obj/$c.o")
+  done
+  gcc -O2 -I"$src/include" -w "$(dirname "$0")/flac_oracle.c" \
+      "${objs[@]}" -lm -o "$OUT/flac_oracle"
+  echo "built $OUT/flac_oracle"
+}
+
+case "${1:-all}" in
+  flac) build_flac ;;
+  all) build_flac ;;
+esac
