@@ -64,36 +64,59 @@ def _synthesise_group(data, coeffs, shift, order, wasted, assign,
     return jnp.stack([left, right], axis=1)
 
 
+def synthesise_batch(batch: dict, num_channels: int,
+                     nframes: int) -> np.ndarray:
+    """Run the fused device program over a parsed batch dict (layout of
+    native.flac_parse_group) and reassemble (channels, samples) PCM."""
+    if nframes == 0:
+        return np.zeros((num_channels, 0), np.int32)
+    B = nframes * num_channels
+    out = np.asarray(_synthesise_group(
+        jnp.asarray(batch["data"][:B]), jnp.asarray(batch["coeffs"][:B]),
+        jnp.asarray(batch["shift"][:B]), jnp.asarray(batch["order"][:B]),
+        jnp.asarray(batch["wasted"][:B]), jnp.asarray(batch["assign"][:nframes]),
+        num_channels))
+    bs = batch["blocksize"]
+    if all(bs[i] == out.shape[2] for i in range(nframes)):
+        return out.transpose(1, 0, 2).reshape(num_channels, -1)
+    return np.concatenate(
+        [out[fi, :, :bs[fi]] for fi in range(nframes)], axis=1)
+
+
+def frames_to_batch(parsed: list["F.Frame"], num_channels: int) -> dict:
+    """Pack Python-parsed frames into the dense batch-dict layout."""
+    maxn = max(f.header.blocksize for f in parsed)
+    B = len(parsed) * num_channels
+    batch = dict(
+        data=np.zeros((B, maxn), np.int32),
+        coeffs=np.zeros((B, lpc_ops.MAX_ORDER), np.int32),
+        shift=np.zeros(B, np.int32), order=np.zeros(B, np.int32),
+        wasted=np.zeros(B, np.int32),
+        assign=np.zeros(len(parsed), np.int32),
+        blocksize=np.zeros(len(parsed), np.int32),
+        sample_number=np.zeros(len(parsed), np.int64))
+    for fi, fr in enumerate(parsed):
+        batch["assign"][fi] = fr.header.assignment
+        batch["blocksize"][fi] = fr.header.blocksize
+        batch["sample_number"][fi] = fr.header.sample_number
+        for ci, sub in enumerate(fr.subframes):
+            b = fi * num_channels + ci
+            batch["data"][b, :len(sub.data)] = sub.data
+            batch["coeffs"][b, :len(sub.coeffs)] = sub.coeffs
+            batch["shift"][b] = sub.shift
+            batch["order"][b] = sub.order
+            batch["wasted"][b] = sub.wasted_bits
+    return batch
+
+
 def synthesise_frames(parsed: list["F.Frame"],
                       num_channels: int) -> np.ndarray:
     """Batch a list of parsed frames onto the device; returns (channels,
     total_samples) int32 PCM (frames concatenated in order)."""
     if not parsed:
         return np.zeros((num_channels, 0), np.int32)
-    maxn = max(f.header.blocksize for f in parsed)
-    B = len(parsed) * num_channels
-    data = np.zeros((B, maxn), np.int32)
-    coeffs = np.zeros((B, lpc_ops.MAX_ORDER), np.int32)
-    shift = np.zeros(B, np.int32)
-    order = np.zeros(B, np.int32)
-    wasted = np.zeros(B, np.int32)
-    assign = np.zeros(len(parsed), np.int32)
-    for fi, fr in enumerate(parsed):
-        assign[fi] = fr.header.assignment
-        for ci, sub in enumerate(fr.subframes):
-            b = fi * num_channels + ci
-            data[b, :len(sub.data)] = sub.data
-            coeffs[b, :len(sub.coeffs)] = sub.coeffs
-            shift[b] = sub.shift
-            order[b] = sub.order
-            wasted[b] = sub.wasted_bits
-    out = np.asarray(_synthesise_group(
-        jnp.asarray(data), jnp.asarray(coeffs), jnp.asarray(shift),
-        jnp.asarray(order), jnp.asarray(wasted), jnp.asarray(assign),
-        num_channels))
-    return np.concatenate(
-        [out[fi, :, :fr.header.blocksize] for fi, fr in enumerate(parsed)],
-        axis=1)
+    return synthesise_batch(frames_to_batch(parsed, num_channels),
+                            num_channels, len(parsed))
 
 
 class CodecFlac(CodecBase):
@@ -101,12 +124,16 @@ class CodecFlac(CodecBase):
     recognition_cost = 20
     mime_types = ("audio/flac", "audio/x-flac")
 
-    def __init__(self):
+    def __init__(self, use_native: Optional[bool] = None):
         self._meta: Optional[F.Metadata] = None
         self._info: Optional[PcmStreamInfo] = None
         self._buf = b""
         self._bit_pos = 0
         self._sample_pos = 0
+        if use_native is None:
+            from ... import native
+            use_native = native.have_flac_unpack()
+        self._use_native = use_native
 
     def recognise(self, header: bytes) -> bool:
         return header[:4] == b"fLaC"
@@ -148,6 +175,8 @@ class CodecFlac(CodecBase):
         si = self._meta.streaminfo
         max_frame = si.max_framesize or (
             si.max_blocksize * si.channels * 5 + 1024)
+        if self._use_native:
+            return self._process_native(max_frame)
         parsed: list[F.Frame] = []
         first_sample = self._sample_pos
         while len(parsed) < GROUP_FRAMES:
@@ -175,6 +204,27 @@ class CodecFlac(CodecBase):
         return DecodedBatch(
             self._info,
             defer=lambda: synthesise_frames(parsed, nch),
+            track_offset_samples=first_sample)
+
+    def _process_native(self, max_frame: int) -> DecodedBatch:
+        from ... import native
+        si = self._meta.streaminfo
+        self._fill(max_frame * (GROUP_FRAMES + 1))
+        nframes, pos, _status, batch = native.flac_parse_group(
+            self._buf, self._bit_pos, sample_rate=si.sample_rate,
+            bits_per_sample=si.bits_per_sample,
+            max_blocksize=si.max_blocksize, channels=si.channels,
+            max_frames=GROUP_FRAMES)
+        if nframes == 0:
+            raise EndOfStream
+        self._bit_pos = pos
+        first_sample = int(batch["sample_number"][0])
+        self._sample_pos = (int(batch["sample_number"][nframes - 1])
+                            + int(batch["blocksize"][nframes - 1]))
+        nch = si.channels
+        return DecodedBatch(
+            self._info,
+            defer=lambda: synthesise_batch(batch, nch, nframes),
             track_offset_samples=first_sample)
 
     def try_seek(self, sample: int) -> Optional[int]:
@@ -205,10 +255,11 @@ class CodecFlac(CodecBase):
         self._bit_pos = 0
 
 
-def decode_flac(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:
+def decode_flac(data: bytes, use_native: Optional[bool] = None
+                ) -> tuple[PcmStreamInfo, np.ndarray]:
     """Whole-buffer decode (tests, tools): bit-exact PCM."""
     from ..base import BufferReader
-    codec = CodecFlac()
+    codec = CodecFlac(use_native=use_native)
     r = BufferReader(data)
     info = codec.stream_initialise(r)
     parts = []

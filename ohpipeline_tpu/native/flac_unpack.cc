@@ -1,0 +1,352 @@
+// Fast host-side FLAC frame unpacker (C ABI, loaded via ctypes).
+//
+// The TPU-first decode split (SURVEY.md §7.3) leaves bit-serial entropy
+// decode on the host CPU; this is that hot loop.  It mirrors the Python
+// reference implementation in ohpipeline_tpu/codecs/flac/frames.py exactly
+// (same output layout) and is validated against it in tests.  Behavioural
+// parity target: flac-1.2.1 stream_decoder.c's frame read path as used by
+// the reference's OpenHome/Media/Codec/Flac.cpp — written from the FLAC
+// spec, not translated from libFLAC.
+//
+// Layout produced per group of frames (B = nframes * channels rows):
+//   data   [B x stride] int32  warmup+residuals (row-major, stride = maxN)
+//   coeffs [B x 32]     int32
+//   shift/order/wasted [B] int32
+//   assign/blocksize/sample_number [F] int32/int64
+//
+// Build: g++ -O3 -shared -fPIC flac_unpack.cc -o libflacunpack.so
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BitReader {
+    const uint8_t* data;
+    size_t nbytes;
+    size_t pos;        // bits
+    bool ok = true;
+
+    inline uint64_t read(int nbits) {
+        if (nbits == 0) return 0;
+        size_t end = pos + nbits;
+        if (end > nbytes * 8) { ok = false; return 0; }
+        size_t first = pos >> 3;
+        int skip = pos & 7;
+        uint64_t acc = 0;
+        int got = -skip;
+        size_t i = first;
+        while (got < nbits) {
+            acc = (acc << 8) | data[i++];
+            got += 8;
+        }
+        acc >>= (got - nbits);
+        pos = end;
+        return acc & ((nbits == 64) ? ~0ULL : ((1ULL << nbits) - 1));
+    }
+
+    inline int64_t read_signed(int nbits) {
+        uint64_t v = read(nbits);
+        if (v >> (nbits - 1)) return (int64_t)(v - (1ULL << nbits));
+        return (int64_t)v;
+    }
+
+    inline int read_unary() {
+        int count = 0;
+        while (true) {
+            size_t byte_i = pos >> 3;
+            if (byte_i >= nbytes) { ok = false; return 0; }
+            int rem = 8 - (int)(pos & 7);
+            int window = data[byte_i] & ((1 << rem) - 1);
+            if (window == 0) { count += rem; pos += rem; continue; }
+            int msb = 31 - __builtin_clz((unsigned)window);
+            int lead = rem - 1 - msb;
+            count += lead;
+            pos += lead + 1;
+            return count;
+        }
+    }
+
+    inline int64_t read_rice(int param) {
+        int q = read_unary();
+        uint64_t v = ((uint64_t)q << param) | read(param);
+        return (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+    }
+
+    inline void align_byte() { pos = (pos + 7) & ~(size_t)7; }
+
+    inline int64_t read_utf8() {
+        uint64_t b0 = read(8);
+        if (b0 < 0x80) return (int64_t)b0;
+        int n = 0;
+        uint64_t mask = 0x40;
+        while (b0 & mask) { n++; mask >>= 1; }
+        if (n == 0 || n >= 7) { ok = false; return -1; }
+        uint64_t v = b0 & (mask - 1);
+        for (int i = 0; i < n; i++) {
+            uint64_t c = read(8);
+            if ((c & 0xC0) != 0x80) { ok = false; return -1; }
+            v = (v << 6) | (c & 0x3F);
+        }
+        return (int64_t)v;
+    }
+};
+
+uint8_t crc8_buf(const uint8_t* d, size_t n) {
+    uint8_t crc = 0;
+    for (size_t i = 0; i < n; i++) {
+        crc ^= d[i];
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07)
+                               : (uint8_t)(crc << 1);
+    }
+    return crc;
+}
+
+uint16_t crc16_tab[256];
+bool crc16_init_done = false;
+void crc16_init() {
+    for (int i = 0; i < 256; i++) {
+        uint32_t crc = (uint32_t)i << 8;
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x8000) ? ((crc << 1) ^ 0x8005) & 0xFFFF
+                                 : (crc << 1) & 0xFFFF;
+        crc16_tab[i] = (uint16_t)crc;
+    }
+    crc16_init_done = true;
+}
+uint16_t crc16_buf(const uint8_t* d, size_t n) {
+    if (!crc16_init_done) crc16_init();
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; i++)
+        crc = (uint16_t)((crc << 8) ^ crc16_tab[((crc >> 8) ^ d[i]) & 0xFF]);
+    return crc;
+}
+
+const int kBlocksizeTable[16] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
+                                 256, 512, 1024, 2048, 4096, 8192, 16384,
+                                 32768};
+const int kRateTable[16] = {0, 88200, 176400, 192000, 8000, 16000, 22050,
+                            24000, 32000, 44100, 48000, 96000, -1, -2, -3,
+                            -4};
+const int kSampleSize[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+const int kFixedCoeffs[5][4] = {{0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
+                                {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+struct FrameHeaderOut {
+    int blocksize, rate, channels, assign, bps;
+    int64_t sample_number;
+};
+
+// returns 0 ok, <0 error
+int parse_frame_header(BitReader& br, int si_rate, int si_bps,
+                       int si_max_blocksize, FrameHeaderOut* out) {
+    size_t start_byte = br.pos >> 3;
+    if (br.read(14) != 0x3FFE) return -1;
+    br.read(1);
+    int variable = (int)br.read(1);
+    int bs_code = (int)br.read(4);
+    int sr_code = (int)br.read(4);
+    int assign = (int)br.read(4);
+    int ss_code = (int)br.read(3);
+    br.read(1);
+    int64_t coded = br.read_utf8();
+    if (!br.ok || coded < 0) return -2;
+    int blocksize;
+    if (bs_code == 0) return -3;
+    else if (bs_code == 6) blocksize = (int)br.read(8) + 1;
+    else if (bs_code == 7) blocksize = (int)br.read(16) + 1;
+    else blocksize = kBlocksizeTable[bs_code];
+    int rate;
+    if (sr_code == 0) rate = si_rate;
+    else if (sr_code == 12) rate = (int)br.read(8) * 1000;
+    else if (sr_code == 13) rate = (int)br.read(16);
+    else if (sr_code == 14) rate = (int)br.read(16) * 10;
+    else if (sr_code == 15) return -4;
+    else rate = kRateTable[sr_code];
+    int channels;
+    if (assign <= 7) channels = assign + 1;
+    else if (assign <= 10) channels = 2;
+    else return -5;
+    int bps = (ss_code == 0) ? si_bps : kSampleSize[ss_code];
+    if (bps <= 0) return -6;
+    size_t end_byte = br.pos >> 3;
+    uint64_t expect = br.read(8);
+    if (!br.ok) return -7;
+    if (crc8_buf(br.data + start_byte, end_byte - start_byte) != expect)
+        return -8;
+    out->blocksize = blocksize;
+    out->rate = rate;
+    out->channels = channels;
+    out->assign = assign;
+    out->bps = bps;
+    out->sample_number = variable ? coded : coded * si_max_blocksize;
+    return 0;
+}
+
+int read_residuals(BitReader& br, int blocksize, int order, int32_t* out) {
+    int method = (int)br.read(2);
+    if (method > 1) return -1;
+    int plen = 4 + method;
+    int escape = (1 << plen) - 1;
+    int porder = (int)br.read(4);
+    int npart = 1 << porder;
+    if (blocksize % npart || (blocksize >> porder) < order) return -2;
+    int idx = order;
+    for (int p = 0; p < npart; p++) {
+        int n = (blocksize >> porder) - (p == 0 ? order : 0);
+        int param = (int)br.read(plen);
+        if (param == escape) {
+            int raw = (int)br.read(5);
+            if (raw)
+                for (int i = 0; i < n; i++)
+                    out[idx + i] = (int32_t)br.read_signed(raw);
+            else
+                memset(out + idx, 0, sizeof(int32_t) * n);
+        } else {
+            for (int i = 0; i < n; i++)
+                out[idx + i] = (int32_t)br.read_rice(param);
+        }
+        idx += n;
+        if (!br.ok) return -3;
+    }
+    return 0;
+}
+
+int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
+                   int32_t* coeffs, int32_t* shift, int32_t* order,
+                   int32_t* wasted) {
+    if (br.read(1)) return -1;
+    int stype = (int)br.read(6);
+    int w = 0;
+    if (br.read(1)) w = 1 + br.read_unary();
+    if (!br.ok) return -2;
+    bps -= w;
+    *wasted = w;
+    *shift = 0;
+    *order = 0;
+    if (stype == 0) {
+        int32_t v = (int32_t)br.read_signed(bps);
+        for (int i = 0; i < blocksize; i++) data[i] = v;
+        return br.ok ? 0 : -3;
+    }
+    if (stype == 1) {
+        for (int i = 0; i < blocksize; i++)
+            data[i] = (int32_t)br.read_signed(bps);
+        return br.ok ? 0 : -3;
+    }
+    if (stype >= 8 && stype <= 12) {
+        int o = stype & 7;
+        for (int i = 0; i < o; i++)
+            data[i] = (int32_t)br.read_signed(bps);
+        for (int i = 0; i < o; i++) coeffs[i] = kFixedCoeffs[o][i];
+        *order = o;
+        int r = read_residuals(br, blocksize, o, data);
+        return (r == 0 && br.ok) ? 0 : -4;
+    }
+    if (stype >= 32) {
+        int o = (stype & 31) + 1;
+        for (int i = 0; i < o; i++)
+            data[i] = (int32_t)br.read_signed(bps);
+        int precision = (int)br.read(4) + 1;
+        if (precision == 16) return -5;
+        int sh = (int)br.read_signed(5);
+        if (sh < 0) return -6;
+        for (int i = 0; i < o; i++)
+            coeffs[i] = (int32_t)br.read_signed(precision);
+        *order = o;
+        *shift = sh;
+        int r = read_residuals(br, blocksize, o, data);
+        return (r == 0 && br.ok) ? 0 : -7;
+    }
+    return -8;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse up to max_frames frames starting at *bit_pos.  Returns the number
+// of frames parsed; updates *bit_pos.  status: 0 = ok/EOF-of-buffer,
+// 1 = lost sync (bad frame skipped via resync), negative = corrupt.
+int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
+                     int si_rate, int si_bps, int si_max_blocksize,
+                     int channels, int max_frames, int64_t stride,
+                     int check_crc16,
+                     int32_t* data, int32_t* coeffs, int32_t* shift,
+                     int32_t* order, int32_t* wasted, int32_t* assign,
+                     int32_t* blocksize, int64_t* sample_number,
+                     int* status) {
+    BitReader br{buf, (size_t)nbytes, (size_t)*bit_pos};
+    int nframes = 0;
+    *status = 0;
+    while (nframes < max_frames) {
+        size_t frame_start = br.pos;
+        if ((int64_t)br.pos + 16 > nbytes * 8) break;
+        FrameHeaderOut h;
+        int rc = parse_frame_header(br, si_rate, si_bps, si_max_blocksize, &h);
+        if (rc != 0) {
+            // resync: scan forward for a plausible header
+            size_t scan = (frame_start >> 3) + 1;
+            bool found = false;
+            while (scan + 2 < (size_t)nbytes) {
+                if (buf[scan] == 0xFF && (buf[scan + 1] & 0xFC) == 0xF8) {
+                    BitReader probe{buf, (size_t)nbytes, scan * 8};
+                    FrameHeaderOut ph;
+                    if (parse_frame_header(probe, si_rate, si_bps,
+                                           si_max_blocksize, &ph) == 0) {
+                        br.pos = scan * 8;
+                        br.ok = true;
+                        found = true;
+                        *status = 1;
+                        break;
+                    }
+                }
+                scan++;
+            }
+            if (!found) { br.pos = frame_start; break; }
+            continue;
+        }
+        if (h.channels != channels || h.blocksize > stride) {
+            br.pos = frame_start;
+            break;
+        }
+        bool bad = false;
+        int64_t b0 = (int64_t)nframes * channels;
+        for (int c = 0; c < channels && !bad; c++) {
+            int bps = h.bps;
+            if ((h.assign == 8 && c == 1) || (h.assign == 9 && c == 0) ||
+                (h.assign == 10 && c == 1))
+                bps += 1;
+            int64_t b = b0 + c;
+            if (parse_subframe(br, h.blocksize, bps, data + b * stride,
+                               coeffs + b * 32, shift + b, order + b,
+                               wasted + b) != 0)
+                bad = true;
+        }
+        if (!bad) {
+            br.align_byte();
+            size_t end_byte = br.pos >> 3;
+            uint64_t expect = br.read(16);
+            if (!br.ok) { br.pos = frame_start; break; }
+            if (check_crc16 &&
+                crc16_buf(buf + (frame_start >> 3),
+                          end_byte - (frame_start >> 3)) != expect)
+                bad = true;
+        }
+        if (bad) {
+            if (!br.ok) { br.pos = frame_start; break; }  // need more bytes
+            br.pos = frame_start + 8;  // skip a byte; resync next loop
+            *status = 1;
+            continue;
+        }
+        assign[nframes] = h.assign;
+        blocksize[nframes] = h.blocksize;
+        sample_number[nframes] = h.sample_number;
+        nframes++;
+    }
+    *bit_pos = (int64_t)br.pos;
+    return nframes;
+}
+
+}  // extern "C"

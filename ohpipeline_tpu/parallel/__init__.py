@@ -1,0 +1,121 @@
+"""Multi-chip scaling of the batched decode/render path.
+
+The reference scales by threads-within-one-box (SURVEY.md §2.7); the TPU
+build scales across a `jax.sharding.Mesh`:
+
+* `dp` axis — streams (the natural data parallelism: every FLAC subframe
+  batch row is independent),
+* `sp` axis — samples within a tile for the elementwise render stages
+  (gain/ramp/mute), where the math is pointwise so sequence-sharding is
+  free; the LPC recurrence stays whole-row (it is sequential in time) and
+  is resharded automatically by XLA between stages.
+
+Multiroom ("Songcast over ICI"): decoded master-room audio is broadcast to
+every chip with collectives instead of UDP multicast — `room_fanout` below
+all-gathers the master shard so each device holds the full master mix,
+mirroring OHM fan-out semantics (Av/Songcast/OhmSender) at ICI bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import lpc as lpc_ops
+from ..ops import pcm as pcm_ops
+
+
+def make_mesh(n_devices: int | None = None,
+              axes: tuple[str, str] = ("dp", "sp")) -> Mesh:
+    """Build a 2D device mesh; dp gets the larger factor of the device
+    count (streams dominate), sp the remainder."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    sp = 1
+    for cand in (4, 2, 1):
+        if n % cand == 0 and n // cand >= cand:
+            sp = cand
+            break
+    dp = n // sp
+    return Mesh(np.array(devs).reshape(dp, sp), axes)
+
+
+def decode_render_step(data, coeffs, shift, order, wasted, assign,
+                       ramp_start, ramp_end, gain, num_channels: int = 2):
+    """The flagship fused step: FLAC-family subframe batch -> rendered PCM.
+
+    Per group of frames (B = F * num_channels rows of subframe data):
+    LPC residual synthesis (Pallas) -> wasted-bit shift -> inter-channel
+    decorrelation -> fused ramp x volume gain chain.  Returns
+    (F, num_channels, N) int32 PCM plus per-frame peak meters (F,) used by
+    observers (Reporter equivalent).
+    """
+    synth = lpc_ops.lpc_synthesize(data, coeffs, shift, order)
+    synth = jnp.left_shift(synth, wasted[:, None])
+    B, N = data.shape
+    F_ = B // num_channels
+    chans = synth.reshape(F_, num_channels, N)
+    if num_channels == 2:
+        mode = jnp.where(assign == 8, pcm_ops.CH_LEFT_SIDE,
+                         jnp.where(assign == 9, pcm_ops.CH_RIGHT_SIDE,
+                                   jnp.where(assign == 10, pcm_ops.CH_MID_SIDE,
+                                             pcm_ops.CH_INDEPENDENT)))
+        left, right = pcm_ops.stereo_decorrelate(chans[:, 0], chans[:, 1],
+                                                 mode)
+        chans = jnp.stack([left, right], axis=1)
+    rendered = pcm_ops.apply_gain(chans, ramp_start, ramp_end, gain)
+    peaks = jnp.max(jnp.abs(rendered), axis=(1, 2))
+    return rendered, peaks
+
+
+def example_step_args(nframes: int = 8, n: int = 1024, num_channels: int = 2,
+                      seed: int = 0):
+    """Small, realistic example inputs for compile checks."""
+    rng = np.random.default_rng(seed)
+    B = nframes * num_channels
+    data = rng.integers(-1000, 1000, size=(B, n)).astype(np.int32)
+    coeffs = np.zeros((B, lpc_ops.MAX_ORDER), np.int32)
+    coeffs[:, :4] = [4, -6, 4, -1]
+    shift = np.zeros(B, np.int32)
+    order = np.full(B, 4, np.int32)
+    wasted = np.zeros(B, np.int32)
+    assign = np.full(nframes, 10, np.int32)   # mid/side
+    ramp_start = np.ones(nframes, np.float32)
+    ramp_end = np.ones(nframes, np.float32)
+    gain = np.full(nframes, 0.8, np.float32)
+    return (data, coeffs, shift, order, wasted, assign, ramp_start,
+            ramp_end, gain)
+
+
+def sharded_pipeline_step(mesh: Mesh, num_channels: int = 2):
+    """jit the full decode->render->multiroom step over `mesh`.
+
+    Shardings: subframe batch rows over `dp` (stream parallelism); the
+    render stage is additionally free to split samples over `sp`
+    (sequence parallelism) via a sharding constraint; `room_fanout`
+    all-gathers per-device peak meters (ICI collective standing in for
+    Songcast's UDP fan-out).
+    """
+    dp_rows = NamedSharding(mesh, P("dp", None))
+    dp_vec = NamedSharding(mesh, P("dp"))
+
+    def step(data, coeffs, shift, order, wasted, assign, ramp_start,
+             ramp_end, gain):
+        rendered, peaks = decode_render_step(
+            data, coeffs, shift, order, wasted, assign, ramp_start,
+            ramp_end, gain, num_channels=num_channels)
+        # sequence-shard the rendered tile for downstream elementwise DSP
+        rendered = jax.lax.with_sharding_constraint(
+            rendered, NamedSharding(mesh, P("dp", None, "sp")))
+        # multiroom fan-out: every chip sees the whole room's meters
+        room_meters = jax.lax.with_sharding_constraint(
+            peaks, NamedSharding(mesh, P()))
+        return rendered, room_meters
+
+    in_sh = (dp_rows,) * 2 + (dp_vec,) * 3 + (dp_vec,) * 4
+    return jax.jit(step, in_shardings=in_sh)
