@@ -11,8 +11,10 @@ from .wav import CodecWav, parse_wav, write_wav
 from .aiff import CodecAifc, CodecAiff, write_aiff
 from .pcm_raw import CodecPcm
 from .dsd import CodecDsdDff, CodecDsdDsf, CodecDsdRaw
+from .flac import CodecFlac
 
-for _f in (CodecWav, CodecAiff, CodecAifc, CodecDsdDsf, CodecDsdDff):
+for _f in (CodecWav, CodecAiff, CodecAifc, CodecDsdDsf, CodecDsdDff,
+           CodecFlac):
     default_registry.add(_f)
 
 __all__ = [

@@ -140,14 +140,14 @@ class TestPallasInterpret:
         out = pl.pallas_call(
             _lpc_kernel,
             out_shape=jax.ShapeDtypeStruct((N, B), jnp.int32),
-            grid=(1,),
+            grid=(1, 1),
             in_specs=[
-                pl.BlockSpec((N, B), lambda i: (0, i)),
-                pl.BlockSpec((MAX_ORDER, B), lambda i: (0, i)),
-                pl.BlockSpec((1, B), lambda i: (0, i)),
-                pl.BlockSpec((1, B), lambda i: (0, i)),
+                pl.BlockSpec((N, B), lambda i, j: (j, i)),
+                pl.BlockSpec((MAX_ORDER, B), lambda i, j: (0, i)),
+                pl.BlockSpec((1, B), lambda i, j: (0, i)),
+                pl.BlockSpec((1, B), lambda i, j: (0, i)),
             ],
-            out_specs=pl.BlockSpec((N, B), lambda i: (0, i)),
+            out_specs=pl.BlockSpec((N, B), lambda i, j: (j, i)),
             scratch_shapes=[
                 pltpu.VMEM((MAX_ORDER, B), jnp.int32),
                 pltpu.VMEM((MAX_ORDER, B), jnp.int32),

@@ -1,0 +1,119 @@
+"""End-to-end pipeline integration (reference TestPipeline style, §4.3):
+play tone:// / file:// URIs through the full element chain to a collecting
+animator; assert waveform integrity (zero-crossing cadence) and state
+transitions."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu.core import events as ev
+from ohpipeline_tpu.pipeline import AnimatorBatch, PipelineManager
+from ohpipeline_tpu.pipeline.manager import PipelineInitParams
+
+
+class Collector:
+    def __init__(self):
+        self.chunks = []
+        self.infos = []
+
+    def __call__(self, samples, info):
+        self.chunks.append(samples)
+        self.infos.append(info)
+
+    @property
+    def pcm(self):
+        return (np.concatenate(self.chunks, axis=1) if self.chunks
+                else np.zeros((2, 0), np.int32))
+
+
+def make_manager():
+    params = PipelineInitParams()
+    params.gorge_jiffies = 0           # tests want immediate flow
+    params.threaded_starvation_ramper = False
+    return PipelineManager(params)
+
+
+def run_until_halt(mgr, collector, timeout=30.0):
+    animator = AnimatorBatch(mgr.pipeline.predriver, collector,
+                             use_device=False)
+    animator.run()
+    return animator
+
+
+def zero_crossings(x):
+    s = np.signbit(x.astype(np.int64))
+    return int(np.count_nonzero(s[1:] != s[:-1]))
+
+
+def test_tone_uri_end_to_end():
+    mgr = make_manager()
+    col = Collector()
+    mgr.play_uri("tone://sine.wav?pitch=1000&duration=2&samplerate=44100"
+                 "&bitdepth=16&channels=2")
+    run_until_halt(mgr, col)
+    mgr.quit()
+    pcm = col.pcm
+    assert pcm.shape == (2, 88200)
+    zc = zero_crossings(pcm[0])
+    assert abs(zc - 4000) <= 4, zc
+
+
+def test_file_wav_end_to_end(tmp_path):
+    from ohpipeline_tpu.codecs.wav import write_wav
+    t = np.arange(44100) / 44100
+    tone = np.tile(np.rint(np.sin(2 * np.pi * 997 * t) * 30000)
+                   .astype(np.int32), (2, 1))
+    path = tmp_path / "t.wav"
+    path.write_bytes(write_wav(tone, 44100, 16))
+    mgr = make_manager()
+    col = Collector()
+    mgr.play_uri(f"file://{path}")
+    run_until_halt(mgr, col)
+    mgr.quit()
+    np.testing.assert_array_equal(col.pcm, tone)
+
+
+def test_file_flac_end_to_end(tmp_path):
+    from ohpipeline_tpu.codecs import flac
+    t = np.arange(44100) / 44100
+    tone = np.stack([np.rint(np.sin(2 * np.pi * 997 * t) * 28000),
+                     np.rint(np.sin(2 * np.pi * 1009 * t) * 28000)]
+                    ).astype(np.int32)
+    path = tmp_path / "t.flac"
+    path.write_bytes(flac.encode_flac(tone, 44100, 16))
+    mgr = make_manager()
+    col = Collector()
+    mgr.play_uri(f"file://{path}")
+    run_until_halt(mgr, col)
+    mgr.quit()
+    np.testing.assert_array_equal(col.pcm, tone)
+    assert col.infos[0].codec_name == "FLAC"
+
+
+def test_observers_receive_track_and_state():
+    mgr = make_manager()
+    seen = {"tracks": [], "states": [], "infos": [], "times": []}
+
+    class Obs:
+        def notify_track(self, track, sos):
+            seen["tracks"].append(track.uri)
+
+        def notify_pipeline_state(self, st):
+            seen["states"].append(st)
+
+        def notify_stream_info(self, info):
+            seen["infos"].append(info)
+
+        def notify_time(self, sec, total):
+            seen["times"].append(sec)
+
+    mgr.add_observer(Obs())
+    col = Collector()
+    mgr.play_uri("tone://square.wav?pitch=100&duration=2")
+    run_until_halt(mgr, col)
+    mgr.quit()
+    assert seen["tracks"] and seen["tracks"][0].startswith("tone://")
+    assert seen["infos"] and seen["infos"][0].sample_rate == 44100
+    assert 1 in seen["times"]
