@@ -91,10 +91,16 @@ class _PulledStreamReader(StreamReader):
 class CodecController(Element):
     """Recognise + decode loop as a pull-model element."""
 
-    def __init__(self, upstream, registry: CodecRegistry, name: str = ""):
+    def __init__(self, upstream, registry: CodecRegistry, containers=None,
+                 name: str = ""):
         super().__init__(upstream, name)
         self._registry = registry
+        if containers is None:
+            from ..containers import ContainerController, default_containers
+            containers = ContainerController(default_containers())
+        self._containers = containers
         self._reader = _PulledStreamReader(self)
+        self._active_reader: StreamReader = self._reader
         self._active: Optional[CodecBase] = None
         self._stream_info = None
         self._stream_handler = None
@@ -153,7 +159,7 @@ class CodecController(Element):
                     continue  # no active stream: discard stray bytes
                 return e
             try:
-                batch = self._active.process(self._reader)
+                batch = self._active.process(self._active_reader)
             except EndOfStream:
                 self._active = None
                 self._reader._eos = False
@@ -171,6 +177,7 @@ class CodecController(Element):
         self._stream_id = e.info.stream_id or self._next_stream_id
         self._next_stream_id += 1
         self._reader.reset()
+        self._active_reader = self._reader
         self._pcm_info = None
         # raw PCM/DSD streams skip recognition (format announced inline)
         if e.info.pcm_format is not None:
@@ -182,13 +189,22 @@ class CodecController(Element):
                      CodecPcm(fmt))
             self._active = codec
         else:
-            header = self._reader.peek(RECOGNITION_BYTES)
+            # container sniff first (ContainerController, Container.cpp:441)
+            if self._containers is not None:
+                self._active_reader, meta = self._containers.process(
+                    self._reader)
+                if meta.get("title"):
+                    text = meta["title"]
+                    if meta.get("artist"):
+                        text = f"{meta['artist']} - {text}"
+                    self._emit(ev.MetaTextEvent(text))
+            header = self._active_reader.peek(RECOGNITION_BYTES)
             self._active = self._registry.recognise(header)
         if self._active is None:
             self._emit(ev.StreamInterruptedEvent())
             return
         try:
-            info = self._active.stream_initialise(self._reader)
+            info = self._active.stream_initialise(self._active_reader)
         except (CodecStreamCorrupt, EndOfStream):
             self._active = None
             self._emit(ev.StreamInterruptedEvent())
