@@ -39,7 +39,31 @@ EOF
   echo "built $OUT/flac_oracle"
 }
 
+build_aac() {
+  local src="$REF/fdk-aac"
+  [ -d "$src" ] || { echo "no fdk-aac source"; return 1; }
+  local obj="$OUT/fdk_obj"; mkdir -p "$obj"
+  local inc=""
+  for lib in libAACdec libAACenc libFDK libSYS libMpegTPDec libMpegTPEnc \
+             libSBRdec libSBRenc libPCMutils; do
+    inc="$inc -I$src/$lib/include"
+  done
+  local objs=()
+  for lib in libAACdec libAACenc libFDK libSYS libMpegTPDec libMpegTPEnc \
+             libSBRdec libSBRenc libPCMutils; do
+    for c in "$src/$lib/src"/*.cpp; do
+      local o="$obj/${lib}_$(basename "$c" .cpp).o"
+      [ -f "$o" ] || g++ -O2 $inc -w -fno-exceptions -c "$c" -o "$o"
+      objs+=("$o")
+    done
+  done
+  gcc -O2 $inc -w -c "$(dirname "$0")/aac_oracle.c" -o "$obj/aac_oracle.o"
+  g++ -O2 "$obj/aac_oracle.o" "${objs[@]}" -lm -o "$OUT/aac_oracle"
+  echo "built $OUT/aac_oracle"
+}
+
 case "${1:-all}" in
   flac) build_flac ;;
-  all) build_flac ;;
+  aac) build_aac ;;
+  all) build_flac; build_aac ;;
 esac
