@@ -12,9 +12,10 @@ from .aiff import CodecAifc, CodecAiff, write_aiff
 from .pcm_raw import CodecPcm
 from .dsd import CodecDsdDff, CodecDsdDsf, CodecDsdRaw
 from .flac import CodecFlac
+from .aac import CodecAacAdts, CodecAacMp4
 
 for _f in (CodecWav, CodecAiff, CodecAifc, CodecDsdDsf, CodecDsdDff,
-           CodecFlac):
+           CodecFlac, CodecAacMp4, CodecAacAdts):
     default_registry.add(_f)
 
 __all__ = [

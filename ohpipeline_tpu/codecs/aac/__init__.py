@@ -1,0 +1,250 @@
+"""AAC-LC codec: ADTS and MP4 front-ends, host entropy decode + batched
+device filterbank.
+
+Parity target: the reference's fdk-aac adapters
+(OpenHome/Media/Codec/AacFdkAdts.cpp, AacFdkMp4.cpp -> libAACdec) for
+AAC-LC.  Accuracy: float32 filterbank vs fdk's fixed-point — validated
+against the compiled fdk oracle within tight RMS bounds (the ISO
+conformance criterion; transform coding is not bit-unique across
+implementations).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...core.jiffies import Jiffies
+from ...core.streaminfo import PcmStreamInfo
+from ..base import (CodecBase, CodecStreamCorrupt, DecodedBatch, EndOfStream,
+                    StreamReader)
+from ..flac.bitreader import BitReader
+from . import bitstream as BS
+from . import synthesis as SYN
+from . import tables as T
+
+GROUP_FRAMES = 32
+
+
+class _StreamState:
+    """Carries filterbank overlap + window shape across process() calls."""
+
+    def __init__(self, channels: int):
+        self.prev_shape = np.zeros(channels, np.int32)
+        self.overlap = np.zeros((channels, 1024), np.float32)
+        self.op_bank = SYN.operator_bank()
+
+
+def decode_frames(frames: list[BS.FrameData], state: _StreamState,
+                  bit_depth: int = 16) -> np.ndarray:
+    """Decode parsed frames -> (channels, T*1024) int32 native range."""
+    if not frames:
+        return np.zeros((len(state.prev_shape), 0), np.int32)
+    nch = len(frames[0].channels)
+    Tf = len(frames)
+    specs = np.zeros((Tf, nch, 1024), np.float32)
+    opidx = np.zeros((Tf, nch), np.int32)
+    for t, frame in enumerate(frames):
+        chs = frame.channels
+        sp = [SYN.dequantize(ch, frame.rate_index) for ch in chs]
+        SYN.apply_spectral_tools(frame, sp)
+        for ci, ch in enumerate(chs):
+            SYN.apply_tns(ch, sp[ci], frame.rate_index)
+            mode = ch.ics.window_sequence
+            opidx[t, ci] = (mode * 4 + int(state.prev_shape[ci]) * 2
+                            + ch.ics.window_shape)
+            state.prev_shape[ci] = ch.ics.window_shape
+            specs[t, ci] = sp[ci]
+    A, B = state.op_bank
+    pcm, new_ov = SYN.filterbank(jnp.asarray(specs), jnp.asarray(opidx),
+                                 jnp.asarray(state.overlap),
+                                 jnp.asarray(A), jnp.asarray(B))
+    state.overlap = np.asarray(new_ov)
+    out = np.asarray(pcm)                       # (Tf, nch, 1024)
+    out = out.transpose(1, 0, 2).reshape(nch, -1)
+    lo, hi = -(1 << (bit_depth - 1)), (1 << (bit_depth - 1)) - 1
+    return np.clip(np.rint(out), lo, hi).astype(np.int32)
+
+
+class CodecAacAdts(CodecBase):
+    """ADTS-framed AAC-LC (reference CodecAacFdkAdts)."""
+
+    name = "AAC"
+    recognition_cost = 30
+    mime_types = ("audio/aac", "audio/aacp", "audio/mp4")
+
+    def __init__(self):
+        self._info: Optional[PcmStreamInfo] = None
+        self._buf = b""
+        self._state: Optional[_StreamState] = None
+        self._hdr: Optional[BS.AdtsHeader] = None
+        self._sample_pos = 0
+
+    def recognise(self, header: bytes) -> bool:
+        # two consecutive valid ADTS headers (the reference requires the
+        # same double-sync to avoid false positives)
+        h1 = BS.parse_adts_header(header)
+        if h1 is None:
+            return False
+        h2 = BS.parse_adts_header(header, h1.frame_bytes)
+        return h2 is not None and h2.rate_index == h1.rate_index
+
+    def stream_initialise(self, reader: StreamReader) -> PcmStreamInfo:
+        self._buf = reader.read(64 * 1024)
+        self._reader = reader
+        hdr = BS.parse_adts_header(self._buf)
+        if hdr is None:
+            raise CodecStreamCorrupt("no ADTS sync")
+        self._hdr = hdr
+        self._state = _StreamState(hdr.channels)
+        self._sample_pos = 0
+        total = reader.stream_bytes
+        length_j = 0
+        if total:
+            # estimate duration from first-frame size (CBR-ish)
+            frames = total // max(hdr.frame_bytes, 1)
+            length_j = frames * 1024 * Jiffies.per_sample(hdr.sample_rate)
+        self._info = PcmStreamInfo(
+            sample_rate=hdr.sample_rate, bit_depth=16,
+            num_channels=hdr.channels, codec_name="AAC", lossless=False,
+            seekable=False,
+            bitrate=hdr.frame_bytes * 8 * hdr.sample_rate // 1024,
+            track_length_jiffies=length_j)
+        return self._info
+
+    def _fill(self, want: int) -> None:
+        while len(self._buf) < want:
+            chunk = self._reader.read(128 * 1024)
+            if not chunk:
+                return
+            self._buf += chunk
+
+    def process(self, reader: StreamReader) -> DecodedBatch:
+        frames: list[BS.FrameData] = []
+        self._fill(self._hdr.frame_bytes * (GROUP_FRAMES + 2))
+        pos = 0
+        while len(frames) < GROUP_FRAMES:
+            hdr = BS.parse_adts_header(self._buf, pos)
+            if hdr is None:
+                # resync scan
+                nxt = self._buf.find(b"\xff", pos + 1)
+                if nxt == -1 or nxt + 7 > len(self._buf):
+                    break
+                pos = nxt
+                continue
+            if pos + hdr.frame_bytes > len(self._buf):
+                break
+            br = BitReader(self._buf, (pos + hdr.header_bytes) * 8)
+            try:
+                frame = BS.parse_raw_data_block(br, hdr.rate_index)
+                if len(frame.channels) == self._hdr.channels:
+                    frames.append(frame)
+            except (BS.AacError, ValueError, EOFError):
+                pass
+            pos += hdr.frame_bytes
+        self._buf = self._buf[pos:]
+        if not frames:
+            raise EndOfStream
+        first = self._sample_pos
+        self._sample_pos += len(frames) * 1024
+        state = self._state
+        return DecodedBatch(
+            self._info,
+            defer=lambda: decode_frames(frames, state),
+            track_offset_samples=first)
+
+
+class CodecAacMp4(CodecBase):
+    """AAC-LC in MP4 (reference CodecAacFdkMp4): drives the ISO-BMFF
+    sample tables from containers.mpeg4."""
+
+    name = "AAC-MP4"
+    recognition_cost = 25
+    mime_types = ("audio/mp4", "audio/m4a")
+
+    def __init__(self):
+        self._info = None
+        self._track = None
+        self._samples = None
+        self._index = 0
+        self._state = None
+        self._data = b""
+
+    def recognise(self, header: bytes) -> bool:
+        return len(header) >= 12 and header[4:8] == b"ftyp"
+
+    def stream_initialise(self, reader: StreamReader) -> PcmStreamInfo:
+        from ...containers.mpeg4 import find_audio_track
+        self._data = reader.read(reader.stream_bytes or (1 << 30))
+        track = find_audio_track(self._data)
+        if track is None or track.codec != "mp4a":
+            raise CodecStreamCorrupt("no mp4a track")
+        asc = track.codec_config
+        if len(asc) >= 2:
+            aot = asc[0] >> 3
+            rate_idx = ((asc[0] & 7) << 1) | (asc[1] >> 7)
+            channels = (asc[1] >> 3) & 0xF
+            if aot != 2:
+                raise CodecStreamCorrupt(f"not AAC-LC (AOT {aot})")
+        else:
+            raise CodecStreamCorrupt("missing AudioSpecificConfig")
+        self._track = track
+        self._rate_index = rate_idx
+        self._samples = list(track.sample_offsets())
+        self._index = 0
+        self._sample_pos = 0
+        self._state = _StreamState(channels)
+        rate = T.SAMPLE_RATES[rate_idx]
+        self._info = PcmStreamInfo(
+            sample_rate=rate, bit_depth=16, num_channels=channels,
+            codec_name="AAC", lossless=False, seekable=True,
+            track_length_jiffies=track.total_samples * 1024
+            * Jiffies.per_sample(rate) if track.stts else 0)
+        return self._info
+
+    def process(self, reader: StreamReader) -> DecodedBatch:
+        if self._index >= len(self._samples):
+            raise EndOfStream
+        frames = []
+        while self._index < len(self._samples) and len(frames) < GROUP_FRAMES:
+            off, size = self._samples[self._index]
+            self._index += 1
+            raw = self._data[off:off + size]
+            br = BitReader(raw)
+            try:
+                frames.append(BS.parse_raw_data_block(br, self._rate_index))
+            except (BS.AacError, ValueError, EOFError):
+                continue
+        if not frames:
+            raise EndOfStream
+        first = self._sample_pos
+        self._sample_pos += len(frames) * 1024
+        state = self._state
+        return DecodedBatch(
+            self._info, defer=lambda: decode_frames(frames, state),
+            track_offset_samples=first)
+
+    def try_seek(self, sample: int) -> Optional[int]:
+        idx, pcm0 = self._track.seek_sample(sample)
+        self._index = idx
+        self._sample_pos = pcm0
+        self._state = _StreamState(self._info.num_channels)
+        return 0   # data already buffered; no upstream reposition needed
+
+
+def decode_adts(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:
+    """Whole-buffer ADTS decode (tests/tools)."""
+    from ..base import BufferReader
+    codec = CodecAacAdts()
+    r = BufferReader(data)
+    info = codec.stream_initialise(r)
+    parts = []
+    while True:
+        try:
+            parts.append(codec.process(r).resolve())
+        except EndOfStream:
+            break
+    return info, (np.concatenate(parts, axis=1) if parts
+                  else np.zeros((info.num_channels, 0), np.int32))

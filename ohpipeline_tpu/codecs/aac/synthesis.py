@@ -1,0 +1,305 @@
+"""AAC-LC synthesis: host spectral prep (dequant, M/S, intensity, PNS,
+TNS — cheap vectorized numpy) + the FLOP-heavy filterbank (IMDCT matmuls,
+windowing, overlap-add) as one batched jitted device program.
+
+Filterbank math from ISO/IEC 14496-3 4.6.11: N=2048 IMDCT for long
+windows, 8 x N=256 for short, sine and KBD window shapes, 50% overlap-add.
+The IMDCT is expressed as a (1024->2048) matmul so frames batch onto the
+MXU; frames advance under lax.scan carrying the overlap buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import tables as T
+from .bitstream import (EIGHT_SHORT, LONG_START, LONG_STOP, ONLY_LONG,
+                        ChannelData, FrameData)
+
+# ---------------------------------------------------------------------------
+# windows & IMDCT operators (host-precomputed constants)
+# ---------------------------------------------------------------------------
+
+
+def _sine_window(n: int) -> np.ndarray:
+    return np.sin(np.pi / n * (np.arange(n) + 0.5))
+
+
+def _kbd_window(n: int, alpha: float) -> np.ndarray:
+    # Kaiser-Bessel derived (ISO 14496-3 4.6.11.3.2)
+    half = n // 2
+    t = np.arange(half + 1)
+    kaiser = np.i0(np.pi * alpha * np.sqrt(1.0 - (2.0 * t / half - 1.0) ** 2))
+    cum = np.cumsum(kaiser)
+    w = np.sqrt(cum[:half] / cum[half])
+    return np.concatenate([w, w[::-1]])
+
+
+@functools.lru_cache(maxsize=None)
+def _windows():
+    return dict(
+        long_sine=_sine_window(2048), long_kbd=_kbd_window(2048, 4.0),
+        short_sine=_sine_window(256), short_kbd=_kbd_window(256, 6.0))
+
+
+@functools.lru_cache(maxsize=None)
+def _imdct_matrix(n_out: int) -> np.ndarray:
+    """(n_out/2, n_out) operator: x = M.T @ X."""
+    N = n_out
+    k = np.arange(N // 2)
+    n = np.arange(N)
+    M = (2.0 / N) * np.cos(2.0 * np.pi / N * (n[None, :] + 0.5 + N / 4)
+                           * (k[:, None] + 0.5))
+    return M.astype(np.float32)       # (N/2, N)
+
+
+def _long_halves(shape: int) -> tuple[np.ndarray, np.ndarray]:
+    w = _windows()["long_kbd" if shape else "long_sine"]
+    return w[:1024], w[1024:]
+
+
+def _short_halves(shape: int) -> tuple[np.ndarray, np.ndarray]:
+    w = _windows()["short_kbd" if shape else "short_sine"]
+    return w[:128], w[128:]
+
+
+@functools.lru_cache(maxsize=None)
+def _frame_operators():
+    """Per (window_mode, left_shape, right_shape): two (1024, 1024) f32
+    linear operators A, Bop with
+
+        time_first_half  = A    @ spec    (added to carried overlap)
+        next_overlap     = Bop  @ spec
+
+    This folds IMDCT + windowing + short-window internal overlap into two
+    dense matmuls — ideal MXU shape, uniform across all window sequences.
+    """
+    M_long = _imdct_matrix(2048)      # (1024, 2048)
+    M_short = _imdct_matrix(256)      # (128, 256)
+    ops = {}
+    for mode in (ONLY_LONG, LONG_START, EIGHT_SHORT, LONG_STOP):
+        for ls in (0, 1):
+            for rs in (0, 1):
+                full = np.zeros((1024, 2048), np.float32)
+                if mode == EIGHT_SHORT:
+                    wl, wr = _short_halves(rs)
+                    wl_first, _ = _short_halves(ls)
+                    for w in range(8):
+                        off = 448 + w * 128
+                        win = np.concatenate(
+                            [wl_first if w == 0 else wl, wr])
+                        contrib = (M_short * win[None, :]).astype(np.float32)
+                        full[w * 128:(w + 1) * 128, off:off + 256] += contrib
+                else:
+                    wl_l, wl_r = _long_halves(ls)
+                    if mode == ONLY_LONG:
+                        win = np.concatenate([wl_l, _long_halves(rs)[1]])
+                    elif mode == LONG_START:
+                        swl, swr = _short_halves(rs)
+                        right = np.concatenate(
+                            [np.ones(448), swr, np.zeros(448)])
+                        win = np.concatenate([wl_l, right])
+                    else:  # LONG_STOP
+                        swl, _ = _short_halves(ls)
+                        left = np.concatenate(
+                            [np.zeros(448), swl, np.ones(448)])
+                        win = np.concatenate([left, _long_halves(rs)[1]])
+                    full = (M_long * win[None, :]).astype(np.float32)
+                ops[(mode, ls, rs)] = (
+                    np.ascontiguousarray(full[:, :1024]),   # (k, n) 1024^2
+                    np.ascontiguousarray(full[:, 1024:]))
+    return ops
+
+
+def operator_bank() -> tuple[np.ndarray, np.ndarray]:
+    """Stacked (16, 1024, 1024) A and B operator banks indexed by
+    mode*4 + left_shape*2 + right_shape."""
+    ops = _frame_operators()
+    A = np.stack([ops[(m, l, r)][0] for m in range(4) for l in (0, 1)
+                  for r in (0, 1)])
+    B = np.stack([ops[(m, l, r)][1] for m in range(4) for l in (0, 1)
+                  for r in (0, 1)])
+    return A, B
+
+
+# ---------------------------------------------------------------------------
+# device filterbank
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def filterbank(spec_t, opidx_t, overlap, A_bank, B_bank):
+    """spec_t (Tf, B, 1024) f32, opidx_t (Tf, B) i32 in [0,16),
+    overlap (B, 1024) f32.  Returns (pcm (Tf, B, 1024), new_overlap)."""
+
+    def step(ov, inp):
+        spec, opidx = inp
+        A = A_bank[opidx]             # (B, 1024, 1024)
+        Bop = B_bank[opidx]
+        first = jnp.einsum("bk,bkn->bn", spec, A,
+                           preferred_element_type=jnp.float32)
+        second = jnp.einsum("bk,bkn->bn", spec, Bop,
+                            preferred_element_type=jnp.float32)
+        return second, ov + first
+
+    new_ov, pcm = jax.lax.scan(step, overlap, (spec_t, opidx_t))
+    return pcm, new_ov
+
+
+# ---------------------------------------------------------------------------
+# host spectral prep
+# ---------------------------------------------------------------------------
+
+_POW43 = np.arange(8192, dtype=np.float64) ** (4.0 / 3.0)
+
+
+def dequantize(ch: ChannelData, rate_index: int) -> np.ndarray:
+    """Quantized ints -> scaled spectrum, deinterleaved to window order
+    (8x128 flattened for short frames)."""
+    ics = ch.ics
+    offsets = T.sfb_offsets(rate_index, ics.short)
+    q = ch.quant.astype(np.int64)
+    mag = np.where(np.abs(q) < 8192, _POW43[np.minimum(np.abs(q), 8191)],
+                   np.abs(q).astype(np.float64) ** (4.0 / 3.0))
+    spec_tx = np.sign(q) * mag
+    out = np.zeros(1024)
+    groups = ics.window_groups()
+    if not ics.short:
+        for k in range(ics.max_sfb):
+            c = ch.band_cb[0, k]
+            if c == 0 or c == 12 or c >= T.NOISE_CB:
+                continue
+            a, b = int(offsets[k]), int(offsets[k + 1])
+            gain = 2.0 ** (0.25 * (ch.scalefactors[0, k] - T.SF_OFFSET))
+            out[a:b] = spec_tx[a:b] * gain
+        return out
+    # short: transmission order [group][sfb][win][bins] -> [win][bins]
+    pos = 0
+    win_base = 0
+    for g, wins in enumerate(groups):
+        for k in range(ics.max_sfb):
+            width = int(offsets[k + 1] - offsets[k])
+            c = ch.band_cb[g, k]
+            gain = 2.0 ** (0.25 * (ch.scalefactors[g, k] - T.SF_OFFSET))
+            for w in range(wins):
+                if not (c == 0 or c == 12 or c >= T.NOISE_CB):
+                    a = (win_base + w) * 128 + int(offsets[k])
+                    out[a:a + width] = spec_tx[pos:pos + width] * gain
+                pos += width
+        win_base += wins
+        pos = win_base * 128         # groups start at full window strides
+    return out
+
+
+_PNS_RNG = np.random.default_rng(0x9A5)
+
+
+def apply_spectral_tools(frame: FrameData, specs: list[np.ndarray]) -> None:
+    """In-place M/S, intensity, PNS over the dequantized spectra.
+
+    Order per ISO 14496-3 4.6.7-4.6.9: PNS -> M/S -> intensity.
+    """
+    rate_index = frame.rate_index
+    # PNS per channel
+    for ch, spec in zip(frame.channels, specs):
+        _apply_pns(ch, spec, rate_index)
+    if len(frame.channels) != 2:
+        return
+    l_ch, r_ch = frame.channels
+    l, r = specs
+    ics = l_ch.ics
+    offsets = T.sfb_offsets(rate_index, ics.short)
+    groups = ics.window_groups()
+    mask = frame.ms_mask
+    win_base = 0
+    for g, wins in enumerate(groups):
+        for k in range(ics.max_sfb):
+            a0, b0 = int(offsets[k]), int(offsets[k + 1])
+            cb_r = r_ch.band_cb[g, k] if r_ch.band_cb is not None else 0
+            for w in range(wins):
+                base = (win_base + w) * 128 if ics.short else 0
+                a, b = base + a0, base + b0
+                if cb_r in (T.INTENSITY_CB, T.INTENSITY_CB2):
+                    sign = 1.0 if cb_r == T.INTENSITY_CB else -1.0
+                    if mask is not None and mask[g, k]:
+                        sign = -sign
+                    scale = sign * 0.5 ** (0.25 * r_ch.scalefactors[g, k])
+                    r[a:b] = l[a:b] * scale
+                elif mask is not None and mask[g, k] \
+                        and cb_r not in (T.NOISE_CB,):
+                    mid = l[a:b].copy()
+                    side = r[a:b].copy()
+                    l[a:b] = mid + side
+                    r[a:b] = mid - side
+        win_base += wins
+
+
+def _apply_pns(ch: ChannelData, spec: np.ndarray, rate_index: int) -> None:
+    ics = ch.ics
+    if ch.band_cb is None or not (ch.band_cb == T.NOISE_CB).any():
+        return
+    offsets = T.sfb_offsets(rate_index, ics.short)
+    groups = ics.window_groups()
+    win_base = 0
+    for g, wins in enumerate(groups):
+        for k in range(ics.max_sfb):
+            if ch.band_cb[g, k] != T.NOISE_CB:
+                continue
+            a0, b0 = int(offsets[k]), int(offsets[k + 1])
+            energy = 2.0 ** (0.25 * ch.scalefactors[g, k])
+            for w in range(wins):
+                base = (win_base + w) * 128 if ics.short else 0
+                n = _PNS_RNG.standard_normal(b0 - a0)
+                n *= energy / np.sqrt(np.mean(n * n) + 1e-30)
+                spec[base + a0:base + b0] = n
+        win_base += wins
+
+
+def apply_tns(ch: ChannelData, spec: np.ndarray, rate_index: int) -> None:
+    """TNS synthesis filtering (ISO 14496-3 4.6.9): all-pole filter across
+    spectral bins per window."""
+    if ch.tns is None:
+        return
+    ics = ch.ics
+    offsets = T.sfb_offsets(rate_index, ics.short)
+    nbands = len(offsets) - 1
+    # TNS max band limits (ISO Table 4.139-ish); clamp to max_sfb range
+    for w, filters in enumerate(ch.tns.filters):
+        base = w * 128 if ics.short else 0
+        bottom = nbands
+        for (length, order, direction, coeffs) in filters:
+            top = bottom
+            bottom = max(top - length, 0)
+            if order == 0:
+                continue
+            start = int(offsets[min(bottom, nbands)])
+            end = int(offsets[min(top, nbands)])
+            end = min(end, 128 if ics.short else 1024)
+            if end <= start:
+                continue
+            a = np.asarray(coeffs)
+            seg = spec[base + start:base + end]
+            if direction:
+                seg = seg[::-1]
+            # lattice-to-direct form conversion
+            lpc = _lattice_to_lpc(a)
+            state = np.zeros(len(lpc))
+            for i in range(len(seg)):
+                y = seg[i] - np.dot(lpc, state)
+                state = np.roll(state, 1)
+                state[0] = y
+                seg[i] = y
+            if direction:
+                spec[base + start:base + end] = seg[::-1]
+            else:
+                spec[base + start:base + end] = seg
+
+
+def _lattice_to_lpc(refl: np.ndarray) -> np.ndarray:
+    a = np.zeros(0)
+    for k in refl:
+        a = np.concatenate([a + k * a[::-1], [k]]) if len(a) else np.array([k])
+    return a

@@ -70,6 +70,24 @@ class BitReader:
     def align_byte(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
+    def peek_bits(self, nbits: int) -> int:
+        """Read without consuming; short reads at EOS are zero-padded
+        (Huffman LUT peeks near stream end)."""
+        pos = self.pos
+        avail = len(self.data) * 8 - pos
+        if avail >= nbits:
+            v = self.read(nbits)
+            self.pos = pos
+            return v
+        if avail <= 0:
+            return 0
+        v = self.read(avail)
+        self.pos = pos
+        return v << (nbits - avail)
+
+    def skip(self, nbits: int) -> None:
+        self.pos += nbits
+
     def read_rice(self, param: int) -> int:
         """One Rice-coded signed residual (zigzag)."""
         q = self.read_unary()

@@ -276,6 +276,62 @@ class ContainerMpeg4(ContainerBase):
         return reader   # codecs consume MP4 structure themselves
 
 
+def write_m4a(samples: list[bytes], codec_config: bytes, sample_rate: int,
+              channels: int, codec: str = "mp4a",
+              samples_per_frame: int = 1024) -> bytes:
+    """Minimal M4A muxer (tests + encode capability): one audio track,
+    one chunk, fixed frame duration."""
+    import struct as _s
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return _s.pack(">I4s", len(body) + 8, t) + body
+
+    if codec == "mp4a":
+        dsi = bytes([0x05, len(codec_config)]) + codec_config
+        dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + b"\x00" * 11 + dsi
+        esd = bytes([0x03, 3 + len(dcd)]) + b"\x00\x00\x00" + dcd
+        cfg = box(b"esds", b"\x00\x00\x00\x00" + esd)
+    else:
+        cfg = box(codec.encode(), codec_config)
+    entry = box(codec.encode() if codec != "mp4a" else b"mp4a",
+                b"\x00" * 6 + b"\x00\x01" + b"\x00" * 8
+                + _s.pack(">HH", channels, 16) + b"\x00" * 4
+                + _s.pack(">HH", sample_rate, 0) + cfg)
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    n = len(samples)
+    stts = box(b"stts", _s.pack(">II", 0, 1)
+               + _s.pack(">II", n, samples_per_frame))
+    stsc = box(b"stsc", _s.pack(">II", 0, 1) + _s.pack(">III", 1, n, 1))
+    stsz = box(b"stsz", _s.pack(">III", 0, 0, n)
+               + b"".join(_s.pack(">I", len(s)) for s in samples))
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42")
+    # compute mdat offset: ftyp + moov sizes; stco written last
+    payload = b"".join(samples)
+
+    def make_moov(chunk_off: int) -> bytes:
+        stco = box(b"stco", _s.pack(">II", 0, 1) + _s.pack(">I", chunk_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = box(b"mdhd", _s.pack(">IIIII", 0, 0, 0, sample_rate,
+                                    n * samples_per_frame) + b"\x00" * 4)
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"\x00")
+        minf = box(b"minf", box(b"smhd", b"\x00" * 8)
+                   + box(b"dinf", box(b"dref", b"\x00" * 4
+                                      + _s.pack(">I", 1)
+                                      + box(b"url ", b"\x00\x00\x00\x01")))
+                   + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        tkhd = box(b"tkhd", _s.pack(">II", 7, 0) + b"\x00" * 72)
+        trak = box(b"trak", tkhd + mdia)
+        mvhd = box(b"mvhd", _s.pack(">IIIII", 0, 0, 0, sample_rate,
+                                    n * samples_per_frame) + b"\x00" * 80)
+        return box(b"moov", mvhd + trak)
+
+    guess = len(ftyp) + len(make_moov(0)) + 8
+    moov = make_moov(guess)
+    assert len(ftyp) + len(moov) + 8 == guess
+    return ftyp + moov + box(b"mdat", payload)
+
+
 def find_audio_track(data: bytes) -> Optional[Mpeg4Track]:
     moov = find_box(data, [b"moov"])
     if moov is None:

@@ -106,6 +106,9 @@ static int do_decode(const char *in, const char *out, int tt)
     fclose(fi);
     HANDLE_AACDECODER dec = aacDecoder_Open(tt, 1);
     if (!dec) return 3;
+    /* bypass the time-domain limiter/concealment delay so output is the
+     * plain spec filterbank result (sample-aligned with encoder delay) */
+    aacDecoder_SetParam(dec, AAC_PCM_LIMITER_ENABLE, 0);
     static INT_PCM pcm[8 * 2048];
     UCHAR *ptr = bs;
     UINT left = (UINT)nbytes;

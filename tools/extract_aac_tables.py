@@ -61,8 +61,9 @@ def walk(rows: list[list[int]], row: int, prefix: int, nbits: int,
 
 
 def unpack_value(value: int, dim: int, bits: int, offset: int) -> tuple:
+    # low bits hold the FIRST spectral value of the tuple
     vals = []
-    for i in range(dim - 1, -1, -1):
+    for i in range(dim):
         vals.append(((value >> (bits * i)) & ((1 << bits) - 1)) - offset)
     return tuple(vals)
 
