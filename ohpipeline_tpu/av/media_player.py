@@ -1,0 +1,79 @@
+"""MediaPlayer — the composition root.
+
+Parity target: OpenHome/Av/MediaPlayer.cpp:158-256 (builds TrackFactory,
+ConfigManager, PowerManager, ThreadPool, Product, PipelineManager,
+VolumeManager, Credentials, providers, Pins; Start at 356).  The control
+plane here is the ODP-style JSON surface (ohpipeline_tpu.net.odp) plus
+direct Python APIs, instead of ohNet UPnP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..pipeline import PipelineInitParams, PipelineManager
+from .config import ConfigManager, FileStore, RamStore
+from .power import PowerManager
+from .product import Product
+from .sources import SourcePlaylist, SourceRadio
+from .volume import VolumeManager, VolumeProfile
+
+
+class MediaPlayerInitParams:
+    """Reference MediaPlayerInitParams (MediaPlayer.h:127-163)."""
+
+    def __init__(self, room: str = "Main Room", name: str = "ohpipeline-tpu",
+                 store_path: Optional[str] = None,
+                 volume_profile: Optional[VolumeProfile] = None,
+                 pipeline_params: Optional[PipelineInitParams] = None):
+        self.room = room
+        self.name = name
+        self.store_path = store_path
+        self.volume_profile = volume_profile or VolumeProfile()
+        self.pipeline_params = pipeline_params or PipelineInitParams()
+
+
+class MediaPlayer:
+    """Owns and wires every subsystem (reference IMediaPlayer,
+    MediaPlayer.h:82-124)."""
+
+    def __init__(self, params: Optional[MediaPlayerInitParams] = None):
+        p = params or MediaPlayerInitParams()
+        self.store = (FileStore(p.store_path) if p.store_path
+                      else RamStore())
+        self.config = ConfigManager(self.store)
+        self.power = PowerManager(self.store)
+        self.pipeline = PipelineManager(p.pipeline_params)
+        self.volumes = VolumeManager(self.config, p.volume_profile)
+        self.product = Product(self.config, p.room, p.name)
+        # default sources (reference MediaPlayer adds via SourceFactory)
+        self.source_playlist = SourcePlaylist(self.pipeline)
+        self.source_radio = SourceRadio(self.pipeline)
+        self.product.add_source(self.source_playlist)
+        self.product.add_source(self.source_radio)
+        # volume drives the render gain chain: wire the sink multiplier to
+        # the pipeline attenuator (device-side gain application)
+        self.volumes.sink.add_gain_listener(self._on_gain)
+        self._started = False
+
+    def add_source(self, source) -> None:
+        self.product.add_source(source)
+
+    def _on_gain(self, multiplier: float) -> None:
+        att = self.pipeline.pipeline.attenuator
+        att.active = True
+        att.set_attenuation(int(multiplier * (1 << 14)))
+
+    def start(self) -> None:
+        """Reference MediaPlayer::Start: close config registration, pick
+        the startup source."""
+        if self._started:
+            return
+        self.config.close()
+        self.product.start()
+        self._started = True
+
+    def quit(self) -> None:
+        self.pipeline.quit()
+        if isinstance(self.store, FileStore):
+            self.store.flush()

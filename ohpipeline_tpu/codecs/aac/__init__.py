@@ -68,6 +68,80 @@ def decode_frames(frames: list[BS.FrameData], state: _StreamState,
     return np.clip(np.rint(out), lo, hi).astype(np.int32)
 
 
+def decode_group_arrays(batch: dict, nframes: int, channels: int,
+                        state: _StreamState,
+                        bit_depth: int = 16) -> np.ndarray:
+    """Array-native decode: vectorized spectral prep feeding the batched
+    device filterbank.  Same result as decode_frames over rehydrated
+    objects, at bench throughput."""
+    specs, opidx = SYN.prepare_group(batch, nframes, channels,
+                                     state.prev_shape)
+    W, SW = SYN.window_bank()
+    pcm, new_ov = SYN.filterbank_fast(
+        jnp.asarray(specs), jnp.asarray(opidx), jnp.asarray(state.overlap),
+        jnp.asarray(SYN._imdct_matrix(2048)),
+        jnp.asarray(SYN._imdct_matrix(256)),
+        jnp.asarray(W), jnp.asarray(SW))
+    state.overlap = np.asarray(new_ov)
+    out = np.asarray(pcm).transpose(1, 0, 2).reshape(channels, -1)
+    lo, hi = -(1 << (bit_depth - 1)), (1 << (bit_depth - 1)) - 1
+    return np.clip(np.rint(out), lo, hi).astype(np.int32)
+
+
+def frames_from_arrays(batch: dict, nframes: int,
+                       channels: int) -> list[BS.FrameData]:
+    """Rehydrate FrameData from the native unpacker's dense arrays."""
+    frames = []
+    ri = batch["rate_index"]
+    for f in range(nframes):
+        chs = []
+        for c in range(channels):
+            r = f * channels + c
+            ics_row = batch["ics"][r]
+            ch = BS.ChannelData()
+            ch.ics = BS.IcsInfo(int(ics_row[0]), int(ics_row[1]),
+                                int(ics_row[2]), int(ics_row[3]))
+            ngroups = len(ch.ics.window_groups())
+            msfb = max(ch.ics.max_sfb, 1)
+            cb = np.zeros((ngroups, msfb), np.int8)
+            sf = np.zeros((ngroups, msfb), np.int32)
+            for g in range(ngroups):
+                cb[g, :ch.ics.max_sfb] = \
+                    batch["cb"][r][g * 15:g * 15 + ch.ics.max_sfb]
+                sf[g, :ch.ics.max_sfb] = \
+                    batch["sf"][r][g * 15:g * 15 + ch.ics.max_sfb]
+            ch.band_cb = cb
+            ch.scalefactors = sf
+            ch.quant = batch["quant"][r]
+            if batch["tnsn"][r].any():
+                tns = BS.TnsData()
+                for w in range(ch.ics.num_windows):
+                    filters = []
+                    for fi in range(int(batch["tnsn"][r][w])):
+                        length, order, direction = (
+                            int(x) for x in batch["tnsp"][r][w * 3 + fi])
+                        coeffs = batch["tnsc"][r][w * 3 + fi][:order]
+                        filters.append((length, order, direction, coeffs))
+                    tns.filters.append(filters)
+                ch.tns = tns
+            chs.append(ch)
+        ms = batch["msmask"][f]
+        mask = None
+        if channels == 2 and ms[0] != 0xFF and ms[0] != 0:
+            ics0 = chs[0].ics
+            ngroups = len(ics0.window_groups())
+            msfb = max(ics0.max_sfb, 1)
+            if ms[0] == 2:
+                mask = np.ones((ngroups, msfb), bool)
+            else:
+                mask = np.zeros((ngroups, msfb), bool)
+                for g in range(ngroups):
+                    mask[g, :ics0.max_sfb] = \
+                        ms[1 + g * 15:1 + g * 15 + ics0.max_sfb] != 0
+        frames.append(BS.FrameData(chs, mask, ri))
+    return frames
+
+
 class CodecAacAdts(CodecBase):
     """ADTS-framed AAC-LC (reference CodecAacFdkAdts)."""
 
@@ -75,12 +149,16 @@ class CodecAacAdts(CodecBase):
     recognition_cost = 30
     mime_types = ("audio/aac", "audio/aacp", "audio/mp4")
 
-    def __init__(self):
+    def __init__(self, use_native: Optional[bool] = None):
         self._info: Optional[PcmStreamInfo] = None
         self._buf = b""
         self._state: Optional[_StreamState] = None
         self._hdr: Optional[BS.AdtsHeader] = None
         self._sample_pos = 0
+        if use_native is None:
+            from ... import native
+            use_native = native.have_aac_unpack()
+        self._use_native = use_native
 
     def recognise(self, header: bytes) -> bool:
         # two consecutive valid ADTS headers (the reference requires the
@@ -122,8 +200,24 @@ class CodecAacAdts(CodecBase):
             self._buf += chunk
 
     def process(self, reader: StreamReader) -> DecodedBatch:
-        frames: list[BS.FrameData] = []
         self._fill(self._hdr.frame_bytes * (GROUP_FRAMES + 2))
+        if self._use_native:
+            from ... import native
+            n, pos, batch = native.aac_parse_group(
+                self._buf, 0, channels=self._hdr.channels,
+                max_frames=GROUP_FRAMES)
+            self._buf = self._buf[pos:]
+            if n == 0:
+                raise EndOfStream
+            first = self._sample_pos
+            self._sample_pos += n * 1024
+            state = self._state
+            ch = self._hdr.channels
+            return DecodedBatch(
+                self._info,
+                defer=lambda: decode_group_arrays(batch, n, ch, state),
+                track_offset_samples=first)
+        frames: list[BS.FrameData] = []
         pos = 0
         while len(frames) < GROUP_FRAMES:
             hdr = BS.parse_adts_header(self._buf, pos)

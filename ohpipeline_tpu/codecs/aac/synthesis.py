@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from . import tables as T
 from .bitstream import (EIGHT_SHORT, LONG_START, LONG_STOP, ONLY_LONG,
-                        ChannelData, FrameData)
+                        ChannelData, FrameData, IcsInfo)
 
 # ---------------------------------------------------------------------------
 # windows & IMDCT operators (host-precomputed constants)
@@ -130,6 +130,68 @@ def operator_bank() -> tuple[np.ndarray, np.ndarray]:
 # device filterbank
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def window_bank():
+    """(16, 2048) full-frame windows per opidx (mode*4 + ls*2 + rs) for the
+    non-short modes, plus (4, 8, 256) per-window short windows per (ls, rs)
+    keyed by opidx & 3."""
+    W = np.zeros((16, 2048), np.float32)
+    SW = np.zeros((4, 8, 256), np.float32)
+    for mode in (ONLY_LONG, LONG_START, LONG_STOP):
+        for ls in (0, 1):
+            for rs in (0, 1):
+                wl_l, _ = _long_halves(ls)
+                if mode == ONLY_LONG:
+                    win = np.concatenate([wl_l, _long_halves(rs)[1]])
+                elif mode == LONG_START:
+                    _, swr = _short_halves(rs)
+                    win = np.concatenate([wl_l, np.ones(448), swr,
+                                          np.zeros(448)])
+                else:
+                    swl, _ = _short_halves(ls)
+                    win = np.concatenate([np.zeros(448), swl, np.ones(448),
+                                          _long_halves(rs)[1]])
+                W[mode * 4 + ls * 2 + rs] = win
+    for ls in (0, 1):
+        for rs in (0, 1):
+            wl, wr = _short_halves(rs)
+            wl_first, _ = _short_halves(ls)
+            for w in range(8):
+                SW[ls * 2 + rs, w] = np.concatenate(
+                    [wl_first if w == 0 else wl, wr])
+    return W, SW
+
+
+@jax.jit
+def filterbank_fast(spec_t, opidx_t, overlap, M_long, M_short, W, SW):
+    """High-throughput filterbank: single MXU matmul for the IMDCT of all
+    frames, per-row window vectors, OLA under a cheap elementwise scan.
+
+    spec_t (T, B, 1024) f32; opidx_t (T, B) i32; overlap (B, 1024) f32;
+    M_long (1024, 2048); M_short (128, 256); W (16, 2048); SW (4, 8, 256).
+    """
+    Tn, B, _ = spec_t.shape
+    flat = spec_t.reshape(Tn * B, 1024)
+    x_long = jnp.dot(flat, M_long, preferred_element_type=jnp.float32)
+    x_long = x_long * W[opidx_t.reshape(-1)]
+    # short path: 8 x 128-coefficient IMDCTs, windowed, overlap-assembled
+    xs = jnp.dot(flat.reshape(Tn * B, 8, 128), M_short,
+                 preferred_element_type=jnp.float32)       # (TB, 8, 256)
+    xs = xs * SW[jnp.bitwise_and(opidx_t.reshape(-1), 3)]
+    x_short = jnp.zeros((Tn * B, 2048), jnp.float32)
+    for w in range(8):
+        x_short = x_short.at[:, 448 + w * 128:448 + w * 128 + 256].add(
+            xs[:, w])
+    is_short = (jnp.right_shift(opidx_t.reshape(-1), 2) == EIGHT_SHORT)
+    x = jnp.where(is_short[:, None], x_short, x_long).reshape(Tn, B, 2048)
+
+    def step(ov, xt):
+        return xt[:, 1024:], ov + xt[:, :1024]
+
+    new_ov, pcm = jax.lax.scan(step, overlap, x)
+    return pcm, new_ov
+
+
 @jax.jit
 def filterbank(spec_t, opidx_t, overlap, A_bank, B_bank):
     """spec_t (Tf, B, 1024) f32, opidx_t (Tf, B) i32 in [0,16),
@@ -192,6 +254,207 @@ def dequantize(ch: ChannelData, rate_index: int) -> np.ndarray:
         win_base += wins
         pos = win_base * 128         # groups start at full window strides
     return out
+
+
+# ---------------------------------------------------------------------------
+# vectorized group prep (array-based path fed by the native unpacker)
+# ---------------------------------------------------------------------------
+
+_CONFIG_CACHE: dict = {}
+
+
+def _layout(rate_index: int, seq: int, grouping: int, max_sfb: int):
+    """Cached per-ICS-config index maps.
+
+    Returns (perm_src, perm_dst, band_of_dst): transmission positions ->
+    spectral positions plus the (g*15+k) band slot feeding each dest
+    coefficient.
+    """
+    key = (rate_index, seq, grouping, max_sfb)
+    hit = _CONFIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    short = seq == EIGHT_SHORT
+    ics = IcsInfo(seq, 0, max_sfb, grouping)
+    offsets = T.sfb_offsets(rate_index, short)
+    src, dst, band = [], [], []
+    if not short:
+        for k in range(max_sfb):
+            a, b = int(offsets[k]), int(offsets[k + 1])
+            src.extend(range(a, b))
+            dst.extend(range(a, b))
+            band.extend([k] * (b - a))
+    else:
+        pos = 0
+        win_base = 0
+        for g, wins in enumerate(ics.window_groups()):
+            for k in range(max_sfb):
+                width = int(offsets[k + 1] - offsets[k])
+                for w in range(wins):
+                    a = (win_base + w) * 128 + int(offsets[k])
+                    src.extend(range(pos, pos + width))
+                    dst.extend(range(a, a + width))
+                    band.extend([g * 15 + k] * width)
+                    pos += width
+            win_base += wins
+            pos = win_base * 128
+    out = (np.asarray(src, np.int32), np.asarray(dst, np.int32),
+           np.asarray(band, np.int32))
+    _CONFIG_CACHE[key] = out
+    return out
+
+
+def prepare_group(batch: dict, nframes: int, channels: int,
+                  prev_shape: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Dense-array spectral prep: dequant + scalefactors + PNS + M/S +
+    intensity + TNS, vectorized across the whole group.
+
+    Returns (specs (F, C, 1024) f32, opidx (F, C) i32); prev_shape (C,)
+    is updated in place.
+    """
+    ri = batch["rate_index"]
+    F, C = nframes, channels
+    R = F * C
+    ics = batch["ics"][:R]
+    cb = batch["cb"][:R]
+    sf = batch["sf"][:R]
+    q = batch["quant"][:R].astype(np.int64)
+    dq = np.sign(q) * np.where(
+        np.abs(q) < 8192, _POW43[np.minimum(np.abs(q), 8191)],
+        np.abs(q).astype(np.float64) ** (4.0 / 3.0))
+    gains = np.exp2(0.25 * (sf.astype(np.float64) - T.SF_OFFSET))
+    coded = (cb >= 1) & (cb <= 11)
+    specs = np.zeros((R, 1024))
+    # group rows by layout config for batched fancy-indexing
+    keys = [(ri, int(ics[r][0]) if int(ics[r][0]) == EIGHT_SHORT else 0,
+             int(ics[r][3]) if int(ics[r][0]) == EIGHT_SHORT else 0,
+             int(ics[r][2])) for r in range(R)]
+    by_cfg: dict = {}
+    for r, k in enumerate(keys):
+        by_cfg.setdefault(k, []).append(r)
+    for (ri_, seq, grouping, max_sfb), rows in by_cfg.items():
+        if max_sfb == 0:
+            continue
+        src, dst, band = _layout(ri_, seq, grouping, max_sfb)
+        rows = np.asarray(rows)
+        vals = dq[rows][:, src] * gains[rows][:, band]
+        vals *= coded[rows][:, band]
+        specs[rows[:, None], dst[None, :]] = vals
+    # PNS
+    noise_rows = np.where((cb == T.NOISE_CB).any(axis=1))[0]
+    for r in noise_rows:
+        seq = int(ics[r][0])
+        src, dst, band = _layout(
+            ri, seq if seq == EIGHT_SHORT else 0,
+            int(ics[r][3]) if seq == EIGHT_SHORT else 0, int(ics[r][2]))
+        sel = cb[r][band] == T.NOISE_CB
+        if not sel.any():
+            continue
+        d = dst[sel]
+        n = _PNS_RNG.standard_normal(len(d))
+        # normalise per band to energy 2^(sf/4)
+        bids = band[sel]
+        for b in np.unique(bids):
+            m = bids == b
+            seg = n[m]
+            e = 2.0 ** (0.25 * sf[r][b])
+            n[m] = seg * (e / np.sqrt(np.mean(seg * seg) + 1e-30))
+        specs[r][d] = n
+    # M/S + intensity (pairs)
+    if C == 2:
+        ms = batch["msmask"][:F]
+        for f in range(F):
+            rl, rr = f * 2, f * 2 + 1
+            flag = ms[f][0]
+            has_is = np.isin(cb[rr], (T.INTENSITY_CB, T.INTENSITY_CB2)).any()
+            if (flag in (0, 0xFF)) and not has_is:
+                continue
+            seq = int(ics[rl][0])
+            src, dst, band = _layout(
+                ri, seq if seq == EIGHT_SHORT else 0,
+                int(ics[rl][3]) if seq == EIGHT_SHORT else 0,
+                int(ics[rl][2]))
+            mask_band = np.zeros(120, bool)
+            if flag == 2:
+                mask_band[:] = True
+            elif flag == 1:
+                mask_band[: 119] = ms[f][1:120] != 0
+            cbr = cb[rr]
+            is_band = np.isin(cbr, (T.INTENSITY_CB, T.INTENSITY_CB2))
+            ms_sel = mask_band[band] & ~is_band[band] \
+                & (cbr[band] != T.NOISE_CB)
+            if flag in (1, 2) and ms_sel.any():
+                d = dst[ms_sel]
+                mid = specs[rl][d].copy()
+                side = specs[rr][d].copy()
+                specs[rl][d] = mid + side
+                specs[rr][d] = mid - side
+            if is_band.any():
+                isel = is_band[band]
+                d = dst[isel]
+                bsel = band[isel]
+                sign = np.where(cbr[bsel] == T.INTENSITY_CB, 1.0, -1.0)
+                sign *= np.where(mask_band[bsel], -1.0, 1.0)
+                scale = sign * 0.5 ** (0.25 * sf[rr][bsel])
+                specs[rr][d] = specs[rl][d] * scale
+    # TNS (native batch filter; python per-row fallback)
+    if batch["tnsn"][:R].any():
+        try:
+            from ... import native
+            if native.have_aac_unpack():
+                native.aac_tns_group(specs, batch, R)
+            else:
+                raise ImportError
+        except ImportError:
+            for r in np.where(batch["tnsn"][:R].any(axis=1))[0]:
+                _apply_tns_arrays(specs[r], batch, r, ri, ics[r])
+    # opidx + prev_shape tracking
+    opidx = np.zeros((F, C), np.int32)
+    for f in range(F):
+        for c in range(C):
+            r = f * C + c
+            opidx[f, c] = (int(ics[r][0]) * 4 + int(prev_shape[c]) * 2
+                           + int(ics[r][1]))
+            prev_shape[c] = int(ics[r][1])
+    return (specs.reshape(F, C, 1024).astype(np.float32), opidx)
+
+
+def _apply_tns_arrays(spec: np.ndarray, batch: dict, r: int, rate_index: int,
+                      ics_row) -> None:
+    short = int(ics_row[0]) == EIGHT_SHORT
+    offsets = T.sfb_offsets(rate_index, short)
+    nbands = len(offsets) - 1
+    nwin = 8 if short else 1
+    for w in range(nwin):
+        n_filt = int(batch["tnsn"][r][w])
+        base = w * 128 if short else 0
+        bottom = nbands
+        for fi in range(n_filt):
+            length, order, direction = (
+                int(x) for x in batch["tnsp"][r][w * 3 + fi])
+            top = bottom
+            bottom = max(top - length, 0)
+            if order == 0:
+                continue
+            start = int(offsets[min(bottom, nbands)])
+            end = min(int(offsets[min(top, nbands)]), 128 if short else 1024)
+            if end <= start:
+                continue
+            lpc = _lattice_to_lpc(batch["tnsc"][r][w * 3 + fi][:order]
+                                  .astype(np.float64)).tolist()
+            seg = spec[base + start:base + end].copy()
+            if direction:
+                seg = seg[::-1].copy()
+            vals = seg.tolist()
+            state = [0.0] * len(lpc)
+            for i, v in enumerate(vals):
+                y = v - sum(a * s for a, s in zip(lpc, state))
+                state = [y] + state[:-1]
+                vals[i] = y
+            out = np.asarray(vals)
+            if direction:
+                out = out[::-1]
+            spec[base + start:base + end] = out
 
 
 _PNS_RNG = np.random.default_rng(0x9A5)

@@ -65,6 +65,115 @@ def have_flac_unpack() -> bool:
     return _flac_lib() is not None
 
 
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+_AAC_TABLES_SET = False
+_AAC_KEEPALIVE: list = []
+
+
+def _aac_lib() -> ctypes.CDLL | None:
+    lib = _load("aacunpack", ["aac_unpack.cc"])
+    if lib is None:
+        return None
+    if not getattr(lib, "_sigs_set", False):
+        lib.aac_set_tables.argtypes = [
+            ctypes.c_int, ctypes.c_int, _u8p, _i32p, _i8p, ctypes.c_int,
+            ctypes.c_int]
+        lib.aac_set_scl_vals.argtypes = [_i16p]
+        lib.aac_set_sfb.argtypes = [ctypes.c_int, _i16p, ctypes.c_int,
+                                    _i16p, ctypes.c_int]
+        lib.aac_parse_group.restype = ctypes.c_int
+        lib.aac_parse_group.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            _i32p, _i8p, _i32p, _i32p, _u8p, _i32p, _i32p, _f32p, _i32p]
+        _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.aac_tns_group.argtypes = [
+            _f64p, ctypes.c_int, _i32p, _i32p, _i32p, _f32p, ctypes.c_int]
+        lib._sigs_set = True
+    global _AAC_TABLES_SET
+    if not _AAC_TABLES_SET:
+        from ..codecs.aac import tables as T
+        for cb in range(1, 12):
+            lut = T.SPECTRAL_LUTS[cb]
+            lens = np.ascontiguousarray(lut.lengths)
+            rows = np.ascontiguousarray(lut.values.astype(np.int32))
+            vals = np.ascontiguousarray(lut.vals.astype(np.int8))
+            _AAC_KEEPALIVE.extend([lens, rows, vals])
+            lib.aac_set_tables(cb, lut.maxlen, lens, rows, vals,
+                               T.CB_DIM[cb], int(T.CB_UNSIGNED[cb]))
+        scl = T.SCL_LUT
+        lens = np.ascontiguousarray(scl.lengths)
+        rows = np.ascontiguousarray(scl.values.astype(np.int32))
+        dummy = np.zeros(1, np.int8)
+        sclv = np.ascontiguousarray(scl.vals.reshape(-1).astype(np.int16))
+        _AAC_KEEPALIVE.extend([lens, rows, dummy, sclv])
+        lib.aac_set_tables(0, scl.maxlen, lens, rows, dummy, 1, 0)
+        lib.aac_set_scl_vals(sclv)
+        for ri in range(13):
+            nl, ns = (int(x) for x in T.SFB_COUNTS[ri])
+            lng = np.ascontiguousarray(T.SFB_LONG[ri][:nl + 1])
+            sh = np.ascontiguousarray(T.SFB_SHORT[ri][:ns + 1])
+            _AAC_KEEPALIVE.extend([lng, sh])
+            lib.aac_set_sfb(ri, lng, nl, sh, ns)
+        _AAC_TABLES_SET = True
+    return lib
+
+
+def have_aac_unpack() -> bool:
+    return _aac_lib() is not None
+
+
+SFB_SLOTS = 120
+
+
+def aac_parse_group(buf: bytes, byte_pos: int, *, channels: int,
+                    max_frames: int):
+    """Parse up to max_frames ADTS AAC-LC frames starting at byte_pos.
+
+    Returns (nframes, new_byte_pos, batch) with dense arrays (R = F*C):
+    ics (R,4), cb (R,120) int8, sf (R,120) i32, quant (R,1024) i32,
+    msmask (F,120) u8, tnsn (R,8), tnsp (R,24,3), tnsc (R,24,12) f32,
+    rate_index int.
+    """
+    lib = _aac_lib()
+    if lib is None:
+        raise RuntimeError("native aac unpacker unavailable")
+    F, C = max_frames, channels
+    R = F * C
+    ics = np.zeros((R, 4), np.int32)
+    cb = np.zeros((R, SFB_SLOTS), np.int8)
+    sf = np.zeros((R, SFB_SLOTS), np.int32)
+    quant = np.zeros((R, 1024), np.int32)
+    msmask = np.zeros((F, SFB_SLOTS), np.uint8)
+    tnsn = np.zeros((R, 8), np.int32)
+    tnsp = np.zeros((R, 24, 3), np.int32)
+    tnsc = np.zeros((R, 24, 12), np.float32)
+    rate_index = np.zeros(1, np.int32)
+    pos = ctypes.c_int64(byte_pos)
+    n = lib.aac_parse_group(buf, len(buf), ctypes.byref(pos), F, C,
+                            ics, cb, sf, quant, msmask, tnsn,
+                            tnsp.reshape(-1), tnsc.reshape(-1), rate_index)
+    batch = dict(ics=ics, cb=cb, sf=sf, quant=quant, msmask=msmask,
+                 tnsn=tnsn, tnsp=tnsp, tnsc=tnsc,
+                 rate_index=int(rate_index[0]))
+    return n, pos.value, batch
+
+
+def aac_tns_group(specs: np.ndarray, batch: dict, nrows: int) -> None:
+    """In-place TNS filtering over (R, 1024) float64 spectra."""
+    lib = _aac_lib()
+    lib.aac_tns_group(specs, nrows,
+                      np.ascontiguousarray(batch["ics"][:nrows]),
+                      np.ascontiguousarray(batch["tnsn"][:nrows]),
+                      np.ascontiguousarray(batch["tnsp"][:nrows]).reshape(-1),
+                      np.ascontiguousarray(batch["tnsc"][:nrows]).reshape(-1),
+                      batch["rate_index"])
+
+
 def flac_parse_group(buf: bytes, bit_pos: int, *, sample_rate: int,
                      bits_per_sample: int, max_blocksize: int, channels: int,
                      max_frames: int, check_crc16: bool = True):

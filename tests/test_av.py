@@ -1,0 +1,237 @@
+"""Av-layer tests: config values, volume chain, product/source model,
+track database, media-player composition (reference TestConfigManager,
+TestVolumeManager, TestTrackDatabase, TestPowerManager, TestMediaPlayer)."""
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu.av import (ConfigManager, MediaPlayer,
+                               MediaPlayerInitParams, PowerManager, Product,
+                               RamStore, Source, TrackDatabase,
+                               UriProviderPlaylist, VolumeManager,
+                               VolumeProfile)
+from ohpipeline_tpu.av.config import FileStore, StoreKeyNotFound
+
+
+class TestConfig:
+    def test_num_bounds_and_persistence(self):
+        store = RamStore()
+        cm = ConfigManager(store)
+        v = cm.create_num("Test.Num", 0, 100, 50)
+        assert v.value == 50
+        v.set(80)
+        assert v.value == 80
+        with pytest.raises(ValueError):
+            v.set(101)
+        # new manager over same store restores the persisted value
+        cm2 = ConfigManager(store)
+        v2 = cm2.create_num("Test.Num", 0, 100, 50)
+        assert v2.value == 80
+
+    def test_choice_and_text(self):
+        cm = ConfigManager()
+        c = cm.create_choice("Test.Choice", {0: "Off", 1: "On"}, 1)
+        with pytest.raises(ValueError):
+            c.set(7)
+        t = cm.create_text("Test.Text", 5, "abc")
+        with pytest.raises(ValueError):
+            t.set("toolongtext")
+        t.set("xy")
+        assert t.value == "xy"
+
+    def test_observer_gets_initial_and_changes(self):
+        cm = ConfigManager()
+        v = cm.create_num("Test.Obs", 0, 10, 3)
+        seen = []
+        sid = v.subscribe(lambda k, val: seen.append(val))
+        v.set(7)
+        assert seen == [3, 7]
+        v.unsubscribe(sid)
+        v.set(9)
+        assert seen == [3, 7]
+
+    def test_duplicate_key_rejected(self):
+        cm = ConfigManager()
+        cm.create_num("K", 0, 1, 0)
+        with pytest.raises(ValueError):
+            cm.create_num("K", 0, 1, 0)
+
+    def test_file_store_roundtrip(self, tmp_path):
+        path = str(tmp_path / "store.json")
+        s = FileStore(path)
+        s.write("a", b"\x01\x02")
+        s.flush()
+        s2 = FileStore(path)
+        assert s2.read("a") == b"\x01\x02"
+        with pytest.raises(StoreKeyNotFound):
+            s2.read("missing")
+
+
+class TestVolume:
+    def make(self):
+        cm = ConfigManager()
+        hw = []
+        vm = VolumeManager(cm, VolumeProfile(max_volume=100,
+                                             default_volume=40,
+                                             default_limit=80),
+                           hw=hw.append)
+        return vm, hw
+
+    def test_startup_and_set(self):
+        vm, hw = self.make()
+        assert vm.volume == 40
+        vm.set_volume(60)
+        assert vm.volume == 60
+        assert hw[-1] == 60
+
+    def test_limiter_caps(self):
+        vm, hw = self.make()
+        vm.set_volume(95)          # above limit 80
+        assert vm.volume == 95     # user value kept
+        assert hw[-1] == 80        # downstream capped
+
+    def test_out_of_range(self):
+        vm, _ = self.make()
+        with pytest.raises(ValueError):
+            vm.set_volume(101)
+
+    def test_mute_unmute(self):
+        vm, hw = self.make()
+        vm.set_volume(50)
+        vm.mute()
+        assert hw[-1] == 0 and vm.muted
+        vm.unmute()
+        assert hw[-1] == 50 and not vm.muted
+
+    def test_inc_dec_and_observer(self):
+        vm, _ = self.make()
+        seen = []
+        vm.add_observer(seen.append)
+        vm.volume_inc()
+        assert vm.volume == 41
+        vm.volume_dec()
+        assert seen[-1] == 40
+
+    def test_unity_gain_override(self):
+        vm, hw = self.make()
+        vm.set_volume(30)
+        vm.unity.set_unity_gain(True)
+        assert hw[-1] == 100
+        vm.unity.set_unity_gain(False)
+        assert hw[-1] == 30
+
+    def test_balance_gains(self):
+        vm, _ = self.make()
+        vm.balance_fade.set_balance(4)
+        gl, gr = vm.balance_fade.channel_gains()
+        assert gl < 1.0 and gr == 1.0
+
+
+class TestTrackDatabase:
+    def test_insert_order_and_ids(self):
+        db = TrackDatabase(max_tracks=5)
+        a = db.insert(0, "u1")
+        b = db.insert(a, "u2")
+        c = db.insert(a, "u3")   # after a -> between a and b
+        assert [db.track_by_id(i).uri for i in db.id_array()] == \
+            ["u1", "u3", "u2"]
+        db.delete(c)
+        assert len(db) == 2
+
+    def test_full_raises(self):
+        db = TrackDatabase(max_tracks=2)
+        db.insert(0, "a")
+        db.insert(0, "b")
+        with pytest.raises(RuntimeError):
+            db.insert(0, "c")
+
+    def test_iteration_with_repeat(self):
+        db = TrackDatabase()
+        ids = [db.insert(0, f"u{i}") for i in range(3)]
+        # insert(0,...) prepends: order is u2,u1,u0
+        p = UriProviderPlaylist(db)
+        seq = [p.get_next().uri for _ in range(3)]
+        assert seq == ["u2", "u1", "u0"]
+        assert p.get_next() is None
+        p.set_repeat(True)
+        p.begin(-1)
+        seq2 = [p.get_next().uri for _ in range(4)]
+        assert seq2 == ["u2", "u1", "u0", "u2"]
+
+    def test_shuffle_covers_all(self):
+        db = TrackDatabase()
+        for i in range(10):
+            db.insert(0, f"u{i}")
+        p = UriProviderPlaylist(db)
+        p.set_shuffle(True)
+        seen = {p.get_next().uri for _ in range(10)}
+        assert len(seen) == 10
+
+
+class TestProduct:
+    def test_source_selection_and_xml(self):
+        cm = ConfigManager()
+        prod = Product(cm, "Kitchen", "Box")
+
+        class S(Source):
+            system_name = "Test"
+            type = "Aux"
+
+        s1, s2 = S("One"), S("Two")
+        s2.system_name = "Test2"
+        prod.add_source(s1)
+        prod.add_source(s2)
+        prod.start()
+        assert prod.source_index() == 0 and s1.active
+        prod.set_source_by_name("Test2")
+        assert s2.active and not s1.active
+        assert "<SystemName>Test2</SystemName>" in prod.source_xml()
+        assert prod.room == "Kitchen"
+
+    def test_standby_flow(self):
+        cm = ConfigManager()
+        prod = Product(cm)
+
+        class S(Source):
+            system_name = "X"
+            entered = False
+
+            def standby_enabled(self):
+                self.entered = True
+
+        s = S()
+        prod.add_source(s)
+        prod.start()
+        assert not prod.standby      # selection leaves standby
+        prod.standby_enable()
+        assert prod.standby and s.entered
+
+
+class TestPower:
+    def test_power_down_order_and_flush(self, tmp_path):
+        store = FileStore(str(tmp_path / "s.json"))
+        pm = PowerManager(store)
+        order = []
+        pm.register_power_handler(10, lambda: order.append("low"))
+        pm.register_power_handler(90, lambda: order.append("high"))
+        store.write("k", b"v")
+        pm.power_down()
+        assert order == ["high", "low"]
+        assert FileStore(str(tmp_path / "s.json")).read("k") == b"v"
+
+
+class TestMediaPlayer:
+    def test_composition_and_playlist_source(self):
+        mp = MediaPlayer(MediaPlayerInitParams(room="Den", name="T"))
+        mp.start()
+        assert mp.product.source_count() == 2
+        assert mp.product.current_source() is mp.source_playlist
+        mp.source_playlist.db.insert(0, "tone://sine.wav?duration=1")
+        assert len(mp.source_playlist.db) == 1
+        # volume wiring reaches the pipeline attenuator (through the limit)
+        mp.config.get("Volume.Limit").set(100)
+        mp.volumes.set_volume(100)
+        assert mp.pipeline.pipeline.attenuator.attenuation == 1 << 14
+        mp.volumes.set_volume(50)
+        assert mp.pipeline.pipeline.attenuator.attenuation < 1 << 14
+        mp.quit()
