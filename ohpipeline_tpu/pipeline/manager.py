@@ -99,13 +99,18 @@ class Pipeline:
         self.decoded = DecodedAudioReservoir(
             p.decoded_reservoir_jiffies, p.gorge_jiffies, p.max_streams)
 
-        # render chain (runs on the animator thread)
+        # render chain (runs on the animator thread); order mirrors
+        # Pipeline.cpp:339-589
+        from .branch import AsyncTrackObserver, Brancher, SampleReporter
+        from .latency import PhaseAdjuster, StarterTimed, VariableDelay
         e: Element = self.decoded
         self.ramper = Ramper(e, p.ramp_long_jiffies)
         e = wrap(self.ramper, "ramper")
         self.seeker = Seeker(e, self.codec_controller.start_seek,
                              p.ramp_short_jiffies)
         e = wrap(self.seeker, "seeker")
+        self.variable_delay_left = VariableDelay(e)
+        e = wrap(self.variable_delay_left, "variabledelayL")
         self.track_inspector = TrackInspector(e)
         e = wrap(self.track_inspector, "trackinspector")
         self.skipper = Skipper(e, p.ramp_short_jiffies)
@@ -119,17 +124,31 @@ class Pipeline:
         e = wrap(self.stopper, "stopper")
         self.reporter = Reporter(e)
         e = wrap(self.reporter, "reporter")
+        self.async_track_observer = AsyncTrackObserver(e)
+        e = wrap(self.async_track_observer, "asynctrack")
+        self.sample_reporter = SampleReporter(e)
+        e = wrap(self.sample_reporter, "samplereporter")
+        self.brancher_songcast = Brancher(e, "brancher-songcast")
+        e = wrap(self.brancher_songcast, "brancherSongcast")
         self.attenuator = Attenuator(e)
         e = wrap(self.attenuator, "attenuator")
+        self.variable_delay_right = VariableDelay(e)
+        e = wrap(self.variable_delay_right, "variabledelayR")
         self.starvation = StarvationRamper(
             e, p.starvation_ramper_min_jiffies,
             on_starving=self._on_starving,
             threaded=p.threaded_starvation_ramper)
         e = wrap(self.starvation, "starvation")
+        self.phase_adjuster = PhaseAdjuster(e)
+        e = wrap(self.phase_adjuster, "phaseadjuster")
+        self.starter_timed = StarterTimed(e)
+        e = wrap(self.starter_timed, "startertimed")
         self.muter = Muter(e, p.ramp_short_jiffies)
         e = wrap(self.muter, "muter")
         self.volume_ramper = VolumeRamperElement(e)
         e = wrap(self.volume_ramper, "volumeramper")
+        self.brancher_bt = Brancher(e, "brancher-bt", exclusive=True)
+        e = wrap(self.brancher_bt, "brancherBt")
         self.drainer = Drainer(e)
         self.predriver = PreDriver(self.drainer)
         self._observer = observer
