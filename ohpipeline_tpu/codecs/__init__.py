@@ -13,9 +13,10 @@ from .pcm_raw import CodecPcm
 from .dsd import CodecDsdDff, CodecDsdDsf, CodecDsdRaw
 from .flac import CodecFlac
 from .aac import CodecAacAdts, CodecAacMp4
+from .mp3 import CodecMp3
 
 for _f in (CodecWav, CodecAiff, CodecAifc, CodecDsdDsf, CodecDsdDff,
-           CodecFlac, CodecAacMp4, CodecAacAdts):
+           CodecFlac, CodecAacMp4, CodecAacAdts, CodecMp3):
     default_registry.add(_f)
 
 __all__ = [

@@ -172,11 +172,11 @@ def filterbank_fast(spec_t, opidx_t, overlap, M_long, M_short, W, SW):
     """
     Tn, B, _ = spec_t.shape
     flat = spec_t.reshape(Tn * B, 1024)
-    x_long = jnp.dot(flat, M_long, preferred_element_type=jnp.float32)
+    x_long = jnp.dot(flat, M_long, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     x_long = x_long * W[opidx_t.reshape(-1)]
     # short path: 8 x 128-coefficient IMDCTs, windowed, overlap-assembled
     xs = jnp.dot(flat.reshape(Tn * B, 8, 128), M_short,
-                 preferred_element_type=jnp.float32)       # (TB, 8, 256)
+                 preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)       # (TB, 8, 256)
     xs = xs * SW[jnp.bitwise_and(opidx_t.reshape(-1), 3)]
     x_short = jnp.zeros((Tn * B, 2048), jnp.float32)
     for w in range(8):
@@ -202,9 +202,9 @@ def filterbank(spec_t, opidx_t, overlap, A_bank, B_bank):
         A = A_bank[opidx]             # (B, 1024, 1024)
         Bop = B_bank[opidx]
         first = jnp.einsum("bk,bkn->bn", spec, A,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         second = jnp.einsum("bk,bkn->bn", spec, Bop,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         return second, ov + first
 
     new_ov, pcm = jax.lax.scan(step, overlap, (spec_t, opidx_t))

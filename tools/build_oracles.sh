@@ -62,8 +62,34 @@ build_aac() {
   echo "built $OUT/aac_oracle"
 }
 
+build_mad() {
+  local src="$REF/libmad-0.15.1b"
+  [ -d "$src" ] || { echo "no libmad source"; return 1; }
+  local obj="$OUT/mad_obj"; mkdir -p "$obj"
+  local cfg="$OUT/mad_cfg"; mkdir -p "$cfg"
+  cat > "$cfg/config.h" <<'EOF'
+#define FPM_64BIT 1
+#define SIZEOF_INT 4
+#define SIZEOF_LONG 8
+#define SIZEOF_LONG_LONG 8
+#define HAVE_ASSERT_H 1
+#define HAVE_LIMITS_H 1
+EOF
+  local cflags="-O2 -DHAVE_CONFIG_H -DFPM_64BIT -I$cfg -I$src -w"
+  local objs=()
+  for c in bit decoder fixed frame huffman layer12 layer3 stream synth \
+           timer version; do
+    gcc $cflags -c "$src/$c.c" -o "$obj/$c.o"
+    objs+=("$obj/$c.o")
+  done
+  gcc $cflags "$(dirname "$0")/mad_oracle.c" "${objs[@]}" -lm \
+      -o "$OUT/mad_oracle"
+  echo "built $OUT/mad_oracle"
+}
+
 case "${1:-all}" in
   flac) build_flac ;;
   aac) build_aac ;;
-  all) build_flac; build_aac ;;
+  mad) build_mad ;;
+  all) build_flac; build_aac; build_mad ;;
 esac

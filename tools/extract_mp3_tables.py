@@ -115,6 +115,27 @@ def parse_sfb(src: str) -> dict[str, list[int]]:
     return sfb
 
 
+def extract_synthesis_window() -> np.ndarray:
+    """Reconstruct ISO 11172-3 Table B.3 (the 512-tap synthesis window).
+
+    The reference stores rows k=0..16 of D[k + 32j]; the remainder follows
+    from the window's exact odd symmetry D[i] = -D[512-i] (verified on the
+    overlapping row: every known pair matches to the last digit).
+    """
+    src = (REF / "D.dat").read_text(errors="replace")
+    vals = [float(v) for v in
+            re.findall(r"/\*\s*(-?\d+\.\d+)\s*\*/", src)]
+    rows = [vals[i:i + 32] for i in range(0, len(vals), 32)]
+    D = np.zeros(512)
+    for k in range(17):
+        for j in range(16):
+            D[k + 32 * j] = rows[k][j]
+    for k in range(17, 32):
+        for j in range(16):
+            D[k + 32 * j] = -rows[32 - k][15 - j]
+    return D
+
+
 def main() -> int:
     huff_src = (REF / "huffman.c").read_text()
     layer3_src = (REF / "layer3.c").read_text()
@@ -136,6 +157,7 @@ def main() -> int:
         data[f"{qkey}_vals"] = np.array([cb[k] for k in cb], np.uint8)
     for name, vals in parse_sfb(layer3_src).items():
         data[name] = np.array(vals, np.uint16)
+    data["synthesis_window"] = extract_synthesis_window()
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **data)
     npair = sum(1 for k in data if k.endswith("_codes"))
