@@ -14,9 +14,10 @@ from .dsd import CodecDsdDff, CodecDsdDsf, CodecDsdRaw
 from .flac import CodecFlac
 from .aac import CodecAacAdts, CodecAacMp4
 from .mp3 import CodecMp3
+from .alac import CodecAlac
 
 for _f in (CodecWav, CodecAiff, CodecAifc, CodecDsdDsf, CodecDsdDff,
-           CodecFlac, CodecAacMp4, CodecAacAdts, CodecMp3):
+           CodecFlac, CodecAlac, CodecAacMp4, CodecAacAdts, CodecMp3):
     default_registry.add(_f)
 
 __all__ = [

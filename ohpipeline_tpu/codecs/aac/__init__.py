@@ -267,7 +267,14 @@ class CodecAacMp4(CodecBase):
         self._data = b""
 
     def recognise(self, header: bytes) -> bool:
-        return len(header) >= 12 and header[4:8] == b"ftyp"
+        if len(header) < 12 or header[4:8] != b"ftyp":
+            return False
+        from ...containers.mpeg4 import find_audio_track
+        try:
+            track = find_audio_track(header)
+        except Exception:                                 # noqa: BLE001
+            return False
+        return track is not None and track.codec == "mp4a"
 
     def stream_initialise(self, reader: StreamReader) -> PcmStreamInfo:
         from ...containers.mpeg4 import find_audio_track

@@ -45,6 +45,13 @@ def _synthesise_group(data, coeffs, shift, order, wasted, assign,
     coeffs (B, 32), shift/order/wasted (B,), assign (nframes,) raw channel
     assignment codes.  Returns (nframes, num_channels, N) int32 PCM.
     """
+    # inputs may arrive narrowed (int16/int8) to halve transfer bytes
+    data = data.astype(jnp.int32)
+    coeffs = coeffs.astype(jnp.int32)
+    shift = shift.astype(jnp.int32)
+    order = order.astype(jnp.int32)
+    wasted = wasted.astype(jnp.int32)
+    assign = assign.astype(jnp.int32)
     synth = lpc_ops.lpc_synthesize_scan(data, coeffs, shift, order) \
         if jax.default_backend() != "tpu" \
         else lpc_ops.lpc_synthesize(data, coeffs, shift, order)

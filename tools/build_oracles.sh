@@ -87,9 +87,29 @@ EOF
   echo "built $OUT/mad_oracle"
 }
 
+build_alac() {
+  local src="$REF/apple_alac/codec"
+  [ -d "$src" ] || { echo "no apple_alac source"; return 1; }
+  local obj="$OUT/alac_obj"; mkdir -p "$obj"
+  local objs=()
+  for c in ALACDecoder ALACEncoder; do
+    g++ -O2 -I"$src" -w -c "$src/$c.cpp" -o "$obj/$c.o"
+    objs+=("$obj/$c.o")
+  done
+  for c in ALACBitUtilities EndianPortable ag_dec ag_enc dp_dec dp_enc \
+           matrix_dec matrix_enc; do
+    gcc -O2 -I"$src" -w -c "$src/$c.c" -o "$obj/$c.o"
+    objs+=("$obj/$c.o")
+  done
+  g++ -O2 -I"$src" -w "$(dirname "$0")/alac_oracle.cpp" "${objs[@]}" \
+      -o "$OUT/alac_oracle"
+  echo "built $OUT/alac_oracle"
+}
+
 case "${1:-all}" in
   flac) build_flac ;;
   aac) build_aac ;;
   mad) build_mad ;;
-  all) build_flac; build_aac; build_mad ;;
+  alac) build_alac ;;
+  all) build_flac; build_aac; build_mad; build_alac ;;
 esac
