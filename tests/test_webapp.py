@@ -1,0 +1,110 @@
+"""WebAppFramework + ConfigUi tests over loopback HTTP (reference
+TestWebAppFramework: session create, long-poll delivery, resource
+serving, tab reaping semantics)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from ohpipeline_tpu.av.config import ConfigManager
+from ohpipeline_tpu.net.webapp import ConfigApp, Tab, WebApp, WebAppFramework
+
+
+def get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read()
+
+
+def post(url, obj):
+    req = urllib.request.Request(url, json.dumps(obj).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, r.read()
+
+
+@pytest.fixture
+def framework():
+    fw = WebAppFramework()
+    fw.start()
+    yield fw
+    fw.close()
+
+
+class EchoApp(WebApp):
+    name = "echo"
+
+    def resource(self, path):
+        if path == "index.html":
+            return ("text/html", b"<html>echo</html>")
+        return None
+
+    def tab_created(self, tab):
+        tab.send({"type": "hello", "tab": tab.id})
+
+    def receive(self, tab, message):
+        tab.send({"type": "echo", "got": message})
+
+
+class TestFramework:
+    def test_resources_and_app_list(self, framework):
+        framework.add_app(EchoApp())
+        base = f"http://127.0.0.1:{framework.port}"
+        status, body = get(f"{base}/")
+        assert status == 200 and b"echo" in body
+        status, body = get(f"{base}/echo/")
+        assert body == b"<html>echo</html>"
+        with pytest.raises(urllib.error.HTTPError):
+            get(f"{base}/echo/missing.js")
+
+    def test_longpoll_session_flow(self, framework):
+        framework.add_app(EchoApp())
+        base = f"http://127.0.0.1:{framework.port}/echo"
+        _, body = get(f"{base}/lpcreate")
+        sid = json.loads(body)["session-id"]
+        _, body = get(f"{base}/lp?session-id={sid}")
+        msgs = json.loads(body)
+        assert {"type": "hello", "tab": sid} in msgs
+        post(f"{base}/send?session-id={sid}", {"ping": 1})
+        _, body = get(f"{base}/lp?session-id={sid}")
+        assert json.loads(body)[0]["got"] == {"ping": 1}
+        get(f"{base}/lpterminate?session-id={sid}")
+        with pytest.raises(urllib.error.HTTPError):
+            get(f"{base}/lp?session-id={sid}")
+
+
+class TestConfigUi:
+    def test_meta_updates_and_set(self, framework):
+        cm = ConfigManager()
+        vol = cm.create_num("Volume.Limit", 0, 100, 85)
+        cm.create_choice("Mode", {0: "Off", 1: "On"}, 1)
+        cm.create_text("Room", 20, "Den")
+        framework.add_app(ConfigApp(cm))
+        base = f"http://127.0.0.1:{framework.port}/config"
+        _, body = get(f"{base}/meta.json")
+        meta = {m["key"]: m for m in json.loads(body)}
+        assert meta["Volume.Limit"]["type"] == "num"
+        assert meta["Volume.Limit"]["max"] == 100
+        assert meta["Mode"]["type"] == "choice"
+        _, body = get(f"{base}/lpcreate")
+        sid = json.loads(body)["session-id"]
+        # initial state push includes every key
+        _, body = get(f"{base}/lp?session-id={sid}")
+        keys = {m["key"] for m in json.loads(body) if m["type"] == "update"}
+        assert {"Volume.Limit", "Mode", "Room"} <= keys
+        # set via the UI message path; change shows up in config + longpoll
+        post(f"{base}/send?session-id={sid}", {"type": "set",
+                                               "key": "Volume.Limit",
+                                               "value": 70})
+        assert vol.value == 70
+        _, body = get(f"{base}/lp?session-id={sid}")
+        ups = [m for m in json.loads(body) if m["key"] == "Volume.Limit"]
+        assert ups and ups[-1]["value"] == 70
+        # invalid set surfaces an error message
+        post(f"{base}/send?session-id={sid}", {"type": "set",
+                                               "key": "Volume.Limit",
+                                               "value": 1000})
+        _, body = get(f"{base}/lp?session-id={sid}")
+        assert any(m["type"] == "error" for m in json.loads(body))
+        assert vol.value == 70
