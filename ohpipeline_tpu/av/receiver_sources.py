@@ -1,0 +1,265 @@
+"""Receiver-type sources: Songcast receiver, SCD receiver, UPnP-AV-style
+externally-controlled source, and the RAOP (AirPlay) source scaffold.
+
+Parity targets: Av/Songcast/SourceReceiver.cpp (mode "Receiver",
+ProtocolOhm feeding the pipeline with external latency), Av/Scd/
+(SourceScd), Av/UpnpAv/ (the classic MediaRenderer source where an
+external controller sets the URI), Av/Raop/ (mDNS-advertised AirPlay
+endpoint: RTSP handshake + RTP receive; the session plumbing lands here,
+the RTSP/RTP wire protocol in a later round).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..core.events import ModeInfo, Track
+from ..core.jiffies import Jiffies
+from ..core.streaminfo import (EncodedStreamInfo, Latency,
+                               PcmStreamInfo, SampleFormat)
+from ..pipeline.filler import UriProviderSingleTrack
+from ..protocols.base import Protocol, ProtocolStreamResult
+from .product import Source
+
+
+class _PcmPushProtocol(Protocol):
+    """Protocol backing push-style receivers: a network thread calls
+    `push_pcm`; `stream()` announces the raw-PCM format and relays bytes
+    until stopped (the shape of ProtocolOhm/ProtocolScd/ProtocolRaat:
+    network push -> SupplyAggregator)."""
+
+    def __init__(self, scheme: str):
+        super().__init__()
+        self.name = scheme
+        self.scheme = scheme
+        self._fmt: Optional[PcmStreamInfo] = None
+        self._latency_jiffies = 0
+        self._buffer: list[bytes] = []
+        self._cv = threading.Condition()
+        self._stopped = False
+
+    def recognise(self, uri: str) -> bool:
+        return uri.startswith(f"{self.scheme}://")
+
+    def set_format(self, fmt: PcmStreamInfo,
+                   latency_ms: int = 0) -> None:
+        with self._cv:
+            self._fmt = fmt
+            self._latency_jiffies = latency_ms * Jiffies.kPerMs
+            self._cv.notify_all()
+
+    def push_pcm(self, samples: np.ndarray) -> None:
+        """(channels, n) int32 native range from the network thread."""
+        from ..ops.pcm import pack_pcm_bytes
+        if self._fmt is None:
+            return
+        data = pack_pcm_bytes(samples, self._fmt.bit_depth, big_endian=True)
+        with self._cv:
+            self._buffer.append(data)
+            self._cv.notify_all()
+
+    def push_halt(self) -> None:
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+
+    FORMAT_WAIT_S = 10.0
+
+    def stream(self, uri: str) -> ProtocolStreamResult:
+        import time as _time
+        deadline = _time.monotonic() + self.FORMAT_WAIT_S
+        with self._cv:
+            self._stopped = False
+            # the format announcement rides the first network audio; wait
+            # for it (the reference blocks in its socket read the same way)
+            while self._fmt is None and not self._stopped \
+                    and not self.interrupted:
+                if _time.monotonic() > deadline:
+                    return ProtocolStreamResult.ERROR_UNRECOVERABLE
+                self._cv.wait(0.1)
+            fmt = self._fmt
+        if fmt is None:
+            return ProtocolStreamResult.STOPPED
+        sid = self.next_stream_id()
+        wire = {16: SampleFormat.S16_BE, 24: SampleFormat.S24_BE,
+                32: SampleFormat.S32_BE}[fmt.bit_depth]
+        self.supply.output_stream(
+            EncodedStreamInfo(uri=uri, stream_id=sid, seekable=False,
+                              live=True, pcm_format=fmt),
+            stream_handler=self)
+        if self._latency_jiffies:
+            self.supply.output_delay(self._latency_jiffies)
+        while True:
+            with self._cv:
+                while not self._buffer and not self._stopped \
+                        and not self.interrupted:
+                    self._cv.wait(0.1)
+                if self._stopped or self.interrupted:
+                    return ProtocolStreamResult.STOPPED
+                chunk, self._buffer = self._buffer, []
+            for data in chunk:
+                self.supply.output_data(data)
+            if hasattr(self.supply, "flush_pending"):
+                self.supply.flush_pending()
+
+
+class SourceReceiver(Source):
+    """Songcast receiver source (SourceReceiver.cpp): mode "Receiver",
+    external latency, sender URI selection; audio arrives over OHM and is
+    re-broadcast by the Brancher when this device is also a sender."""
+
+    system_name = "Receiver"
+    type = "Receiver"
+
+    def __init__(self, pipeline_manager, multicast: bool = True,
+                 sender_endpoint=None):
+        super().__init__()
+        self._pm = pipeline_manager
+        self.protocol = _PcmPushProtocol("ohm")
+        pipeline_manager.protocol_manager.add(self.protocol)
+        self.provider = UriProviderSingleTrack(
+            "Receiver", supports_latency=Latency.EXTERNAL,
+            supports_pause=False)
+        pipeline_manager.add_provider(self.provider)
+        self._receiver = None
+        self._multicast = multicast
+        self._sender_endpoint = sender_endpoint
+
+    def set_sender(self, uri: str = "ohm://239.253.1.1:51970",
+                   metadata: str = "") -> None:
+        self.provider.set_track(Track(uri, metadata, 9001))
+
+    def activate(self, auto_play: bool = False) -> None:
+        super().activate(auto_play)
+        from ..net.songcast import OhmReceiver
+        if self._receiver is None:
+            self._receiver = OhmReceiver(
+                self._on_audio, multicast=self._multicast,
+                sender_endpoint=self._sender_endpoint,
+                on_track=lambda uri, md: None,
+                on_metatext=lambda t: None)
+            self._receiver.start()
+        self._pm.begin("Receiver")
+        self._pm.play()
+
+    def deactivate(self) -> None:
+        super().deactivate()
+        if self._receiver is not None:
+            self._receiver.stop()
+            self._receiver = None
+        self.protocol.push_halt()
+
+    def _on_audio(self, samples: np.ndarray, msg) -> None:
+        if self.protocol._fmt is None \
+                or self.protocol._fmt.sample_rate != msg.sample_rate:
+            self.protocol.set_format(
+                PcmStreamInfo(msg.sample_rate, msg.bit_depth, msg.channels,
+                              codec_name="OHM", live=True),
+                latency_ms=msg.media_latency // (44100 * 256 // 1000)
+                if msg.media_latency else 100)
+        self.protocol.push_pcm(samples)
+
+
+class SourceScd(Source):
+    """SCD receiver source (Av/Scd/SourceScd)."""
+
+    system_name = "SCD"
+    type = "Scd"
+
+    def __init__(self, pipeline_manager):
+        super().__init__()
+        self._pm = pipeline_manager
+        self.protocol = _PcmPushProtocol("scd")
+        pipeline_manager.protocol_manager.add(self.protocol)
+        self.provider = UriProviderSingleTrack("SCD", supports_pause=False)
+        pipeline_manager.add_provider(self.provider)
+        self._receiver = None
+
+    def connect(self, host: str, port: int) -> None:
+        from ..net.scd import ScdReceiver
+        self.provider.set_track(Track(f"scd://{host}:{port}", "", 9002))
+
+        def on_audio(samples, fmt):
+            if self.protocol._fmt is None:
+                self.protocol.set_format(PcmStreamInfo(
+                    fmt.sample_rate, fmt.bit_depth, fmt.channels,
+                    codec_name="SCD", live=fmt.live))
+            self.protocol.push_pcm(samples)
+
+        self._receiver = ScdReceiver(host, port, on_audio,
+                                     on_halt=self.protocol.push_halt)
+        self._receiver.start()
+        self._pm.begin("SCD")
+        self._pm.play()
+
+    def deactivate(self) -> None:
+        super().deactivate()
+        if self._receiver:
+            self._receiver.stop()
+            self._receiver = None
+
+
+class SourceUpnpAv(Source):
+    """Externally-controlled renderer source (Av/UpnpAv/): a controller
+    (AVTransport-style, here via ODP Transport.PlayUri) sets the URI and
+    drives transport; playback uses the normal protocol stack."""
+
+    system_name = "UpnpAv"
+    type = "UpnpAv"
+
+    def __init__(self, pipeline_manager):
+        super().__init__()
+        self._pm = pipeline_manager
+        self.provider = UriProviderSingleTrack("UpnpAv",
+                                               supports_pause=True)
+        pipeline_manager.add_provider(self.provider)
+
+    def set_uri(self, uri: str, metadata: str = "") -> None:
+        self.provider.set_track(Track(uri, metadata, 9003))
+
+    def play(self) -> None:
+        self._pm.begin("UpnpAv")
+        self._pm.play()
+
+    def activate(self, auto_play: bool = False) -> None:
+        super().activate(auto_play)
+        self._pm.begin("UpnpAv")
+
+
+class SourceRaop(Source):
+    """AirPlay (RAOP) source scaffold (Av/Raop/): holds the session model
+    (announce -> setup -> record -> teardown) and the decrypted-PCM push
+    path; the RTSP listener and RTP/AES wire handling land next round."""
+
+    system_name = "Net Aux"
+    type = "NetAux"
+
+    def __init__(self, pipeline_manager):
+        super().__init__()
+        self._pm = pipeline_manager
+        self.protocol = _PcmPushProtocol("raop")
+        pipeline_manager.protocol_manager.add(self.protocol)
+        self.provider = UriProviderSingleTrack("RAOP", supports_pause=False,
+                                               supports_latency=Latency.EXTERNAL)
+        pipeline_manager.add_provider(self.provider)
+        self.session_active = False
+
+    def session_start(self, sample_rate: int = 44100,
+                      latency_ms: int = 150) -> None:
+        self.session_active = True
+        self.protocol.set_format(
+            PcmStreamInfo(sample_rate, 16, 2, codec_name="RAOP", live=True),
+            latency_ms=latency_ms)
+        self.provider.set_track(Track("raop://session", "", 9004))
+        self._pm.begin("RAOP")
+        self._pm.play()
+
+    def push_audio(self, samples: np.ndarray) -> None:
+        self.protocol.push_pcm(samples)
+
+    def session_end(self) -> None:
+        self.session_active = False
+        self.protocol.push_halt()

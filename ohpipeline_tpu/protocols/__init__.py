@@ -20,10 +20,12 @@ __all__ = ["Protocol", "ProtocolManager", "ProtocolStreamResult",
 def make_default_manager(supply, id_provider=None) -> ProtocolManager:
     """The default protocol stack (reference MediaPlayer registers
     ProtocolFactory::NewHttp/File/Tone/Hls...)."""
+    from .dash import ProtocolDash
     from .hls import ProtocolHls
     from .http import ProtocolHttp
     pm = ProtocolManager(supply, id_provider)
     pm.add(ProtocolHls())
+    pm.add(ProtocolDash())
     pm.add(ProtocolHttp())
     pm.add(ProtocolFile())
     pm.add(ProtocolTone())
