@@ -153,7 +153,7 @@ def test_mp4_container_roundtrip(tmp_path):
     m4a = write_m4a(frames, asc, 44100, 2)
     from ohpipeline_tpu.codecs.base import BufferReader
     codec = aac.CodecAacMp4()
-    assert codec.recognise(m4a[:16])
+    assert codec.recognise(m4a[:65536])
     r = BufferReader(m4a)
     info = codec.stream_initialise(r)
     assert info.sample_rate == 44100 and info.num_channels == 2
