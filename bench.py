@@ -116,9 +116,12 @@ def main() -> int:
                   jnp.asarray(ASYN._imdct_matrix(256)),
                   jnp.asarray(W), jnp.asarray(SW))
 
-    def aac_group_fn(specs, opidx, overlap):
-        pcm, ov = ASYN.filterbank_fast(specs, opidx, overlap, *aac_consts)
-        return pcm, ov, jnp.max(jnp.abs(pcm))
+    def aac_group_fn(qt, sf, coded, cfg_idx, perm_tab, band_tab, ms_flag,
+                     side_spec, side_row, opidx, overlap):
+        pcm, ov = ASYN.dequant_filterbank(
+            qt, sf, coded, cfg_idx, perm_tab, band_tab, ms_flag,
+            side_spec, side_row, opidx, overlap, *aac_consts)
+        return ov, jnp.max(jnp.abs(pcm))
 
     aac_jit = jax.jit(aac_group_fn)
 
@@ -152,26 +155,49 @@ def main() -> int:
                 np.concatenate(wasteds).astype(np.int8),
                 np.concatenate(assigns).astype(np.int8)), newpos, nf_total
 
+    from ohpipeline_tpu.codecs.aac import (cfg_tables, prepare_device_group)
+
     def aac_superstep(positions, shapes):
-        specs, opidxs = [], []
+        """Parse + assemble one device-dequant dispatch covering all live
+        AAC streams (B = streams * channels)."""
+        preps = []
         newpos = []
         nf_total = 0
+        cfg_map: dict = {}
         for i, p in enumerate(positions):
             n, np_, b = native.aac_parse_group(aac_bytes, p, channels=nch,
                                                max_frames=GA)
             newpos.append(np_ if n else None)
             nf_total += n
-            sp, op = ASYN.prepare_group(b, GA if n else 0, nch, shapes[i])
-            if n < GA:
-                pad = np.zeros((GA - sp.shape[0], nch, 1024), np.float32)
-                sp = np.concatenate([sp, pad]) if sp.size else pad
-                op = np.concatenate([op, np.zeros((GA - op.shape[0], nch),
-                                                  np.int32)]) \
-                    if op.size else np.zeros((GA, nch), np.int32)
-            specs.append(sp)
-            opidxs.append(op)
-        return (np.concatenate(specs, axis=1),
-                np.concatenate(opidxs, axis=1)), newpos, nf_total
+            # zero rows beyond n decode to silence; keep shapes static
+            prep = prepare_device_group(b, GA, nch, shapes[i], cfg_map)
+            preps.append(prep)
+        S = len(preps)
+        Bw = S * nch
+        stacked = {k: np.concatenate([p[k] for p in preps], axis=1)
+                   for k in ("quant", "sf", "coded", "cfg_idx", "ms_flag",
+                             "opidx")}
+        sides, rows = [], []
+        for s, p in enumerate(preps):
+            for j, r in enumerate(p["side_row"]):
+                if r >= 0:
+                    t, c = divmod(int(r), nch)
+                    rows.append(t * Bw + s * nch + c)
+                    sides.append(p["side_spec"][j])
+        MAXS = 64
+        side_spec = np.zeros((MAXS, 1024), np.float32)
+        side_row = np.full(MAXS, -1, np.int32)
+        for j, (r, sp) in enumerate(zip(rows[:MAXS], sides[:MAXS])):
+            side_row[j] = r
+            side_spec[j] = sp
+        qt = stacked["quant"]
+        if np.abs(qt).max() < 32768:
+            qt = qt.astype(np.int16)
+        perm_tab, band_tab = cfg_tables(cfg_map)
+        args = (qt, stacked["sf"], stacked["coded"], stacked["cfg_idx"],
+                perm_tab, band_tab, stacked["ms_flag"], side_spec, side_row,
+                stacked["opidx"])
+        return args, newpos, nf_total
 
     # --- warmup ----------------------------------------------------------
     start_bit = meta.header_bytes * 8
@@ -182,7 +208,7 @@ def main() -> int:
         shapes = [np.zeros(nch, np.int32) for _ in range(S_a)]
         ab, _, _ = aac_superstep([0] * S_a, shapes)
         ov = jnp.zeros((S_a * nch, 1024), jnp.float32)
-        _pcm, ov_w, apk = aac_jit(jnp.asarray(ab[0]), jnp.asarray(ab[1]), ov)
+        ov_w, apk = aac_jit(*[jnp.asarray(a) for a in ab], ov)
         _ = float(apk)
 
     # --- timed pipelined run ---------------------------------------------
@@ -209,8 +235,7 @@ def main() -> int:
             ab, apos2, na = aac_superstep(live, shapes)
             aac_frames += na
             if len(live) == S_a:
-                _pcm2, ov, apk = aac_jit(jnp.asarray(ab[0]),
-                                         jnp.asarray(ab[1]), ov)
+                ov, apk = aac_jit(*[jnp.asarray(a) for a in ab], ov)
                 peaks.append(apk)
             apos = apos2 + [None] * (len(apos) - len(apos2))
     final = float(jnp.stack(peaks).max()) if peaks else 0.0

@@ -88,6 +88,137 @@ def decode_group_arrays(batch: dict, nframes: int, channels: int,
     return np.clip(np.rint(out), lo, hi).astype(np.int32)
 
 
+NCFG = 4
+MAX_SIDE = 16
+
+
+def prepare_device_group(batch: dict, nframes: int, channels: int,
+                         prev_shape: np.ndarray,
+                         cfg_map: Optional[dict] = None
+                         ) -> Optional[dict]:
+    """Assemble the numpy inputs of SYN.dequant_filterbank for one parsed
+    group (shared cfg_map lets callers batch multiple streams into one
+    dispatch).  Returns None when the group doesn't fit the fast path."""
+    ri = batch["rate_index"]
+    F, C = nframes, channels
+    R = F * C
+    if R == 0 or C != 2:
+        return None
+    if cfg_map is None:
+        cfg_map = {}
+    ics = batch["ics"][:R]
+    cb = batch["cb"][:R]
+    sf = batch["sf"][:R]
+    quant = batch["quant"][:R]
+    # layout configs
+    cfg_map: dict = {}
+    cfg_idx = np.zeros(R, np.int32)
+    for r in range(R):
+        seq = int(ics[r][0])
+        short = seq == BS.EIGHT_SHORT
+        key = (ri, seq if short else 0, int(ics[r][3]) if short else 0,
+               int(ics[r][2]))
+        if key not in cfg_map and len(cfg_map) >= NCFG:
+            return None
+        cfg_idx[r] = cfg_map.setdefault(key, len(cfg_map))
+    coded = np.zeros((R, 128), np.uint8)
+    coded[:, :120] = (cb >= 1) & (cb <= 11)
+    sf128 = np.zeros((R, 128), np.int16)
+    sf128[:, :120] = np.clip(sf, -32768, 32767)
+    # M/S band mask per pair (excluding intensity/noise bands)
+    ms = batch["msmask"][:F]
+    ms_flag = np.zeros((F, 128), np.uint8)
+    for f in range(F):
+        flag = ms[f][0]
+        if flag == 2:
+            ms_flag[f, :120] = 1
+        elif flag == 1:
+            ms_flag[f, :119] = ms[f][1:120] != 0
+        cbr = cb[f * C + 1]
+        bad = np.isin(cbr, (T.NOISE_CB, T.INTENSITY_CB, T.INTENSITY_CB2))
+        ms_flag[f, :120][bad] = 0
+    # exception rows: TNS / intensity / PNS / int16 overflow
+    special = (batch["tnsn"][:R].any(axis=1)
+               | (cb >= T.NOISE_CB).any(axis=1))
+    frames_special = np.unique(np.where(special)[0] // C)
+    if len(frames_special) * C > MAX_SIDE:
+        return None
+    side_spec = np.zeros((MAX_SIDE, 1024), np.float32)
+    side_row = np.full(MAX_SIDE, -1, np.int32)
+    dummy_shape = np.zeros(C, np.int32)
+    for si, f in enumerate(frames_special):
+        sub = {k: (v[f * C:(f + 1) * C] if k not in ("msmask", "rate_index")
+                   else (v[f:f + 1] if k == "msmask" else v))
+               for k, v in batch.items()}
+        sp, _ = SYN.prepare_group(sub, 1, C, dummy_shape.copy())
+        for c in range(C):
+            side_spec[si * C + c] = sp[0, c]
+            side_row[si * C + c] = f * C + c
+    # opidx + shape tracking
+    opidx = np.zeros((F, C), np.int32)
+    for f in range(F):
+        for c in range(C):
+            r = f * C + c
+            opidx[f, c] = (int(ics[r][0]) * 4 + int(prev_shape[c]) * 2
+                           + int(ics[r][1]))
+            prev_shape[c] = int(ics[r][1])
+    qt = quant.reshape(F, C, 1024)
+    return dict(quant=qt, sf=sf128.reshape(F, C, 128),
+                coded=coded.reshape(F, C, 128),
+                cfg_idx=cfg_idx.reshape(F, C),
+                ms_flag=ms_flag.reshape(F, C // 2, 128),
+                side_spec=side_spec, side_row=side_row, opidx=opidx,
+                cfg_map=cfg_map)
+
+
+def cfg_tables(cfg_map: dict) -> tuple[np.ndarray, np.ndarray]:
+    perm_tab = np.zeros((NCFG, 1024), np.int32)
+    band_tab = np.full((NCFG, 1024), 127, np.int32)
+    for key, i in cfg_map.items():
+        if key[3] == 0:
+            continue
+        src, dst, band = SYN._layout(*key)
+        perm_tab[i][dst] = src
+        band_tab[i][dst] = band
+    return perm_tab, band_tab
+
+
+def run_device_group(prep: dict, overlap: np.ndarray,
+                     bit_depth: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch one assembled group; returns (pcm (C, n) int32, overlap)."""
+    perm_tab, band_tab = cfg_tables(prep["cfg_map"])
+    qt = prep["quant"]
+    if np.abs(qt).max() < 32768:
+        qt = qt.astype(np.int16)
+    W, SW = SYN.window_bank()
+    pcm, new_ov = SYN.dequant_filterbank(
+        jnp.asarray(qt), jnp.asarray(prep["sf"]), jnp.asarray(prep["coded"]),
+        jnp.asarray(prep["cfg_idx"]), jnp.asarray(perm_tab),
+        jnp.asarray(band_tab), jnp.asarray(prep["ms_flag"]),
+        jnp.asarray(prep["side_spec"]), jnp.asarray(prep["side_row"]),
+        jnp.asarray(prep["opidx"]), jnp.asarray(overlap),
+        jnp.asarray(SYN._imdct_matrix(2048)),
+        jnp.asarray(SYN._imdct_matrix(256)),
+        jnp.asarray(W), jnp.asarray(SW))
+    C = prep["quant"].shape[1]
+    out = np.asarray(pcm).transpose(1, 0, 2).reshape(C, -1)
+    lo, hi = -(1 << (bit_depth - 1)), (1 << (bit_depth - 1)) - 1
+    return (np.clip(np.rint(out), lo, hi).astype(np.int32),
+            np.asarray(new_ov))
+
+
+def decode_group_device(batch: dict, nframes: int, channels: int,
+                        state: _StreamState,
+                        bit_depth: int = 16) -> Optional[np.ndarray]:
+    """Device-dequant decode path (single stream); None -> caller falls
+    back to decode_group_arrays."""
+    prep = prepare_device_group(batch, nframes, channels, state.prev_shape)
+    if prep is None:
+        return None
+    out, state.overlap = run_device_group(prep, state.overlap, bit_depth)
+    return out
+
+
 def frames_from_arrays(batch: dict, nframes: int,
                        channels: int) -> list[BS.FrameData]:
     """Rehydrate FrameData from the native unpacker's dense arrays."""

@@ -163,6 +163,57 @@ def window_bank():
 
 
 @jax.jit
+def dequant_filterbank(quant, sf, coded, cfg_idx, perm_tab, band_tab,
+                       ms_flag, side_spec, side_row, opidx_t, overlap,
+                       M_long, M_short, W, SW):
+    """Fully device-side AAC decode for the common case: dequantization,
+    scalefactor gains, M/S, and the filterbank in one jit — the host ships
+    only int16 quantized coefficients plus small metadata.
+
+    quant (T, B, 1024) int16/int32 transmission-order coefficients
+    sf    (T, B, 128) int16 scalefactors per band slot
+    coded (T, B, 128) uint8  1 where the slot carries spectral data
+    cfg_idx (T, B) int32     row -> layout config (index into tables)
+    perm_tab (NCFG, 1024) int32  dst -> src transmission position
+    band_tab (NCFG, 1024) int32  dst -> band slot (127 = silent)
+    ms_flag (T, B//2, 128) uint8 M/S per band for each channel pair
+    side_spec (S, 1024) f32  host-prepared rows (TNS/intensity/PNS)
+    side_row (S,) int32      flat row index each side row replaces (-1 pad)
+    """
+    Tn, B, _ = quant.shape
+    q = quant.astype(jnp.float32).reshape(Tn * B, 1024)
+    mag = jnp.abs(q) ** (4.0 / 3.0)
+    dq = jnp.sign(q) * mag
+    perm = perm_tab[cfg_idx.reshape(-1)]              # (TB, 1024)
+    band = band_tab[cfg_idx.reshape(-1)]
+    spec_tx = jnp.take_along_axis(dq, perm, axis=1)
+    sf_f = sf.reshape(Tn * B, 128)
+    gains = jnp.exp2(0.25 * (sf_f.astype(jnp.float32) - 100.0))
+    gains = gains * coded.reshape(Tn * B, 128).astype(jnp.float32)
+    g = jnp.take_along_axis(gains, band, axis=1)
+    spec = spec_tx * g                                 # (TB, 1024)
+    # M/S per pair: mid/side -> left/right
+    spec_p = spec.reshape(Tn, B // 2, 2, 1024)
+    band_l = band.reshape(Tn, B // 2, 2, 1024)[:, :, 0]
+    ms = jnp.take_along_axis(ms_flag.astype(jnp.float32), band_l, axis=2)
+    mid = spec_p[:, :, 0]
+    side = spec_p[:, :, 1]
+    left = jnp.where(ms > 0, mid + side, mid)
+    right = jnp.where(ms > 0, mid - side, side)
+    spec = jnp.stack([left, right], axis=2).reshape(Tn * B, 1024)
+    # overwrite exception rows with host-prepared spectra: one scatter,
+    # padding rows routed to a dummy row beyond the real range
+    dummy = Tn * B
+    idx = jnp.where(side_row >= 0, side_row, dummy)
+    spec_ext = jnp.concatenate(
+        [spec, jnp.zeros((1, 1024), spec.dtype)], axis=0)
+    spec_ext = spec_ext.at[idx].set(side_spec)
+    spec = spec_ext[:dummy]
+    return filterbank_fast(spec.reshape(Tn, B, 1024), opidx_t, overlap,
+                           M_long, M_short, W, SW)
+
+
+@jax.jit
 def filterbank_fast(spec_t, opidx_t, overlap, M_long, M_short, W, SW):
     """High-throughput filterbank: single MXU matmul for the IMDCT of all
     frames, per-row window vectors, OLA under a cheap elementwise scan.

@@ -105,17 +105,29 @@ def sharded_pipeline_step(mesh: Mesh, num_channels: int = 2):
     dp_vec = NamedSharding(mesh, P("dp"))
 
     def step(data, coeffs, shift, order, wasted, assign, ramp_start,
-             ramp_end, gain):
+             ramp_end, gain, aac_spec, aac_opidx, aac_overlap):
+        # stage 1: FLAC-family decode + render (stream/dp parallel)
         rendered, peaks = decode_render_step(
             data, coeffs, shift, order, wasted, assign, ramp_start,
             ramp_end, gain, num_channels=num_channels)
         # sequence-shard the rendered tile for downstream elementwise DSP
         rendered = jax.lax.with_sharding_constraint(
             rendered, NamedSharding(mesh, P("dp", None, "sp")))
+        # stage 2: AAC filterbank over the same mesh (rows over dp)
+        from ..codecs.aac import synthesis as ASYN
+        W, SW = ASYN.window_bank()
+        aac_pcm, aac_ov = ASYN.filterbank_fast(
+            aac_spec, aac_opidx, aac_overlap,
+            jnp.asarray(ASYN._imdct_matrix(2048)),
+            jnp.asarray(ASYN._imdct_matrix(256)),
+            jnp.asarray(W), jnp.asarray(SW))
         # multiroom fan-out: every chip sees the whole room's meters
         room_meters = jax.lax.with_sharding_constraint(
             peaks, NamedSharding(mesh, P()))
-        return rendered, room_meters
+        return rendered, room_meters, aac_pcm, aac_ov
 
-    in_sh = (dp_rows,) * 2 + (dp_vec,) * 3 + (dp_vec,) * 4
+    aac_sh = NamedSharding(mesh, P(None, "dp", None))
+    in_sh = ((dp_rows,) * 2 + (dp_vec,) * 3 + (dp_vec,) * 4
+             + (aac_sh, NamedSharding(mesh, P(None, "dp")),
+                NamedSharding(mesh, P("dp", None))))
     return jax.jit(step, in_shardings=in_sh)
