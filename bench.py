@@ -211,35 +211,60 @@ def main() -> int:
         ov_w, apk = aac_jit(*[jnp.asarray(a) for a in ab], ov)
         _ = float(apk)
 
-    # --- timed pipelined run ---------------------------------------------
-    fpos = [start_bit] * S_f
-    apos = [0] * S_a
-    shapes = [np.zeros(nch, np.int32) for _ in range(S_a)]
-    ov = jnp.zeros((max(S_a, 1) * nch, 1024), jnp.float32)
-    flac_frames = aac_frames = 0
-    peaks = []
+    # --- timed pipelined run ----------------------------------------------
+    # producer thread parses/assembles step k+1 while the main thread
+    # transfers/dispatches step k (host entropy decode releases the GIL in
+    # the C parsers, so the stages genuinely overlap on one CPU)
+    import queue as _queue
     total_flac_frames = (si.total_samples + si.max_blocksize - 1) \
         // si.max_blocksize
     steps = (total_flac_frames + G - 1) // G
+    work: "_queue.Queue" = _queue.Queue(maxsize=2)
+    counts = {"flac": 0, "aac": 0}
+
+    def producer():
+        fpos = [start_bit] * S_f
+        apos = [0] * S_a
+        shapes2 = [np.zeros(nch, np.int32) for _ in range(S_a)]
+        for _step in range(steps):
+            item = {}
+            if any(p is not None for p in fpos):
+                fb2, fpos2, nf2 = flac_superstep(
+                    [p for p in fpos if p is not None])
+                counts["flac"] += nf2
+                item["flac"] = fb2
+                fpos = fpos2 + [None] * (len(fpos) - len(fpos2))
+            if S_a and any(p is not None for p in apos):
+                live = [p for p in apos if p is not None]
+                ab2, apos2, na2 = aac_superstep(live, shapes2)
+                counts["aac"] += na2
+                if len(live) == S_a:
+                    item["aac"] = ab2
+                apos = apos2 + [None] * (len(apos) - len(apos2))
+            work.put(item)
+        work.put(None)
+
+    import threading
+    ov = jnp.zeros((max(S_a, 1) * nch, 1024), jnp.float32)
+    peaks = []
     t0 = time.perf_counter()
-    for _step in range(steps):
-        fb, fpos2, nf = flac_superstep([p for p in fpos if p is not None]
-                                       or [start_bit])
-        if any(p is not None for p in fpos):
-            flac_frames += nf
-            _pcm, pk = flac_jit(*[jnp.asarray(a) for a in fb])
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    while True:
+        item = work.get()
+        if item is None:
+            break
+        if "flac" in item:
+            _pcm, pk = flac_jit(*[jnp.asarray(a) for a in item["flac"]])
             peaks.append(pk)
-            fpos = fpos2 + [None] * (len(fpos) - len(fpos2))
-        if S_a and any(p is not None for p in apos):
-            live = [p for p in apos if p is not None]
-            ab, apos2, na = aac_superstep(live, shapes)
-            aac_frames += na
-            if len(live) == S_a:
-                ov, apk = aac_jit(*[jnp.asarray(a) for a in ab], ov)
-                peaks.append(apk)
-            apos = apos2 + [None] * (len(apos) - len(apos2))
+        if "aac" in item:
+            ov, apk = aac_jit(*[jnp.asarray(a) for a in item["aac"]], ov)
+            peaks.append(apk)
     final = float(jnp.stack(peaks).max()) if peaks else 0.0
     wall = time.perf_counter() - t0
+    th.join(1.0)
+    flac_frames = counts["flac"]
+    aac_frames = counts["aac"]
 
     flac_audio = flac_frames * si.max_blocksize / rate
     aac_audio = aac_frames * 1024 / rate

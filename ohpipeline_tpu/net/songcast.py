@@ -261,6 +261,106 @@ class OhmSender:
         return self._frame
 
 
+OHZ_PORT = 51972
+OHZ_MCAST = "239.255.255.250"
+OHZ_QUERY, OHZ_ZONE_URI, OHZ_PRESET_QUERY, OHZ_PRESET_INFO = range(4)
+
+
+def ohz_header(msg_type: int, payload_bytes: int) -> bytes:
+    """OHZ framing (ZoneHandler.h: 'Ohz ' + version + type + bytes)."""
+    return struct.pack(">4sBBH", b"Ohz ", 1, msg_type, 8 + payload_bytes)
+
+
+def encode_zone_query(zone: str) -> bytes:
+    z = zone.encode()
+    body = struct.pack(">I", len(z)) + z
+    return ohz_header(OHZ_QUERY, len(body)) + body
+
+
+def encode_zone_uri(zone: str, uri: str) -> bytes:
+    z, u = zone.encode(), uri.encode()
+    body = struct.pack(">II", len(z), len(u)) + z + u
+    return ohz_header(OHZ_ZONE_URI, len(body)) + body
+
+
+def parse_ohz(data: bytes):
+    """Returns (type, dict) or None."""
+    if len(data) < 8 or data[:4] != b"Ohz " or data[4] != 1:
+        return None
+    t = data[5]
+    p = data[8:]
+    if t == OHZ_QUERY:
+        n = struct.unpack(">I", p[:4])[0]
+        return t, {"zone": p[4:4 + n].decode()}
+    if t == OHZ_ZONE_URI:
+        zn, un = struct.unpack(">II", p[:8])
+        return t, {"zone": p[8:8 + zn].decode(),
+                   "uri": p[8 + zn:8 + zn + un].decode()}
+    return t, {}
+
+
+class ZoneHandler:
+    """OHZ zone discovery (ZoneHandler.h:25): a sender answers zone
+    queries with its OHM endpoint URI; receivers query a zone name to
+    find the sender to join."""
+
+    def __init__(self, zone: str, ohm_uri: str = "", multicast: bool = True,
+                 port: int = OHZ_PORT):
+        self.zone = zone
+        self.ohm_uri = ohm_uri
+        self.port = port
+        self.multicast = multicast
+        self._sock: Optional[socket.socket] = None
+        self._running = False
+        self.discovered: dict[str, str] = {}
+
+    def start(self) -> None:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("", self.port if self.multicast else 0))
+        if self.multicast:
+            mreq = socket.inet_aton(OHZ_MCAST) + socket.inet_aton("0.0.0.0")
+            s.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        s.settimeout(0.2)
+        self._sock = s
+        self._running = True
+        threading.Thread(target=self._loop, daemon=True,
+                         name="ZoneHandler").start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._sock:
+            self._sock.close()
+
+    @property
+    def endpoint(self) -> tuple[str, int]:
+        return self._sock.getsockname()
+
+    def query(self, zone: str,
+              target: Optional[tuple[str, int]] = None) -> None:
+        dest = target or (OHZ_MCAST, self.port)
+        self._sock.sendto(encode_zone_query(zone), dest)
+
+    def _loop(self) -> None:
+        while self._running:
+            try:
+                data, src = self._sock.recvfrom(8192)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            parsed = parse_ohz(data)
+            if parsed is None:
+                continue
+            t, fields = parsed
+            if t == OHZ_QUERY and fields.get("zone") == self.zone \
+                    and self.ohm_uri:
+                self._sock.sendto(encode_zone_uri(self.zone, self.ohm_uri),
+                                  src)
+            elif t == OHZ_ZONE_URI:
+                self.discovered[fields["zone"]] = fields["uri"]
+
+
 @dataclass(slots=True)
 class ReceiverStats:
     frames: int = 0
