@@ -230,14 +230,15 @@ class SourceUpnpAv(Source):
 
 
 class SourceRaop(Source):
-    """AirPlay (RAOP) source scaffold (Av/Raop/): holds the session model
-    (announce -> setup -> record -> teardown) and the decrypted-PCM push
-    path; the RTSP listener and RTP/AES wire handling land next round."""
+    """AirPlay (RAOP) source (Av/Raop/): owns the RTSP/RTP endpoint
+    (net.raop.RaopReceiver) and feeds decrypted ALAC-decoded PCM into the
+    pipeline with the AirPlay latency.  `start_endpoint()` binds the RTSP
+    listener; mDNS advertisement hooks onto FriendlyNameManager."""
 
     system_name = "Net Aux"
     type = "NetAux"
 
-    def __init__(self, pipeline_manager):
+    def __init__(self, pipeline_manager, rsa_private_pem=None):
         super().__init__()
         self._pm = pipeline_manager
         self.protocol = _PcmPushProtocol("raop")
@@ -246,12 +247,37 @@ class SourceRaop(Source):
                                                supports_latency=Latency.EXTERNAL)
         pipeline_manager.add_provider(self.provider)
         self.session_active = False
+        self._rsa_pem = rsa_private_pem
+        self.receiver = None
+
+    def start_endpoint(self, port: int = 0) -> int:
+        """Bind the RTSP listener; returns its port."""
+        from ..net.raop import RaopReceiver
+        self.receiver = RaopReceiver(self._on_rtp_audio,
+                                     on_session=self._on_session,
+                                     rsa_private_pem=self._rsa_pem,
+                                     port=port)
+        return self.receiver.rtsp_port
+
+    def _on_session(self, session, event: str) -> None:
+        if event == "record":
+            rate = session.alac.sample_rate if session.alac else 44100
+            depth = session.alac.bit_depth if session.alac else 16
+            ch = session.alac.num_channels if session.alac else 2
+            self.session_start(rate, bit_depth=depth, channels=ch)
+        elif event == "teardown":
+            self.session_end()
+
+    def _on_rtp_audio(self, samples: np.ndarray) -> None:
+        self.push_audio(samples)
 
     def session_start(self, sample_rate: int = 44100,
-                      latency_ms: int = 150) -> None:
+                      latency_ms: int = 150, bit_depth: int = 16,
+                      channels: int = 2) -> None:
         self.session_active = True
         self.protocol.set_format(
-            PcmStreamInfo(sample_rate, 16, 2, codec_name="RAOP", live=True),
+            PcmStreamInfo(sample_rate, bit_depth, channels,
+                          codec_name="RAOP", live=True),
             latency_ms=latency_ms)
         self.provider.set_track(Track("raop://session", "", 9004))
         self._pm.begin("RAOP")
@@ -263,3 +289,9 @@ class SourceRaop(Source):
     def session_end(self) -> None:
         self.session_active = False
         self.protocol.push_halt()
+
+    def deactivate(self) -> None:
+        super().deactivate()
+        if self.receiver is not None:
+            self.receiver.close()
+            self.receiver = None
