@@ -67,6 +67,10 @@ def main() -> int:
     web = WebAppFramework(port=args.web_port)
     web.add_app(ConfigApp(mp.config))
     web.start()
+    from ohpipeline_tpu.net.mdns import MdnsResponder, announce_media_player
+    mdns = MdnsResponder()
+    announce_media_player(mdns, f"{args.room}:{args.name}",
+                          odp_port=odp.port, web_port=web.port)
     print(f"[player] {args.room}:{args.name}  odp={odp.port} "
           f"web=http://127.0.0.1:{web.port}/config/")
 
@@ -108,6 +112,7 @@ def main() -> int:
             f.write(write_wav(pcm, 44100, 16))
         print(f"[player] wrote {pcm.shape[1]} samples to {args.wav}")
     print(f"[player] rendered {stats['samples']} samples")
+    mdns.close()
     odp.close()
     web.close()
     mp.quit()
