@@ -1,4 +1,4 @@
-"""MP3 (MPEG-1 Layer III) codec.
+"""MP3 (MPEG-1/2/2.5 Layer III) codec.
 
 Parity target: OpenHome/Media/Codec/Mp3.cpp (adapter over libmad) —
 validated against the compiled libmad oracle within conformance bounds
@@ -43,11 +43,12 @@ def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
     btypes = []
     for fr in frames:
         hdr = fr.header
+        ngr = hdr.granule_count
         if fr.side is None:     # reservoir-starved frame: silence
-            granules.extend([np.zeros((channels, 576), np.float32)] * 2)
-            btypes.extend([np.zeros((channels, 32), np.int32)] * 2)
+            granules.extend([np.zeros((channels, 576), np.float32)] * ngr)
+            btypes.extend([np.zeros((channels, 32), np.int32)] * ngr)
             continue
-        for gr in range(2):
+        for gr in range(ngr):
             chans = fr.side.granules[gr]
             xs = [SYN.requantize(g, hdr) for g in chans]
             if hdr.channels == 2:
@@ -122,7 +123,7 @@ class CodecMp3(CodecBase):
             sample_rate=hdr.sample_rate, bit_depth=16,
             num_channels=hdr.channels, codec_name="MP3", lossless=False,
             seekable=bool(total), bitrate=hdr.bitrate,
-            track_length_jiffies=frames * 1152
+            track_length_jiffies=frames * hdr.samples_per_frame
             * Jiffies.per_sample(hdr.sample_rate))
         return self._info
 
@@ -146,7 +147,7 @@ class CodecMp3(CodecBase):
         if not frames:
             raise EndOfStream
         first = self._sample_pos
-        self._sample_pos += len(frames) * 1152
+        self._sample_pos += len(frames) * self._hdr.samples_per_frame
         state = self._state
         ch = self._hdr.channels
         return DecodedBatch(

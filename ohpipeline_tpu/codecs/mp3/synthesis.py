@@ -98,89 +98,104 @@ def _window_matrix() -> np.ndarray:
 # host prep
 # ---------------------------------------------------------------------------
 
+def _linear_scalefac(g: GranuleInfo) -> np.ndarray:
+    """Scalefactors in sfb-width-walk order (libmad's scalefac[39] model):
+    LSF granules carry this natively; MPEG-1 structured arrays are
+    flattened to it (mixed blocks: 8 long bands then short sfb 3+)."""
+    if g.scalefac_lin is not None:
+        lin = np.zeros(40, np.int32)
+        lin[:39] = g.scalefac_lin
+        return lin
+    lin = np.zeros(40, np.int32)
+    if g.window_switching and g.block_type == BLOCK_SHORT:
+        if g.mixed_block:
+            lin[:8] = g.scalefac_l[:8]
+            lin[8:38] = g.scalefac_s[3:13].reshape(-1)
+        else:
+            lin[:39] = g.scalefac_s.reshape(-1)
+    else:
+        lin[:22] = g.scalefac_l
+    return lin
+
+
+def _sfbwidths(g: GranuleInfo, hdr: FrameHeader) -> np.ndarray:
+    if g.window_switching and g.block_type == BLOCK_SHORT:
+        return (T.sfb_mixed(hdr.sample_rate) if g.mixed_block
+                else T.sfb_short_interleaved(hdr.sample_rate))
+    return T.sfb_long(hdr.sample_rate)
+
+
 def requantize(g: GranuleInfo, hdr: FrameHeader) -> np.ndarray:
     """Quantized ints -> float spectrum (576,), scalefactors applied,
-    short blocks reordered to [subband][k][window] line order."""
+    short blocks reordered to [subband][k][window] line order.
+
+    Exponent model from ISO 11172-3 §2.4.3.4.7.1 (and 13818-3 for LSF):
+    walk the applicable sfb-width table with linear scalefactors."""
     x = g.spectrum.astype(np.float64)
     mag = np.abs(x) ** (4.0 / 3.0)
     base = 2.0 ** (0.25 * (g.global_gain - 210))
     sf_mult = 1.0 if g.scalefac_scale else 0.5
-    widths_l = T.sfb_long(hdr.sample_rate)
+    lin = _linear_scalefac(g)
+    widths = _sfbwidths(g, hdr)
     exps = np.zeros(576)
     if g.window_switching and g.block_type == BLOCK_SHORT:
-        widths_s = T.sfb_short(hdr.sample_rate)
         pos = 0
+        sfbi = 0
         if g.mixed_block:
-            # first 36 lines use long bands 0..7
-            for sfb in range(8):
-                w = int(widths_l[sfb])
+            while pos < 36:                # long bands lead the spectrum
+                w = int(widths[sfbi])
                 exps[pos:pos + w] = -sf_mult * (
-                    g.scalefac_l[sfb] + g.preflag * PRETAB[sfb])
+                    lin[sfbi] + g.preflag * int(PRETAB[min(sfbi, 21)]))
                 pos += w
-                if pos >= 36:
-                    break
-            pos = 36
-            sfb0 = 3
-        else:
-            sfb0 = 0
-        for sfb in range(sfb0, 13):
-            w = int(widths_s[sfb])
-            for win in range(3):
-                exps[pos:pos + w] = (-sf_mult * g.scalefac_s[sfb, win]
-                                     - 2.0 * g.subblock_gain[win])
-                pos += w
-                if pos >= 576:
-                    break
+                sfbi += 1
+        win = 0
+        while pos < 576 and sfbi < len(widths):
+            w = int(widths[sfbi])
+            exps[pos:pos + w] = (-sf_mult * lin[sfbi]
+                                 - 2.0 * g.subblock_gain[win])
+            pos += w
+            sfbi += 1
+            win = (win + 1) % 3
     else:
         pos = 0
-        for sfb in range(len(widths_l)):
-            w = int(widths_l[sfb])
+        for sfbi in range(len(widths)):
+            w = int(widths[sfbi])
             exps[pos:pos + w] = -sf_mult * (
-                g.scalefac_l[sfb] + g.preflag * PRETAB[sfb])
+                lin[sfbi] + g.preflag * int(PRETAB[min(sfbi, 21)]))
             pos += w
     xr = np.sign(x) * mag * base * (2.0 ** exps)
     if g.window_switching and g.block_type == BLOCK_SHORT:
-        xr = reorder_short(xr, hdr, g.mixed_block)
+        xr = reorder_short_lin(xr, widths, g.mixed_block)
     return xr
 
 
-def reorder_short(xr: np.ndarray, hdr: FrameHeader,
-                  mixed: bool) -> np.ndarray:
+def reorder_short_lin(xr: np.ndarray, widths: np.ndarray,
+                      mixed: bool) -> np.ndarray:
     """Short-block reorder (ISO 2.4.3.5): from [sfb][window][line] to
-    line order [subband 18-groups of [k][w]]."""
-    widths_s = T.sfb_short(hdr.sample_rate)
+    line order [subband 18-groups of [k][w]], walking the interleaved
+    width table (mixed tables lead with the 36 long-band lines)."""
     out = xr.copy()
-    start_line = 36 if mixed else 0
-    sfb0 = 3 if mixed else 0
-    pos = start_line
-    # build (k, w) -> source mapping per short region
-    src = []
-    dst_lines = []
-    line_of_window: list[list[float]] = []
-    # collect per (sfb, window) runs
-    runs = []
-    p = start_line
-    for sfb in range(sfb0, 13):
-        w = int(widths_s[sfb])
-        for win in range(3):
-            runs.append((win, p, w))
-            p += w
-    # absolute frequency line per window
-    freq_base = [start_line // 3] * 3
-    remap = np.arange(576)
-    for win, p0, w in runs:
-        for j in range(w):
-            line = freq_base[win] + j
-            # destination: subband-major, within subband [k][w] with k =
-            # line % 6? Standard layout: dest = 3*line + ... Let line L
-            # (0..191 per window): dest index = (L // 6) * 18 + (L % 6) * 3
-            # + win  (18-line subbands of k-major [k][w])
-            L = line
-            dest = start_line + ((L - start_line // 3) // 6) * 18 \
-                + ((L - start_line // 3) % 6) * 3 + win
-            remap[dest] = p0 + j
-        freq_base[win] += w
-    out = xr[remap]
+    start = 36 if mixed else 0
+    sfbi = 0
+    pos = 0
+    if mixed:
+        while pos < 36:
+            pos += int(widths[sfbi])
+            sfbi += 1
+    base3 = start // 3
+    freq = [base3] * 3
+    w = 0
+    while pos < 576 and sfbi < len(widths):
+        width = int(widths[sfbi])
+        for j in range(width):
+            L = freq[w] + j
+            dest = start + ((L - base3) // 6) * 18 + ((L - base3) % 6) * 3 \
+                + w
+            out[dest] = xr[pos + j]
+        freq[w] += width
+        pos += width
+        sfbi += 1
+        w = (w + 1) % 3
     return out
 
 
@@ -198,7 +213,10 @@ def stereo_process(hdr: FrameHeader, g_l: GranuleInfo, g_r: GranuleInfo,
         xl[:bound] = (m[:bound] + s[:bound]) * inv
         xr_[:bound] = (m[:bound] - s[:bound]) * inv
     if hdr.intensity_stereo:
-        _apply_intensity(hdr, g_r, xl, xr_)
+        if hdr.lsf:
+            _apply_intensity_lsf(hdr, g_r, xl, xr_)
+        else:
+            _apply_intensity(hdr, g_r, xl, xr_)
 
 
 def _intensity_bound(hdr: FrameHeader, g_r: GranuleInfo) -> int:
@@ -229,6 +247,38 @@ def _apply_intensity(hdr: FrameHeader, g_r: GranuleInfo, xl, xr_) -> None:
         l = xl[a:b].copy()
         xl[a:b] = l * (ratio / (1 + ratio)) if ratio >= 0 else l
         xr_[a:b] = l * (1 / (1 + ratio))
+
+
+def _apply_intensity_lsf(hdr: FrameHeader, g_r: GranuleInfo, xl, xr_) -> None:
+    """LSF intensity positions (ISO 13818-3 §2.4.3.2, libmad
+    layer3.c:1437-1480): scale = io^((is_pos+1)//2) with io selected by
+    the low bit of the right channel's scalefac_compress; odd positions
+    swap the channels; the per-slen all-ones value is illegal.  Long
+    blocks only (as the MPEG-1 path)."""
+    bound = _intensity_bound(hdr, g_r)
+    widths = T.sfb_long(hdr.sample_rate)
+    edges = np.concatenate([[0], np.cumsum(widths)])
+    lin = _linear_scalefac(g_r)
+    ill = g_r.illegal_lin if g_r.illegal_lin is not None \
+        else np.zeros(40, np.int32)
+    step = 0.5 if (g_r.scalefac_compress & 1) else 0.25
+    for sfb in range(len(widths)):
+        a, b = int(edges[sfb]), int(edges[sfb + 1])
+        if a < bound:
+            continue
+        if ill[min(sfb, 38)]:
+            continue
+        is_pos = int(lin[min(sfb, 38)])
+        left = xl[a:b].copy()
+        if is_pos == 0:
+            xr_[a:b] = left
+        else:
+            opposite = left * 2.0 ** (-step * ((is_pos - 1) // 2 + 1))
+            if is_pos & 1:
+                xl[a:b] = opposite
+                xr_[a:b] = left
+            else:
+                xr_[a:b] = opposite
 
 
 def alias_reduce(xr: np.ndarray, block_type: int, mixed: bool) -> np.ndarray:

@@ -59,7 +59,8 @@ QUAD_LUTS = (HuffLut(_NPZ["quadA_codes"], _NPZ["quadA_lens"],
 SYNTHESIS_WINDOW = _NPZ["synthesis_window"]   # ISO Table B.3, 512 taps
 
 _RATE_TAG = {44100: "44100", 48000: "48000", 32000: "32000",
-             22050: "22050", 24000: "24000", 16000: "16000"}
+             22050: "22050", 24000: "24000", 16000: "16000",
+             11025: "11025", 12000: "12000", 8000: "8000"}
 
 
 def sfb_long(rate: int) -> np.ndarray:
@@ -74,6 +75,12 @@ def sfb_short(rate: int) -> np.ndarray:
     the per-band width."""
     return _NPZ[f"sfb_{_RATE_TAG[rate]}_short"].astype(
         np.int32).reshape(-1, 3)[:, 0]
+
+
+def sfb_short_interleaved(rate: int) -> np.ndarray:
+    """Window-interleaved short-block widths (39 entries: sfb-major,
+    window-minor) — the order scalefactors and frequency lines walk."""
+    return _NPZ[f"sfb_{_RATE_TAG[rate]}_short"].astype(np.int32)
 
 
 def sfb_mixed(rate: int) -> np.ndarray:

@@ -85,6 +85,83 @@ def test_alias_reduction_content(tmp_path):
     assert_match(data, 1, tmp_path)
 
 
+class TestLsf:
+    """MPEG-2/2.5 low-sampling-frequency extension vs the libmad oracle."""
+
+    def _check(self, data, ch, tmp, tol=1):
+        ref = oracle_decode(data, ch, tmp)
+        info, out = decode_mp3(data)
+        n = min(out.shape[1], ref.shape[1])
+        d = np.abs(out[:, 576 * 2:n].astype(np.float64)
+                   - ref[:, 576 * 2:n].astype(np.float64))
+        assert d.size and d.max() <= tol, f"max diff {d.max()}"
+        return info
+
+    @pytest.mark.parametrize("ver,rate", [(2, 22050), (2, 16000),
+                                          (25, 11025), (25, 8000)])
+    def test_mono_tone_all_rates(self, ver, rate, tmp_path):
+        spec = np.zeros(576, np.int32)
+        spec[46] = 13
+        data = ENC.build_stream([spec], nframes=12, global_gain=180,
+                                version=ver, sample_rate=rate, bitrate=64)
+        info = self._check(data, 1, tmp_path)
+        assert info.sample_rate == rate
+
+    def test_stereo(self, tmp_path):
+        sl = np.zeros(576, np.int32)
+        sl[30], sl[120] = 9, 6
+        sr = np.zeros(576, np.int32)
+        sr[52] = 11
+        data = ENC.build_stream([sl, sr], nframes=12, global_gain=178,
+                                version=2, sample_rate=22050, bitrate=128)
+        self._check(data, 2, tmp_path)
+
+    def test_short_blocks(self, tmp_path):
+        spec = np.zeros(576, np.int32)
+        spec[60:66] = (8, -8, 8, -8, 8, -8)
+        data = ENC.build_stream([spec], nframes=12, global_gain=182,
+                                version=2, sample_rate=22050, bitrate=64,
+                                block_type=2)
+        self._check(data, 1, tmp_path, tol=2)
+
+    def test_scalefactors_partitioned_slen(self, tmp_path):
+        # scalefac_compress 101 -> slen (1,1,1,1) over nsfb (6,5,5,5)
+        sf = [1, 0, 1, 0, 1, 0] + [1] * 5 + [0] * 5 + [1, 0, 1, 0, 1] \
+            + [0] * 18
+        spec = np.zeros(576, np.int32)
+        for b, v in ((10, 9), (50, 7), (120, 6), (300, 4)):
+            spec[b] = v
+        data = ENC.build_stream([spec], nframes=12, global_gain=186,
+                                version=2, sample_rate=22050, bitrate=64,
+                                scalefac_compress=101, scalefacs=[sf])
+        self._check(data, 1, tmp_path)
+
+    def test_implicit_preflag(self, tmp_path):
+        # compress >= 500 sets preflag (pretab exponents on high bands)
+        sf = [1, 0, 1, 0, 1, 0] + [1] * 5 + [0] * 10 + [1] * 6 + [0] * 12
+        spec = np.zeros(576, np.int32)
+        for b, v in ((10, 9), (120, 6), (300, 4), (500, 3)):
+            spec[b] = v
+        data = ENC.build_stream([spec], nframes=12, global_gain=186,
+                                version=2, sample_rate=22050, bitrate=64,
+                                scalefac_compress=505, scalefacs=[sf])
+        self._check(data, 1, tmp_path)
+
+    def test_intensity_stereo(self, tmp_path):
+        # LSF is-positions (compress 172 -> slen 2): even/odd/zero cases
+        isl = np.zeros(576, np.int32)
+        for b, v in ((20, 10), (21, -8), (80, 7), (200, 5)):
+            isl[b] = v
+        isr = np.zeros(576, np.int32)
+        ispos = [0, 1, 2, 0, 1, 2, 0] * 3
+        data = ENC.build_stream(
+            [isl, isr], nframes=12, global_gain=180, version=2,
+            sample_rate=22050, bitrate=128, intensity=True,
+            scalefac_compress=172,
+            scalefacs=[[0] * 39, ispos + [0] * (39 - len(ispos))])
+        self._check(data, 2, tmp_path)
+
+
 def test_recognition_and_real_file_smoke():
     from ohpipeline_tpu.codecs.mp3 import CodecMp3
     c = CodecMp3()
