@@ -361,7 +361,7 @@ def parse_huffman(br: BitReader, g: GranuleInfo, hdr: FrameHeader,
     # count1: quads until bits exhausted
     lut1 = T.QUAD_LUTS[g.count1table_select]
     while br.pos < end_bit and i <= 572:
-        vals = list(lut1.decode(br))
+        vals = [int(v) for v in lut1.decode(br)]
         for j in range(4):
             if vals[j] and br.read(1):
                 vals[j] = -vals[j]

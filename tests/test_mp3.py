@@ -162,6 +162,25 @@ class TestLsf:
         self._check(data, 2, tmp_path)
 
 
+REAL_LSF_MP3 = pathlib.Path(
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/"
+    "house_lo.mp3")
+
+
+@pytest.mark.skipif(not REAL_LSF_MP3.exists(), reason="no real-world vector")
+def test_real_world_mpeg25_file(tmp_path):
+    """An encoder-produced MPEG-2.5 file (11025 Hz, count1 quads, real
+    scalefactors and bit reservoir) must match libmad to 1 LSB."""
+    raw = REAL_LSF_MP3.read_bytes()
+    ref = oracle_decode(raw, 1, tmp_path)
+    info, out = decode_mp3(raw)
+    assert info.sample_rate == 11025 and info.num_channels == 1
+    n = min(out.shape[1], ref.shape[1])
+    assert n > 70000
+    d = np.abs(out[:, :n].astype(np.float64) - ref[:, :n].astype(np.float64))
+    assert d.max() <= 1, f"max diff {d.max()}"
+
+
 def test_recognition_and_real_file_smoke():
     from ohpipeline_tpu.codecs.mp3 import CodecMp3
     c = CodecMp3()
