@@ -1,0 +1,149 @@
+"""Vorbis codec (Ogg framing).
+
+Parity target: OpenHome/Media/Codec/Vorbis.cpp (adapter over Tremor) —
+validated against the compiled Tremor oracle.  Split: host entropy +
+floor/residue decode (LSB-first bitstream, spec-exact integer floor
+math), device batched IMDCT matmuls per block size, host lapped
+overlap-add (synthesis.Lapper).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ...core.jiffies import Jiffies
+from ...core.streaminfo import PcmStreamInfo
+from ..base import (CodecBase, CodecStreamCorrupt, DecodedBatch, EndOfStream,
+                    StreamReader)
+from ...containers.ogg import OggReader
+from .codebook import VorbisError
+from .headers import parse_comment, parse_identification, parse_setup
+from .synthesis import Lapper, PacketDecoder, imdct_many
+
+GROUP_PACKETS = 64
+
+
+def _to_int16_range(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int32)
+
+
+class _VorbisStream:
+    def __init__(self, info, setup):
+        self.info = info
+        self.decoder = PacketDecoder(info, setup)
+        self.lapper = Lapper(info.channels, info.blocksize[0])
+
+    def decode_packets(self, packets: list[bytes]) -> np.ndarray:
+        """Decode a group: host entropy first, then one device IMDCT
+        batch per block size, then ordered overlap-add."""
+        blocks = []
+        for p in packets:
+            try:
+                r = self.decoder.decode_spectrum(p)
+            except VorbisError:
+                r = None
+            if r is not None:
+                blocks.append(r)
+        if not blocks:
+            return np.zeros((self.info.channels, 0), np.int32)
+        # batch per block size, keeping packet order
+        by_n: dict[int, list[int]] = {}
+        for i, (n, _pf, _nf, _s) in enumerate(blocks):
+            by_n.setdefault(n, []).append(i)
+        times: dict[int, np.ndarray] = {}
+        for n, idxs in by_n.items():
+            spec = np.stack([blocks[i][3] for i in idxs])   # (T, ch, n/2)
+            T, ch, half = spec.shape
+            t = imdct_many(spec.reshape(T * ch, half).astype(np.float32), n)
+            times[n] = t.reshape(T, ch, n)
+        pos_in_group = {n: 0 for n in by_n}
+        outs = []
+        for i, (n, pf, nf, _s) in enumerate(blocks):
+            t = times[n][pos_in_group[n]]
+            pos_in_group[n] += 1
+            outs.append(self.lapper.add_block(t.astype(np.float64), n,
+                                              pf, nf))
+        return _to_int16_range(np.concatenate(outs, axis=1))
+
+
+class CodecVorbis(CodecBase):
+    name = "Vorbis"
+    recognition_cost = 45
+    mime_types = ("audio/ogg", "application/ogg", "audio/x-ogg")
+
+    def __init__(self):
+        self._info: Optional[PcmStreamInfo] = None
+
+    def recognise(self, header: bytes) -> bool:
+        if header[:4] != b"OggS":
+            return False
+        # first page's first packet must be the Vorbis id header
+        return b"\x01vorbis" in header[:128]
+
+    def stream_initialise(self, reader: StreamReader) -> PcmStreamInfo:
+        self._ogg = OggReader(reader)
+        self._packets = self._ogg.packets()
+        try:
+            ident = parse_identification(next(self._packets))
+            _vendor, self.tags = parse_comment(next(self._packets))
+            setup = parse_setup(next(self._packets), ident.channels)
+        except (StopIteration, VorbisError, IndexError) as e:
+            raise CodecStreamCorrupt(f"vorbis headers: {e}")
+        self._vs = _VorbisStream(ident, setup)
+        self._done = False
+        self._sample_pos = 0
+        total = 0
+        self._info = PcmStreamInfo(
+            sample_rate=ident.sample_rate, bit_depth=16,
+            num_channels=ident.channels, codec_name="Vorbis",
+            lossless=False, seekable=False,
+            bitrate=ident.bitrate_nominal or 0,
+            track_length_jiffies=total)
+        return self._info
+
+    def process(self, reader: StreamReader) -> DecodedBatch:
+        if self._done:
+            raise EndOfStream
+        packets = []
+        for p in self._packets:
+            packets.append(p)
+            if len(packets) >= GROUP_PACKETS:
+                break
+        if not packets:
+            raise EndOfStream
+        if len(packets) < GROUP_PACKETS:
+            self._done = True
+        vs = self._vs
+        first = self._sample_pos
+        granule = self._ogg.last_granule
+
+        def run():
+            out = vs.decode_packets(packets)
+            if self._done and granule >= 0:
+                # truncate the tail to the stream's granule count
+                keep = max(0, int(granule) - first)
+                if out.shape[1] > keep:
+                    out = out[:, :keep]
+            self._sample_pos = first + out.shape[1]
+            return out
+
+        return DecodedBatch(self._info, defer=run,
+                            track_offset_samples=first)
+
+
+def decode_vorbis(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:
+    """Whole-buffer decode (tests/tools)."""
+    from ..base import BufferReader
+    codec = CodecVorbis()
+    r = BufferReader(data)
+    info = codec.stream_initialise(r)
+    parts = []
+    while True:
+        try:
+            parts.append(codec.process(r).resolve())
+        except EndOfStream:
+            break
+    return info, (np.concatenate(parts, axis=1) if parts
+                  else np.zeros((info.num_channels, 0), np.int32))

@@ -1,0 +1,75 @@
+"""Vorbis conformance: real-world Ogg file cross-validated against the
+reference's Tremor oracle, plus spec-vector unit tests."""
+
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu.codecs.vorbis import CodecVorbis, decode_vorbis
+from ohpipeline_tpu.codecs.vorbis.bitreader import (LsbBitReader,
+                                                    float32_unpack, ilog,
+                                                    lookup1_values)
+from ohpipeline_tpu.codecs.vorbis.codebook import assign_codewords
+
+ORACLE = pathlib.Path(__file__).resolve().parent.parent / \
+    ".oracle_build" / "vorbis_oracle"
+REAL_OGG = pathlib.Path(
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/"
+    "house_lo.ogg")
+
+
+class TestBitPrimitives:
+    def test_lsb_reader(self):
+        br = LsbBitReader(bytes([0b10110001, 0b11101101]))
+        assert br.read(4) == 0b0001
+        assert br.read(4) == 0b1011
+        assert br.read(3) == 0b101
+        assert br.read(5) == 0b11101
+
+    def test_ilog(self):
+        assert [ilog(x) for x in (0, 1, 2, 3, 4, 7)] == [0, 1, 2, 2, 3, 3]
+
+    def test_float32_unpack(self):
+        # 1.0 = mantissa 1, exponent 788
+        assert float32_unpack((788 << 21) | 1) == 1.0
+        assert float32_unpack((788 << 21) | 1 | (1 << 31)) == -1.0
+
+    def test_lookup1(self):
+        assert lookup1_values(9, 2) == 3
+        assert lookup1_values(8, 2) == 2
+        assert lookup1_values(1, 1) == 1
+
+    def test_canonical_codewords(self):
+        # spec §3.2.1 worked example
+        codes = assign_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+        assert codes == {0: 0b00, 1: 0b0100, 2: 0b0101, 3: 0b0110,
+                         4: 0b0111, 5: 0b10, 6: 0b110, 7: 0b111}
+
+
+@pytest.mark.skipif(not REAL_OGG.exists(), reason="no real-world vector")
+class TestRealFile:
+    def test_recognise(self):
+        raw = REAL_OGG.read_bytes()
+        assert CodecVorbis().recognise(raw[:4096])
+        assert not CodecVorbis().recognise(b"\x00" * 64)
+
+    @pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+    def test_matches_tremor(self, tmp_path):
+        raw = REAL_OGG.read_bytes()
+        fout = tmp_path / "o.raw"
+        subprocess.run([str(ORACLE), "decode", str(REAL_OGG), str(fout)],
+                       check=True, capture_output=True)
+        ref = np.fromfile(fout, np.int16)[None, :]
+        info, out = decode_vorbis(raw)
+        assert info.sample_rate == 11025 and info.num_channels == 1
+        assert out.shape == ref.shape       # exact granule-trimmed length
+        d = np.abs(out.astype(np.float64) - ref.astype(np.float64))
+        assert d.max() <= 1, f"max diff {d.max()}"
+
+    def test_registry_pipeline_decode(self):
+        from ohpipeline_tpu.codecs import default_registry
+        raw = REAL_OGG.read_bytes()
+        codec = default_registry.recognise(raw[:4096])
+        assert codec is not None and codec.name == "Vorbis"

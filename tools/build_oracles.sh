@@ -106,10 +106,32 @@ build_alac() {
   echo "built $OUT/alac_oracle"
 }
 
+build_vorbis() {
+  local src="$REF/Tremor"
+  local oggsrc="$REF/libogg"
+  [ -d "$src" ] || { echo "no Tremor source"; return 1; }
+  local obj="$OUT/vorbis_obj"; mkdir -p "$obj"
+  local objs=()
+  local cflags="-O2 -I$src -I$oggsrc/include -w"
+  for c in bitwise framing; do
+    gcc $cflags -c "$oggsrc/src/$c.c" -o "$obj/ogg_$c.o"
+    objs+=("$obj/ogg_$c.o")
+  done
+  for c in block codebook floor0 floor1 info mapping0 mdct registry \
+           res012 sharedbook synthesis vorbisfile window; do
+    gcc $cflags -c "$src/$c.c" -o "$obj/$c.o"
+    objs+=("$obj/$c.o")
+  done
+  gcc $cflags "$(dirname "$0")/vorbis_oracle.c" "${objs[@]}" -lm \
+      -o "$OUT/vorbis_oracle"
+  echo "built $OUT/vorbis_oracle"
+}
+
 case "${1:-all}" in
   flac) build_flac ;;
   aac) build_aac ;;
   mad) build_mad ;;
   alac) build_alac ;;
-  all) build_flac; build_aac; build_mad; build_alac ;;
+  vorbis) build_vorbis ;;
+  all) build_flac; build_aac; build_mad; build_alac; build_vorbis ;;
 esac
