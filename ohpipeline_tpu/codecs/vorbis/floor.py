@@ -95,7 +95,8 @@ def render_curve(posts, fl: Floor1, n: int) -> np.ndarray:
         hx = fl.x_list[i]
         hy = final[i] * mult
         if lx < n:
-            _render_line(lx, ly, min(hx, n), hy, ydb)
+            # render with the true segment slope; writes clamp to n
+            _render_line(lx, ly, hx, hy, ydb)
         lx, ly = hx, hy
     if hx < n:
         ydb[hx:] = ly
@@ -116,8 +117,10 @@ def _render_line(x0: int, y0: int, x1: int, y1: int,
     ady -= abs(base) * adx
     y = y0
     err = 0
-    v[x0] = y
-    for x in range(x0 + 1, x1):
+    n = len(v)
+    if x0 < n:
+        v[x0] = y
+    for x in range(x0 + 1, min(x1, n)):
         err += ady
         if err >= adx:
             err -= adx

@@ -48,6 +48,50 @@ class TestBitPrimitives:
                          4: 0b0111, 5: 0b10, 6: 0b110, 7: 0b111}
 
 
+@pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+class TestCraftedStreams:
+    """Self-built spec-valid streams exercising paths the real-world file
+    does not: window transitions, stereo, square-polar coupling."""
+
+    def _check(self, ch, pattern, tmp, coupling=False):
+        from ohpipeline_tpu.codecs.vorbis.encoder import StreamSpec
+        rng = np.random.default_rng(7)
+        spec = StreamSpec(channels=ch, sample_rate=44100, bs0=256,
+                          bs1=1024, coupling=coupling)
+        blocks = []
+        for lng in pattern:
+            half = (1024 if lng else 256) // 2
+            r = np.zeros((ch, half), np.int64)
+            m = rng.random((ch, half)) < 0.3
+            r[m] = rng.integers(-2, 3, m.sum())
+            blocks.append((lng, [(140, 120)] * ch, r))
+        data = spec.build(blocks)
+        fin, fout = tmp / "i.ogg", tmp / "o.raw"
+        fin.write_bytes(data)
+        subprocess.run([str(ORACLE), "decode", str(fin), str(fout)],
+                       check=True, capture_output=True)
+        ref = np.fromfile(fout, np.int16).reshape(-1, ch).T
+        info, out = decode_vorbis(data)
+        assert out.shape == ref.shape
+        d = np.abs(out.astype(np.float64) - ref.astype(np.float64))
+        assert d.max() <= 1, f"max diff {d.max()}"
+
+    MIXED = [True, True, False, True, False, False, True, True, False,
+             True]
+
+    def test_mono_window_transitions(self, tmp_path):
+        self._check(1, self.MIXED, tmp_path)
+
+    def test_all_short(self, tmp_path):
+        self._check(1, [False] * 8, tmp_path)
+
+    def test_stereo_uncoupled(self, tmp_path):
+        self._check(2, self.MIXED, tmp_path)
+
+    def test_stereo_square_polar_coupling(self, tmp_path):
+        self._check(2, self.MIXED, tmp_path, coupling=True)
+
+
 @pytest.mark.skipif(not REAL_OGG.exists(), reason="no real-world vector")
 class TestRealFile:
     def test_recognise(self):
