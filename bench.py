@@ -306,6 +306,25 @@ def main() -> int:
     if args.smoke:
         info, out = flac.decode_flac(flac_bytes)
         ok = bool(np.array_equal(out, track))
+        if S_a and ab is not None:
+            # the stacked superstep must match the per-stream device
+            # decode (guards cfg-table plumbing across streams)
+            pcm_s, _ov = ASYN.dequant_filterbank(
+                *[jnp.asarray(a) for a in ab],
+                jnp.asarray(np.zeros((S_a * nch, 1024), np.float32)),
+                *aac_consts)
+            from ohpipeline_tpu.codecs.aac import (_StreamState,
+                                                   decode_group_device)
+            n0, _, b0 = native.aac_parse_group(aac_bytes, 0, channels=nch,
+                                               max_frames=GA)
+            st0 = _StreamState(nch)
+            ref_pcm = decode_group_device(b0, GA, nch, st0)
+            got = np.asarray(pcm_s)[:, 0:nch].transpose(1, 0, 2) \
+                .reshape(nch, -1)
+            got = np.rint(got).astype(np.int32)
+            aac_ok = ref_pcm is not None and np.abs(
+                got[:, :ref_pcm.shape[-1]] - ref_pcm).max() <= 1
+            ok = ok and bool(aac_ok)
     line = {"metric": "flac_aac_decode_realtime_x",
             "value": round(value, 1), "unit": "x_realtime",
             "vs_baseline": round(value / 500.0, 3),

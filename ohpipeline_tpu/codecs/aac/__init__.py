@@ -110,8 +110,8 @@ def prepare_device_group(batch: dict, nframes: int, channels: int,
     cb = batch["cb"][:R]
     sf = batch["sf"][:R]
     quant = batch["quant"][:R]
-    # layout configs
-    cfg_map: dict = {}
+    # layout configs (cfg_map is shared across streams by callers that
+    # stack several parses into one dispatch — do not rebind it)
     cfg_idx = np.zeros(R, np.int32)
     for r in range(R):
         seq = int(ics[r][0])
@@ -125,18 +125,18 @@ def prepare_device_group(batch: dict, nframes: int, channels: int,
     coded[:, :120] = (cb >= 1) & (cb <= 11)
     sf128 = np.zeros((R, 128), np.int16)
     sf128[:, :120] = np.clip(sf, -32768, 32767)
-    # M/S band mask per pair (excluding intensity/noise bands)
+    # M/S band mask per pair (excluding intensity/noise bands), vectorized
     ms = batch["msmask"][:F]
     ms_flag = np.zeros((F, 128), np.uint8)
-    for f in range(F):
-        flag = ms[f][0]
-        if flag == 2:
-            ms_flag[f, :120] = 1
-        elif flag == 1:
-            ms_flag[f, :119] = ms[f][1:120] != 0
-        cbr = cb[f * C + 1]
-        bad = np.isin(cbr, (T.NOISE_CB, T.INTENSITY_CB, T.INTENSITY_CB2))
-        ms_flag[f, :120][bad] = 0
+    flag = ms[:, 0]
+    ms_flag[flag == 2, :120] = 1
+    per_band = flag == 1
+    if per_band.any():
+        ms_flag[per_band, :119] = ms[per_band, 1:120] != 0
+    cbr = cb[1::C]                        # right-channel codebooks (F, 120)
+    bad = ((cbr == T.NOISE_CB) | (cbr == T.INTENSITY_CB)
+           | (cbr == T.INTENSITY_CB2))
+    ms_flag[:, :120][bad] = 0
     # exception rows: TNS / intensity / PNS / int16 overflow
     special = (batch["tnsn"][:R].any(axis=1)
                | (cb >= T.NOISE_CB).any(axis=1))
@@ -154,14 +154,12 @@ def prepare_device_group(batch: dict, nframes: int, channels: int,
         for c in range(C):
             side_spec[si * C + c] = sp[0, c]
             side_row[si * C + c] = f * C + c
-    # opidx + shape tracking
-    opidx = np.zeros((F, C), np.int32)
-    for f in range(F):
-        for c in range(C):
-            r = f * C + c
-            opidx[f, c] = (int(ics[r][0]) * 4 + int(prev_shape[c]) * 2
-                           + int(ics[r][1]))
-            prev_shape[c] = int(ics[r][1])
+    # opidx + shape tracking (prev window shape chains frame to frame)
+    seqs = ics[:R, 0].astype(np.int32).reshape(F, C)
+    shapes = ics[:R, 1].astype(np.int32).reshape(F, C)
+    prevs = np.vstack([prev_shape[None, :C], shapes[:-1]])
+    opidx = seqs * 4 + prevs * 2 + shapes
+    prev_shape[:C] = shapes[-1]
     qt = quant.reshape(F, C, 1024)
     return dict(quant=qt, sf=sf128.reshape(F, C, 128),
                 coded=coded.reshape(F, C, 128),
