@@ -44,19 +44,24 @@ def _load(name: str, sources: list[str]) -> ctypes.CDLL | None:
 
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i16pw = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 
 
 def _flac_lib() -> ctypes.CDLL | None:
     lib = _load("flacunpack", ["flac_unpack.cc"])
     if lib is not None and not getattr(lib, "_sigs_set", False):
-        lib.flac_parse_group.restype = ctypes.c_int
-        lib.flac_parse_group.argtypes = [
+        _common = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i64p,
             ctypes.POINTER(ctypes.c_int)]
+        lib.flac_parse_group.restype = ctypes.c_int
+        lib.flac_parse_group.argtypes = _common
+        lib.flac_parse_group16.restype = ctypes.c_int
+        lib.flac_parse_group16.argtypes = _common + [
+            _i16pw, ctypes.POINTER(ctypes.c_int)]
         lib._sigs_set = True
     return lib
 
@@ -208,3 +213,40 @@ def flac_parse_group(buf: bytes, bit_pos: int, *, sample_rate: int,
                  wasted=wasted, assign=assign, blocksize=blocksize,
                  sample_number=sample_number)
     return n, pos.value, status.value, batch
+
+
+def flac_parse_group16(buf: bytes, bit_pos: int, out16: np.ndarray,
+                       scratch: np.ndarray, *, sample_rate: int,
+                       bits_per_sample: int, max_blocksize: int,
+                       channels: int, max_frames: int,
+                       check_crc16: bool = True):
+    """flac_parse_group with residuals narrowed to int16 directly in C
+    into caller-provided `out16` ((B, stride) int16); `scratch` is a
+    reusable (B, stride) int32 work buffer.  Returns
+    (nframes, new_bit_pos, status, batch, overflow) — when `overflow` is
+    true the int16 data is invalid and batch["data"] (int32 scratch)
+    holds the real values."""
+    lib = _flac_lib()
+    if lib is None:
+        raise RuntimeError("native flac unpacker unavailable")
+    stride = max_blocksize
+    B = max_frames * channels
+    coeffs = np.zeros((B, 32), np.int32)
+    shift = np.zeros(B, np.int32)
+    order = np.zeros(B, np.int32)
+    wasted = np.zeros(B, np.int32)
+    assign = np.zeros(max_frames, np.int32)
+    blocksize = np.zeros(max_frames, np.int32)
+    sample_number = np.zeros(max_frames, np.int64)
+    pos = ctypes.c_int64(bit_pos)
+    status = ctypes.c_int(0)
+    overflow = ctypes.c_int(0)
+    n = lib.flac_parse_group16(
+        buf, len(buf), ctypes.byref(pos), sample_rate, bits_per_sample,
+        max_blocksize, channels, max_frames, stride, int(check_crc16),
+        scratch, coeffs, shift, order, wasted, assign, blocksize,
+        sample_number, ctypes.byref(status), out16, ctypes.byref(overflow))
+    batch = dict(data=scratch, coeffs=coeffs, shift=shift, order=order,
+                 wasted=wasted, assign=assign, blocksize=blocksize,
+                 sample_number=sample_number)
+    return n, pos.value, status.value, batch, bool(overflow.value)

@@ -349,4 +349,38 @@ int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
     return nframes;
 }
 
+// As flac_parse_group, but additionally narrows the residual/warmup data
+// to int16 in `data16` (the common 16-bit-content case; halves the bytes
+// shipped to the accelerator without a separate astype pass).  Sets
+// *overflow when any value doesn't fit — callers then use `data` instead.
+int flac_parse_group16(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
+                       int si_rate, int si_bps, int si_max_blocksize,
+                       int channels, int max_frames, int64_t stride,
+                       int check_crc16,
+                       int32_t* data, int32_t* coeffs, int32_t* shift,
+                       int32_t* order, int32_t* wasted, int32_t* assign,
+                       int32_t* blocksize, int64_t* sample_number,
+                       int* status, int16_t* data16, int* overflow) {
+    int n = flac_parse_group(buf, nbytes, bit_pos, si_rate, si_bps,
+                             si_max_blocksize, channels, max_frames, stride,
+                             check_crc16, data, coeffs, shift, order, wasted,
+                             assign, blocksize, sample_number, status);
+    *overflow = 0;
+    int64_t total = (int64_t)n * channels * stride;
+    int64_t cap = (int64_t)max_frames * channels * stride;
+    for (int64_t i = 0; i < total; i++) {
+        int32_t v = data[i];
+        if (v < -32768 || v > 32767) { *overflow = 1; break; }
+        data16[i] = (int16_t)v;
+    }
+    if (*overflow) {
+        // caller uses the int32 buffer; clear its unparsed tail (buffers
+        // are reused across calls, stale rows must stay silent)
+        memset(data + total, 0, (size_t)(cap - total) * sizeof(int32_t));
+    } else {
+        memset(data16 + total, 0, (size_t)(cap - total) * sizeof(int16_t));
+    }
+    return n;
+}
+
 }  // extern "C"
