@@ -136,7 +136,30 @@ class CodecMp3(CodecBase):
             self._buf += chunk
             self._stream.data = self._buf
 
+    def try_seek(self, sample: int) -> Optional[int]:
+        """CBR byte estimate + header resync on restart (the reference's
+        Mp3.cpp:331 seeks by average byte rate the same way).  The decode
+        pump owns the stream state, so the reset is deferred to the next
+        process() call (the seek flush discards in-flight audio)."""
+        if self._info is None or not self._info.seekable:
+            return None
+        frame = sample // self._hdr.samples_per_frame
+        self._seek_to = frame * self._hdr.samples_per_frame
+        return frame * self._hdr.frame_bytes
+
+    _seek_to: Optional[int] = None
+
+    def _reinit_after_seek(self, reader: StreamReader) -> None:
+        self._buf = reader.read(64 * 1024)
+        self._reader = reader
+        self._stream = BS.Mp3Stream(self._buf)
+        self._state = _StreamState(self._hdr.channels)
+        self._sample_pos = self._seek_to
+        self._seek_to = None
+
     def process(self, reader: StreamReader) -> DecodedBatch:
+        if self._seek_to is not None:     # post-seek restart
+            self._reinit_after_seek(reader)
         self._fill()
         frames = []
         while len(frames) < GROUP_FRAMES:

@@ -181,6 +181,39 @@ def test_real_world_mpeg25_file(tmp_path):
     assert d.max() <= 1, f"max diff {d.max()}"
 
 
+def test_seek_cbr(tmp_path):
+    """try_seek lands on the frame boundary; decode resumes identically
+    (crafted frames have no bit reservoir, so the landing frame is
+    self-contained)."""
+    from ohpipeline_tpu.codecs import BufferReader
+    from ohpipeline_tpu.codecs.mp3 import CodecMp3
+    spec = np.zeros(576, np.int32)
+    spec[46] = 13
+    data = ENC.build_stream([spec], nframes=20, global_gain=180)
+    _info, full = decode_mp3(data)
+    codec = CodecMp3()
+    r = BufferReader(data)
+    info = codec.stream_initialise(r)
+    assert info.seekable
+    target = 1152 * 10
+    byte = codec.try_seek(target)
+    assert byte == 10 * codec._hdr.frame_bytes
+    r._pos = byte
+    parts = []
+    while True:
+        try:
+            parts.append(codec.process(r).resolve())
+        except Exception:
+            break
+    out = np.concatenate(parts, axis=1)
+    # skip the filterbank-priming frames after the jump, then match
+    ref = full[:, target:]
+    n = min(out.shape[1], ref.shape[1])
+    d = np.abs(out[:, 1152 * 2:n].astype(np.int64)
+               - ref[:, 1152 * 2:n].astype(np.int64))
+    assert d.max() <= 1
+
+
 def test_recognition_and_real_file_smoke():
     from ohpipeline_tpu.codecs.mp3 import CodecMp3
     c = CodecMp3()
