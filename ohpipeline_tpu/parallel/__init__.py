@@ -105,7 +105,8 @@ def sharded_pipeline_step(mesh: Mesh, num_channels: int = 2):
     dp_vec = NamedSharding(mesh, P("dp"))
 
     def step(data, coeffs, shift, order, wasted, assign, ramp_start,
-             ramp_end, gain, aac_spec, aac_opidx, aac_overlap):
+             ramp_end, gain, aac_spec, aac_opidx, aac_overlap,
+             vorbis_spec):
         # stage 1: FLAC-family decode + render (stream/dp parallel)
         rendered, peaks = decode_render_step(
             data, coeffs, shift, order, wasted, assign, ramp_start,
@@ -121,13 +122,22 @@ def sharded_pipeline_step(mesh: Mesh, num_channels: int = 2):
             jnp.asarray(ASYN._imdct_matrix(2048)),
             jnp.asarray(ASYN._imdct_matrix(256)),
             jnp.asarray(W), jnp.asarray(SW))
+        # stage 3: Vorbis IMDCT (rows over dp; the MXU matmul splits its
+        # output columns over sp)
+        from ..codecs.vorbis import synthesis as VSYN
+        vorbis_time = jnp.matmul(
+            vorbis_spec, jnp.asarray(VSYN._imdct_op(2048)),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        vorbis_time = jax.lax.with_sharding_constraint(
+            vorbis_time, NamedSharding(mesh, P("dp", "sp")))
         # multiroom fan-out: every chip sees the whole room's meters
         room_meters = jax.lax.with_sharding_constraint(
             peaks, NamedSharding(mesh, P()))
-        return rendered, room_meters, aac_pcm, aac_ov
+        return rendered, room_meters, aac_pcm, aac_ov, vorbis_time
 
     aac_sh = NamedSharding(mesh, P(None, "dp", None))
     in_sh = ((dp_rows,) * 2 + (dp_vec,) * 3 + (dp_vec,) * 4
              + (aac_sh, NamedSharding(mesh, P(None, "dp")),
-                NamedSharding(mesh, P("dp", None))))
+                NamedSharding(mesh, P("dp", None)), dp_rows))
     return jax.jit(step, in_shardings=in_sh)

@@ -1,0 +1,39 @@
+"""Multi-chip sharded pipeline step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+
+from ohpipeline_tpu import parallel
+
+
+class TestShardedStep:
+    def test_mesh_shape(self):
+        mesh = parallel.make_mesh(8)
+        assert mesh.devices.size == 8 and mesh.axis_names == ("dp", "sp")
+
+    def test_full_step_all_stages(self):
+        mesh = parallel.make_mesh(8)
+        dp = mesh.devices.shape[0]
+        nframes = max(8, dp * 2)
+        args = parallel.example_step_args(nframes=nframes, n=1024)
+        rng = np.random.default_rng(3)
+        B = dp * 2
+        aac_spec = rng.standard_normal((4, B, 1024)).astype(np.float32)
+        aac_opidx = np.zeros((4, B), np.int32)
+        aac_ov = np.zeros((B, 1024), np.float32)
+        v_spec = rng.standard_normal((B, 1024)).astype(np.float32)
+        step = parallel.sharded_pipeline_step(mesh, num_channels=2)
+        with mesh:
+            rendered, meters, aac_pcm, new_ov, vtime = step(
+                *args, aac_spec, aac_opidx, aac_ov, v_spec)
+            rendered.block_until_ready()
+        assert rendered.shape == (nframes, 2, 1024)
+        assert meters.shape == (nframes,)
+        assert aac_pcm.shape == (4, B, 1024)
+        assert vtime.shape == (B, 2048)
+        # the meters collective replicates across every device
+        assert len(set(d.device for d in meters.addressable_shards)) == 8
+        # vorbis IMDCT matches the single-device reference op
+        from ohpipeline_tpu.codecs.vorbis.synthesis import imdct_many
+        ref = imdct_many(v_spec, 2048)
+        np.testing.assert_allclose(np.asarray(vtime), ref, atol=1e-3)
