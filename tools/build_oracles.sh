@@ -127,11 +127,36 @@ build_vorbis() {
   echo "built $OUT/vorbis_oracle"
 }
 
+build_opus() {
+  local src="$REF/opus-1.5.2"
+  local oggsrc="$REF/libogg"
+  [ -d "$src" ] || { echo "no opus source"; return 1; }
+  local obj="$OUT/opus_build"
+  if [ ! -f "$obj/libopus.a" ]; then
+    cmake -S "$src" -B "$obj" -G Ninja -DCMAKE_BUILD_TYPE=Release \
+          -DOPUS_BUILD_TESTING=OFF -DOPUS_BUILD_PROGRAMS=OFF \
+          -DOPUS_BUILD_SHARED_LIBRARY=OFF -DOPUS_X86_MAY_HAVE_AVX2=OFF \
+          > /dev/null
+    cmake --build "$obj" --target opus -j2 > /dev/null
+  fi
+  local oobj="$OUT/vorbis_obj"; mkdir -p "$oobj"
+  for c in bitwise framing; do
+    [ -f "$oobj/ogg_$c.o" ] || \
+      gcc -O2 -I"$oggsrc/include" -w -c "$oggsrc/src/$c.c" -o "$oobj/ogg_$c.o"
+  done
+  gcc -O2 -I"$src/include" -I"$oggsrc/include" -w \
+      "$(dirname "$0")/opus_oracle.c" "$oobj/ogg_bitwise.o" \
+      "$oobj/ogg_framing.o" "$obj/libopus.a" -lm -o "$OUT/opus_oracle"
+  echo "built $OUT/opus_oracle"
+}
+
 case "${1:-all}" in
   flac) build_flac ;;
   aac) build_aac ;;
   mad) build_mad ;;
   alac) build_alac ;;
   vorbis) build_vorbis ;;
-  all) build_flac; build_aac; build_mad; build_alac; build_vorbis ;;
+  opus) build_opus ;;
+  all) build_flac; build_aac; build_mad; build_alac; build_vorbis; \
+       build_opus ;;
 esac
