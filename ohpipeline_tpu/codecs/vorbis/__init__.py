@@ -94,13 +94,20 @@ class CodecVorbis(CodecBase):
         self._vs = _VorbisStream(ident, setup)
         self._done = False
         self._sample_pos = 0
-        total = 0
+        # duration estimate from the nominal bitrate (the reference's
+        # Vorbis.cpp:208 does the same when no seek table exists; exact
+        # length comes from the final page granule at EOS)
+        total_jiffies = 0
+        nbytes = reader.stream_bytes or 0
+        if nbytes and ident.bitrate_nominal:
+            seconds = nbytes * 8 / ident.bitrate_nominal
+            total_jiffies = int(seconds * Jiffies.kPerSecond)
         self._info = PcmStreamInfo(
             sample_rate=ident.sample_rate, bit_depth=16,
             num_channels=ident.channels, codec_name="Vorbis",
             lossless=False, seekable=False,
             bitrate=ident.bitrate_nominal or 0,
-            track_length_jiffies=total)
+            track_length_jiffies=total_jiffies)
         return self._info
 
     def process(self, reader: StreamReader) -> DecodedBatch:
