@@ -102,15 +102,43 @@ class CodecVorbis(CodecBase):
         if nbytes and ident.bitrate_nominal:
             seconds = nbytes * 8 / ident.bitrate_nominal
             total_jiffies = int(seconds * Jiffies.kPerSecond)
+        self._ident = ident
+        self._setup = setup
+        self._stream_bytes = nbytes
+        self._pending_seek: Optional[int] = None
         self._info = PcmStreamInfo(
             sample_rate=ident.sample_rate, bit_depth=16,
             num_channels=ident.channels, codec_name="Vorbis",
-            lossless=False, seekable=False,
+            lossless=False,
+            seekable=bool(nbytes and ident.bitrate_nominal),
             bitrate=ident.bitrate_nominal or 0,
             track_length_jiffies=total_jiffies)
         return self._info
 
+    def try_seek(self, sample: int) -> Optional[int]:
+        """Coarse seek: bitrate-proportional byte estimate; decode
+        restarts at the next Ogg page boundary found there (the
+        reference's Tremor does precise granule bisection — NEXT.md).
+        The reset is deferred to the decode thread's process()."""
+        if self._info is None or not self._info.seekable:
+            return None
+        seconds = sample / self._ident.sample_rate
+        byte = int(seconds * self._ident.bitrate_nominal / 8)
+        byte = max(0, min(byte, self._stream_bytes - 1))
+        self._pending_seek = sample
+        return byte
+
+    def _reinit_after_seek(self, reader: StreamReader) -> None:
+        self._ogg = OggReader(reader, serial=self._ogg.serial)
+        self._packets = self._ogg.packets()
+        self._vs = _VorbisStream(self._ident, self._setup)
+        self._sample_pos = self._pending_seek
+        self._done = False
+        self._pending_seek = None
+
     def process(self, reader: StreamReader) -> DecodedBatch:
+        if self._pending_seek is not None:   # post-seek restart
+            self._reinit_after_seek(reader)
         if self._done:
             raise EndOfStream
         packets = []

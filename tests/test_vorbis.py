@@ -93,6 +93,36 @@ class TestCraftedStreams:
 
 
 @pytest.mark.skipif(not REAL_OGG.exists(), reason="no real-world vector")
+class TestSeek:
+    def test_coarse_seek_resumes(self):
+        from ohpipeline_tpu.codecs import BufferReader
+        raw = REAL_OGG.read_bytes()
+        codec = CodecVorbis()
+        r = BufferReader(raw)
+        info = codec.stream_initialise(r)
+        assert info.seekable
+        _info2, full = decode_vorbis(raw)
+        target = 40000
+        byte = codec.try_seek(target)
+        assert 0 < byte < len(raw)
+        r._pos = byte
+        parts = []
+        while True:
+            try:
+                parts.append(codec.process(r).resolve())
+            except Exception:
+                break
+        out = np.concatenate(parts, axis=1)
+        # resumed decode: substantial audio with energy comparable to the
+        # tail of the full decode (coarse landing, not sample-aligned)
+        assert out.shape[1] > 10000
+        tail_rms = np.sqrt((full[:, target:].astype(np.float64) ** 2)
+                           .mean())
+        out_rms = np.sqrt((out.astype(np.float64) ** 2).mean())
+        assert 0.2 * tail_rms < out_rms < 5 * tail_rms
+
+
+@pytest.mark.skipif(not REAL_OGG.exists(), reason="no real-world vector")
 class TestRealFile:
     def test_recognise(self):
         raw = REAL_OGG.read_bytes()
