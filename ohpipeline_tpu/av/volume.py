@@ -120,20 +120,31 @@ class VolumeReporter(VolumeElement):
 
 
 class VolumeSourceOffset(VolumeElement):
-    """Per-source volume offset (reference VolumeSourceOffset)."""
+    """Per-source volume offset (reference VolumeSourceOffset).
+
+    Mirrors VolumeManager.cpp DoSetVolume: user volume 0 always forces
+    downstream 0 (a positive source offset must never make a muted-by-zero
+    device audible).
+    """
 
     def __init__(self, downstream):
         super().__init__(downstream)
         self._offset = 0
         self._current = 0
 
+    def _apply(self) -> None:
+        if self._current == 0:
+            self._down.set_volume(0)
+        else:
+            self._down.set_volume(max(0, self._current + self._offset))
+
     def set_offset(self, offset: int) -> None:
         self._offset = offset
-        self._down.set_volume(max(0, self._current + offset))
+        self._apply()
 
     def set_volume(self, volume: int) -> None:
         self._current = volume
-        self._down.set_volume(max(0, volume + self._offset))
+        self._apply()
 
 
 class VolumeUnityGain(VolumeElement):

@@ -121,10 +121,11 @@ def prepare_device_group(batch: dict, nframes: int, channels: int,
         if key not in cfg_map and len(cfg_map) >= NCFG:
             return None
         cfg_idx[r] = cfg_map.setdefault(key, len(cfg_map))
+    # cb/sf rows are SFB_SLOTS (=128) wide; band indices span [0, 120)
     coded = np.zeros((R, 128), np.uint8)
-    coded[:, :120] = (cb >= 1) & (cb <= 11)
+    coded[:, :120] = (cb[:, :120] >= 1) & (cb[:, :120] <= 11)
     sf128 = np.zeros((R, 128), np.int16)
-    sf128[:, :120] = np.clip(sf, -32768, 32767)
+    sf128[:, :120] = np.clip(sf[:, :120], -32768, 32767)
     # M/S band mask per pair (excluding intensity/noise bands), vectorized
     ms = batch["msmask"][:F]
     ms_flag = np.zeros((F, 128), np.uint8)
@@ -132,8 +133,8 @@ def prepare_device_group(batch: dict, nframes: int, channels: int,
     ms_flag[flag == 2, :120] = 1
     per_band = flag == 1
     if per_band.any():
-        ms_flag[per_band, :119] = ms[per_band, 1:120] != 0
-    cbr = cb[1::C]                        # right-channel codebooks (F, 120)
+        ms_flag[per_band, :120] = ms[per_band, 1:121] != 0
+    cbr = cb[1::C, :120]                  # right-channel codebooks (F, 120)
     bad = ((cbr == T.NOISE_CB) | (cbr == T.INTENSITY_CB)
            | (cbr == T.INTENSITY_CB2))
     ms_flag[:, :120][bad] = 0

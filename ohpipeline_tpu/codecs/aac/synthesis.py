@@ -429,7 +429,7 @@ def prepare_group(batch: dict, nframes: int, channels: int,
             if flag == 2:
                 mask_band[:] = True
             elif flag == 1:
-                mask_band[: 119] = ms[f][1:120] != 0
+                mask_band[:120] = ms[f][1:121] != 0
             cbr = cb[rr]
             is_band = np.isin(cbr, (T.INTENSITY_CB, T.INTENSITY_CB2))
             ms_sel = mask_band[band] & ~is_band[band] \

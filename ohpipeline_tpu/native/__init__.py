@@ -132,7 +132,7 @@ def have_aac_unpack() -> bool:
     return _aac_lib() is not None
 
 
-SFB_SLOTS = 120
+SFB_SLOTS = 128  # must match aac_unpack.cc (8 groups x 15 stride + mask byte)
 
 
 def aac_parse_group(buf: bytes, byte_pos: int, *, channels: int,

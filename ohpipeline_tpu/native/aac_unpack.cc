@@ -76,7 +76,9 @@ Lut g_spec[12];          // 1..11
 Lut g_scl;               // dim 1, vals int8? use int16 via rows->vals16
 const int16_t* g_scl_vals = nullptr;
 
-const int SFB_SLOTS = 120;
+// 8 groups x 15-sfb stride + 1 mask sentinel byte = 121; round to 128 so
+// the M/S mask row (offset by 1) can never touch the next row.
+const int SFB_SLOTS = 128;
 int16_t g_sfb_long[13][52];
 int16_t g_sfb_short[13][16];
 int g_nsfb[13][2];
@@ -226,6 +228,11 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
     Ics ics;
     if (common && shared) ics = *shared;
     else if (!parse_ics_info(br, ics)) return false;
+    // A crafted/corrupt frame can code max_sfb beyond the SFB table for
+    // this rate; offsets[k+1] would then read garbage widths and the
+    // spectral write below would index out of [0,1024).  Reject it.
+    if (ics.max_sfb > g_nsfb[rate_index][ics.short_win() ? 1 : 0])
+        return false;
     out.ics[0] = ics.seq;
     out.ics[1] = ics.shape;
     out.ics[2] = ics.max_sfb;
@@ -320,6 +327,7 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
             int c = out.cb[g * 15 + k];
             int width = offsets[k + 1] - offsets[k];
             int n = width * wins;
+            if (n < 0 || pos + n > 1024) return false;  // defensive bound
             if (c == 0 || c == 12 || c >= 13) { pos += n; continue; }
             const Lut& lut = g_spec[c];
             for (int i = 0; i < n; i += lut.dim) {
@@ -412,7 +420,12 @@ int aac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
                 int common = br.read(1);
                 Ics shared;
                 if (common) {
-                    if (!parse_ics_info(br, shared)) { bad = true; break; }
+                    if (!parse_ics_info(br, shared)
+                        || shared.max_sfb >
+                               g_nsfb[rate_index][shared.short_win() ? 1 : 0]) {
+                        bad = true;
+                        break;
+                    }
                     int ms_present = br.read(2);
                     if (ms_present == 1) {
                         ms[0] = 1;

@@ -221,6 +221,7 @@ int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
     int w = 0;
     if (br.read(1)) w = 1 + br.read_unary();
     if (!br.ok) return -2;
+    if (w >= bps) return -9;   // wasted bits must leave >=1 sample bit
     bps -= w;
     *wasted = w;
     *shift = 0;
@@ -237,6 +238,7 @@ int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
     }
     if (stype >= 8 && stype <= 12) {
         int o = stype & 7;
+        if (o > blocksize) return -10;  // warmup may not exceed the frame
         for (int i = 0; i < o; i++)
             data[i] = (int32_t)br.read_signed(bps);
         for (int i = 0; i < o; i++) coeffs[i] = kFixedCoeffs[o][i];
@@ -246,6 +248,7 @@ int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
     }
     if (stype >= 32) {
         int o = (stype & 31) + 1;
+        if (o > blocksize) return -10;  // warmup may not exceed the frame
         for (int i = 0; i < o; i++)
             data[i] = (int32_t)br.read_signed(bps);
         int precision = (int)br.read(4) + 1;

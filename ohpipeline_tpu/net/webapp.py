@@ -63,6 +63,10 @@ class WebApp:
     def tab_created(self, tab: Tab) -> None:
         pass
 
+    def tab_destroyed(self, tab: Tab) -> None:
+        """Called when a tab is terminated or reaped; apps release any
+        per-tab resources (subscriptions) here."""
+
     def receive(self, tab: Tab, message: dict) -> None:
         pass
 
@@ -117,6 +121,16 @@ class WebAppFramework:
         self._apps[app.name] = app
 
     # -- internals -----------------------------------------------------------
+    def _destroy_tab(self, tid: int) -> None:
+        with self._lock:
+            entry = self._tabs.pop(tid, None)
+        if entry is not None:
+            app_name, tab = entry
+            tab.destroyed = True
+            app = self._apps.get(app_name)
+            if app is not None:
+                app.tab_destroyed(tab)
+
     def _reap_loop(self) -> None:
         while self._running:
             time.sleep(2.0)
@@ -124,8 +138,8 @@ class WebAppFramework:
             with self._lock:
                 dead = [tid for tid, (_a, t) in self._tabs.items()
                         if now - t.last_seen > TAB_TIMEOUT_S]
-                for tid in dead:
-                    self._tabs.pop(tid)
+            for tid in dead:
+                self._destroy_tab(tid)
 
     def _handle(self, h, method: str) -> None:
         parsed = urllib.parse.urlparse(h.path)
@@ -165,8 +179,7 @@ class WebAppFramework:
                 msgs = tab.poll()
                 h._reply(200, json.dumps(msgs).encode())
             elif sub == "lpterminate":
-                with self._lock:
-                    self._tabs.pop(tid, None)
+                self._destroy_tab(tid)
                 h._reply(200, b"{}")
             else:  # send
                 length = int(h.headers.get("Content-Length", 0))
@@ -195,6 +208,10 @@ class ConfigApp(WebApp):
 
     def __init__(self, config_manager):
         self._cm = config_manager
+        # tab id -> [(config_val, subscription_id)] so reaped/terminated
+        # tabs release their callbacks (previously leaked forever)
+        self._subs: dict[int, list] = {}
+        self._subs_lock = threading.Lock()
 
     def _meta(self) -> list[dict]:
         from ..av.config import ConfigChoice, ConfigNum, ConfigText
@@ -226,13 +243,22 @@ class ConfigApp(WebApp):
         for entry in self._meta():
             tab.send({"type": "update", "key": entry["key"],
                       "value": entry["value"]})
+        subs = []
         for key in self._cm.keys():
             val = self._cm.get(key)
 
             def cb(k, v, _tab=tab):
                 if not _tab.destroyed:
                     _tab.send({"type": "update", "key": k, "value": v})
-            val.subscribe(cb)
+            subs.append((val, val.subscribe(cb)))
+        with self._subs_lock:
+            self._subs[tab.id] = subs
+
+    def tab_destroyed(self, tab: Tab) -> None:
+        with self._subs_lock:
+            subs = self._subs.pop(tab.id, [])
+        for val, sid in subs:
+            val.unsubscribe(sid)
 
     def receive(self, tab: Tab, message: dict) -> None:
         if message.get("type") == "set":
@@ -252,20 +278,27 @@ async function boot() {
   const meta = await (await fetch('meta.json')).json();
   const sid = (await (await fetch('lpcreate')).json())['session-id'];
   const div = document.getElementById('cfg');
-  for (const m of meta) {
+  const inputs = new Map();   // key -> input (no innerHTML: values/keys
+  for (const m of meta) {     // are user data and must never parse as HTML)
     const row = document.createElement('div');
-    row.innerHTML = `<label>${m.key}</label> ` +
-      `<input id="${m.key}" value="${m.value}">`;
-    row.lastChild.onchange = (e) => fetch(`send?session-id=${sid}`, {
+    const label = document.createElement('label');
+    label.textContent = m.key;
+    const input = document.createElement('input');
+    input.value = String(m.value);
+    input.onchange = (e) => fetch(`send?session-id=${sid}`, {
       method: 'POST',
       body: JSON.stringify({type:'set', key:m.key, value:e.target.value})});
+    row.appendChild(label);
+    row.appendChild(document.createTextNode(' '));
+    row.appendChild(input);
+    inputs.set(m.key, input);
     div.appendChild(row);
   }
   while (true) {
     const msgs = await (await fetch(`lp?session-id=${sid}`)).json();
     for (const m of msgs)
-      if (m.type === 'update' && document.getElementById(m.key))
-        document.getElementById(m.key).value = m.value;
+      if (m.type === 'update' && inputs.has(m.key))
+        inputs.get(m.key).value = String(m.value);
   }
 }
 boot();

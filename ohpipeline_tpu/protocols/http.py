@@ -168,6 +168,18 @@ class ProtocolHttp(Protocol):
                     resp = self._open(uri, start=seek)
                 except (urllib.error.URLError, OSError):
                     return ProtocolStreamResult.ERROR_RECOVERABLE
+                # A server that ignores Range answers 200 from byte 0;
+                # treating that as the seek offset desyncs decode.  Accept
+                # only 206 whose Content-Range starts at the requested byte
+                # (a 200 at seek==0 is equivalent and fine).
+                if seek > 0:
+                    status = getattr(resp, "status", None) or resp.getcode()
+                    crange = resp.headers.get("Content-Range") or ""
+                    ok = status == 206 and crange.startswith("bytes ") \
+                        and crange[6:].split("-")[0].strip() == str(seek)
+                    if not ok:
+                        resp.close()
+                        return ProtocolStreamResult.ERROR_RECOVERABLE
                 self.supply.output_flush(self._flush_id)
                 continue
             if not data:

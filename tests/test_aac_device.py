@@ -65,10 +65,10 @@ def test_device_path_handles_exception_rows(tmp_path):
 def test_mono_falls_back():
     rng = np.random.default_rng(0)
     batch = dict(rate_index=4, ics=np.zeros((4, 4), np.int32),
-                 cb=np.zeros((4, 120), np.int8),
-                 sf=np.zeros((4, 120), np.int32),
+                 cb=np.zeros((4, 128), np.int8),
+                 sf=np.zeros((4, 128), np.int32),
                  quant=np.zeros((4, 1024), np.int32),
-                 msmask=np.zeros((4, 120), np.uint8),
+                 msmask=np.zeros((4, 128), np.uint8),
                  tnsn=np.zeros((4, 8), np.int32),
                  tnsp=np.zeros((4, 24, 3), np.int32),
                  tnsc=np.zeros((4, 24, 12), np.float32))

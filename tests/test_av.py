@@ -103,6 +103,19 @@ class TestVolume:
         vm.unmute()
         assert hw[-1] == 50 and not vm.muted
 
+    def test_source_offset_never_unmutes_zero(self):
+        # VolumeManager.cpp DoSetVolume: user volume 0 forces downstream 0
+        # even when the active source carries a positive volume offset.
+        vm, hw = self.make()
+        vm.offset.set_offset(10)
+        vm.set_volume(50)
+        assert hw[-1] == 60
+        vm.set_volume(0)
+        assert hw[-1] == 0
+        # and changing the offset while at zero must stay silent
+        vm.offset.set_offset(20)
+        assert hw[-1] == 0
+
     def test_inc_dec_and_observer(self):
         vm, _ = self.make()
         seen = []

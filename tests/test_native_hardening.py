@@ -1,0 +1,165 @@
+"""Crafted/corrupt-stream hardening for the native unpackers.
+
+The reference survives hostile network bitstreams (its decoders are fuzzed
+and valgrind-checked on every commit, SURVEY.md §4); these tests pin the
+equivalent guarantees for the C unpackers:
+
+* AAC: an ADTS frame coding max_sfb beyond the SFB table for its rate
+  (aac_unpack.cc parse_ics_stream) must be rejected, not decoded with
+  garbage band widths (previously an OOB heap write).
+* FLAC: an LPC/fixed subframe whose predictor order exceeds the frame
+  blocksize (possible when STREAMINFO claims max_blocksize < 32) must be
+  rejected before warm-up samples are written (previously overflowed the
+  caller's row buffer).  Likewise wasted-bits >= bps (shift-count UB).
+"""
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu import native
+from ohpipeline_tpu.codecs.flac.bitreader import BitWriter, crc8, crc16
+
+
+pytestmark = pytest.mark.skipif(
+    not (native.have_flac_unpack() and native.have_aac_unpack()),
+    reason="native unpackers unavailable")
+
+
+def _flac_frame(blocksize: int, subframe_bits) -> bytes:
+    """One mono 16-bit FLAC frame with caller-supplied subframe payload."""
+    bw = BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)                      # fixed-blocksize stream
+    bw.write(6, 4)                      # 8-bit blocksize-1 follows
+    bw.write(0, 4)                      # rate from STREAMINFO
+    bw.write(0, 4)                      # mono
+    bw.write(4, 3)                      # 16-bit
+    bw.write(0, 1)
+    bw.write_utf8_coded(0)              # frame number 0
+    bw.write(blocksize - 1, 8)
+    hdr = bytes(bw._out)
+    bw.write(crc8(hdr), 8)
+    subframe_bits(bw)
+    bw.align_byte()
+    frame = bw.getvalue()
+    import struct
+    return frame + struct.pack(">H", crc16(frame))
+
+
+def test_flac_rejects_order_above_blocksize():
+    # LPC order 32 inside a 16-sample frame: the 32 warm-up samples would
+    # overflow the (max_frames*channels, 16) int32 row buffer.
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(32 + 31, 6)            # LPC, order 32
+        bw.write(0, 1)                  # no wasted bits
+        for _ in range(32):             # warm-up
+            bw.write_signed(1, 16)
+        bw.write(13, 4)                 # precision-1
+        bw.write_signed(2, 5)
+        for _ in range(32):
+            bw.write_signed(1, 14)
+        bw.write(0, 2)                  # residual method 0
+        bw.write(0, 4)                  # porder 0
+        bw.write(0, 4)                  # rice param 0 (no residuals fit)
+
+    buf = _flac_frame(16, sub)
+    n, _, _, batch = native.flac_parse_group(
+        buf, 0, sample_rate=44100, bits_per_sample=16, max_blocksize=16,
+        channels=1, max_frames=1)
+    assert n == 0
+    assert not batch["data"].any()      # warm-up must not have been written
+
+
+def test_flac_rejects_wasted_bits_eating_all_bps():
+    # wasted >= bps leaves read_signed(<=0) — undefined shift before fix.
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(1, 6)                  # VERBATIM
+        bw.write(1, 1)                  # wasted-bits flag
+        bw.write_unary(16)              # wasted = 17 > bps 16
+        for _ in range(16):
+            bw.write(0, 8)
+
+    buf = _flac_frame(16, sub)
+    n, _, _, _ = native.flac_parse_group(
+        buf, 0, sample_rate=44100, bits_per_sample=16, max_blocksize=16,
+        channels=1, max_frames=1)
+    assert n == 0
+
+
+class _AdtsWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def payload(self) -> bytes:
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8))
+
+
+def _adts(payload: bytes, rate_index: int = 4) -> bytes:
+    frame_len = 7 + len(payload)
+    hdr = bytearray(7)
+    hdr[0] = 0xFF
+    hdr[1] = 0xF1                        # MPEG-4, no CRC
+    hdr[2] = (1 << 6) | (rate_index << 2)  # AAC-LC profile
+    hdr[2] |= 0                          # channel cfg high bit
+    hdr[3] = (2 << 6) | ((frame_len >> 11) & 0x3)
+    hdr[4] = (frame_len >> 3) & 0xFF
+    hdr[5] = ((frame_len & 0x7) << 5) | 0x1F
+    hdr[6] = 0xFC
+    return bytes(hdr) + payload
+
+
+def test_aac_rejects_max_sfb_beyond_rate_table():
+    # Long-window SCE with max_sfb=63: 44.1 kHz has far fewer long SFBs;
+    # band widths read past the table end and previously drove OOB writes.
+    w = _AdtsWriter()
+    w.write(0, 3)                        # SCE
+    w.write(0, 4)                        # instance tag
+    w.write(100, 8)                      # global gain
+    w.write(0, 1)                        # ics_reserved
+    w.write(0, 2)                        # long window
+    w.write(0, 1)                        # shape
+    w.write(63, 6)                       # max_sfb (bogus)
+    w.write(0, 1)                        # no prediction
+    # section data: claim everything codebook 1 so decode proceeds
+    w.write(1, 4)
+    w.write(31, 5)
+    w.write(1, 4)
+    w.write(31, 5)
+    w.write(1, 4)
+    w.write(1, 5)
+    w.write(7, 3)                        # END
+    buf = _adts(w.payload())
+    n, pos, batch = native.aac_parse_group(buf, 0, channels=1, max_frames=1)
+    assert n == 0
+    assert not batch["quant"].any()
+
+
+def test_aac_rejects_cpe_shared_max_sfb():
+    # CPE with common_window and bogus shared max_sfb: the M/S mask loop
+    # previously wrote SFB_SLOTS bytes from a 63-entry iteration.
+    w = _AdtsWriter()
+    w.write(1, 3)                        # CPE
+    w.write(0, 4)
+    w.write(1, 1)                        # common window
+    w.write(0, 1)                        # ics_reserved
+    w.write(0, 2)
+    w.write(0, 1)
+    w.write(63, 6)                       # shared max_sfb (bogus)
+    w.write(0, 1)
+    w.write(1, 2)                        # ms_present = 1 (per-band mask)
+    for _ in range(63):
+        w.write(1, 1)
+    w.write(7, 3)
+    buf = _adts(w.payload())
+    n, pos, batch = native.aac_parse_group(buf, 0, channels=2, max_frames=1)
+    assert n == 0

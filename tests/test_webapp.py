@@ -108,3 +108,18 @@ class TestConfigUi:
         _, body = get(f"{base}/lp?session-id={sid}")
         assert any(m["type"] == "error" for m in json.loads(body))
         assert vol.value == 70
+
+    def test_tab_subscriptions_released_on_terminate(self, framework):
+        cm = ConfigManager()
+        vol = cm.create_num("Volume.Limit", 0, 100, 85)
+        app = ConfigApp(cm)
+        framework.add_app(app)
+        base = f"http://127.0.0.1:{framework.port}/config"
+        before = len(vol._observers)
+        _, body = get(f"{base}/lpcreate")
+        sid = json.loads(body)["session-id"]
+        assert len(vol._observers) == before + 1
+        get(f"{base}/lpterminate?session-id={sid}")
+        # reaped/terminated tabs must unsubscribe their config callbacks
+        assert len(vol._observers) == before
+        assert not app._subs
