@@ -85,6 +85,12 @@ class AnimatorBase:
         """Returns False when the loop should stop."""
         if isinstance(e, ev.AudioPcmEvent):
             audio_batch.append(e)
+        elif isinstance(e, ev.AudioDsdEvent):
+            # DSD bypasses the gain batcher (the reference never ramps DSD
+            # samples — MuterVolume handles level; IDsdProcessor sink,
+            # Msg.h:1204-1278).  Flush queued PCM first to keep ordering.
+            self._flush(audio_batch)
+            self.sink(e.data, e.info)
         elif e.kind == "silence" and self.info is not None:
             n = e.num_samples(self.info.sample_rate)
             if n > 0:

@@ -111,6 +111,7 @@ class Stopper(Element):
         self._lock = threading.RLock()
         self._halt_pending = False
         self._ramp_on_pause = True
+        self._flushing_stream = False   # stream refused by OkToPlay
 
     # -- control API (PipelineManager calls these) -------------------------
     def play(self) -> None:
@@ -173,10 +174,20 @@ class Stopper(Element):
             e = self._next()
             with self._lock:
                 if e.kind == "mode":
-                    pass
+                    self._flushing_stream = False
                 elif e.kind == "decoded_stream":
+                    # stream admission (Stopper.cpp:221-259): every new
+                    # stream must be arbitrated via OkToPlay; refused
+                    # streams are swallowed along with their audio.
+                    if not self._ok_to_play(e.stream_id):
+                        self._flushing_stream = True
+                        continue
+                    self._flushing_stream = False
                     if self.state in (StopperState.STOPPED,):
                         self.state = StopperState.RUNNING
+                elif (isinstance(e, (ev.AudioPcmEvent, ev.AudioDsdEvent))
+                      or e.kind == "silence") and self._flushing_stream:
+                    continue
                 elif isinstance(e, ev.AudioPcmEvent):
                     if self.state == StopperState.RAMPING_DOWN:
                         e, done = self._ramp.apply(e, self._defer)
@@ -207,7 +218,19 @@ class Skipper(Element):
         self._flushing = False
         self._flush_id = ev.FlushEvent.ID_INVALID
         self._stream_handler = stream_handler
+        self._stream_id = 0
         self._lock = threading.RLock()
+
+    def _try_stop_upstream(self) -> None:
+        """Halt the protocol feeding the removed stream (Skipper.cpp calls
+        IStreamHandler::TryStop); the returned flush id marks where the
+        discard ends."""
+        handler = self._stream_handler
+        if handler is None:
+            return
+        fid = handler.try_stop(self._stream_id)
+        if fid != ev.FlushEvent.ID_INVALID:
+            self._flush_id = fid
 
     def remove_current_stream(self, ramp_down: bool = True) -> None:
         with self._lock:
@@ -215,6 +238,7 @@ class Skipper(Element):
                 self._ramp.start(RampDirection.DOWN)
             else:
                 self._flushing = True
+                self._try_stop_upstream()
 
     def try_remove_stream(self, flush_id: int) -> None:
         with self._lock:
@@ -231,11 +255,16 @@ class Skipper(Element):
                         if done:
                             self._flushing = True
                             self._deferred.clear()
+                            self._try_stop_upstream()
                         return e
                     if self._flushing:
                         continue
                 elif e.kind in ("track", "mode", "encoded_stream",
                                 "decoded_stream"):
+                    if e.kind == "decoded_stream":
+                        self._stream_handler = (e.stream_handler
+                                                or self._stream_handler)
+                        self._stream_id = e.stream_id
                     self._flushing = False
                 elif e.kind == "flush":
                     if e.id == self._flush_id:
@@ -256,7 +285,16 @@ class Waiter(Element):
         self._down = _RampEngine(ramp_jiffies)
         self._up = _RampEngine(ramp_jiffies)
         self._waiting = False
+        self._target_flush = ev.FlushEvent.ID_INVALID
         self._observer = observer or (lambda w: None)
+
+    def wait(self, flush_id: int) -> None:
+        """Render-side wait command (Waiter::Wait): ramp down, go quiet,
+        and resume when FlushEvent(flush_id) passes (PipelineManager.h
+        Wait(aFlushId))."""
+        self._target_flush = flush_id
+        if not self._waiting:
+            self._down.start(RampDirection.DOWN)
 
     def pull(self):
         while True:
@@ -265,6 +303,17 @@ class Waiter(Element):
                 if not self._waiting:
                     self._down.start(RampDirection.DOWN)
                 return e
+            if (e.kind == "flush"
+                    and e.id == self._target_flush
+                    and self._target_flush != ev.FlushEvent.ID_INVALID):
+                self._target_flush = ev.FlushEvent.ID_INVALID
+                if self._waiting:
+                    self._waiting = False
+                    self._observer(False)
+                    self._up.start(RampDirection.UP)
+                elif self._down.active:
+                    self._down.cancel()
+                continue            # consumed, as the reference Waiter does
             if e.kind in ("decoded_stream", "track", "stream_interrupted"):
                 if self._waiting:
                     self._waiting = False

@@ -88,6 +88,26 @@ class IdManager:
         self._lock = threading.Lock()
         self._entries: list[tuple[int, int, str]] = []  # (track, stream, mode)
         self._invalid_after: Optional[tuple[str, int]] = None
+        self._next_stream = 1
+        self._active_track = 0
+        self._active_mode = ""
+
+    # -- IIdProvider (protocols call next_stream_id per stream) -------------
+    def set_active_track(self, track_id: int, mode: str) -> None:
+        """Filler announces the track it is about to stream; stream ids
+        allocated while it is active pair with it (reference
+        IdManager::NextStreamId pairing, IdManager.h:12)."""
+        with self._lock:
+            self._active_track = track_id
+            self._active_mode = mode
+
+    def next_stream_id(self) -> int:
+        with self._lock:
+            sid = self._next_stream
+            self._next_stream += 1
+            self._entries.append((self._active_track, sid,
+                                  self._active_mode))
+            return sid
 
     def invalidate_at(self, track_id: int) -> None:
         with self._lock:
@@ -152,6 +172,11 @@ class Filler(threading.Thread):
             self._provider = provider
             self._pending_mode = True
 
+    @property
+    def provider(self) -> Optional[UriProvider]:
+        with self._lock:
+            return self._provider
+
     def play(self) -> None:
         self._run.set()
 
@@ -187,7 +212,7 @@ class Filler(threading.Thread):
                 self._run.clear()
                 continue
             self._supply.output_track(track)
-            self._ids.register(track.id, 0, provider.mode)
+            self._ids.set_active_track(track.id, provider.mode)
             res = self._pm.do_stream(track.uri)
             if res is ProtocolStreamResult.ERROR_UNRECOVERABLE:
                 self._supply.output_stream_interrupted()

@@ -206,7 +206,14 @@ class PipelineManager:
         self.pipeline = Pipeline(params, codec_registry,
                                  observer=self._on_state)
         factory = protocol_manager_factory or make_default_manager
-        self.protocol_manager = factory(self.pipeline.supply)
+        try:
+            # IdManager is the stream-id provider so every stream a
+            # protocol announces is paired with its track for OkToPlay
+            # arbitration (IdManager.h:12)
+            self.protocol_manager = factory(self.pipeline.supply,
+                                            self.pipeline.id_manager)
+        except TypeError:
+            self.protocol_manager = factory(self.pipeline.supply)
         self.filler = Filler(self.pipeline.supply, self.protocol_manager,
                              self.pipeline.id_manager)
         self.filler.start()
@@ -256,20 +263,37 @@ class PipelineManager:
     def stop(self) -> None:
         self.pipeline.stopper.stop()
         self.filler.stop()
+        # queued-but-unplayed streams must not start after a Stop
+        # (reference PipelineManager::Stop -> IdManager invalidation)
+        self.pipeline.id_manager.invalidate_pending()
 
     def wait(self, flush_id: int) -> None:
-        self.pipeline.supply.output_wait()
+        """Go quiet until FlushEvent(flush_id) passes the Waiter
+        (PipelineManager.h Wait(aFlushId))."""
+        self.pipeline.waiter.wait(flush_id)
 
     def seek(self, stream_id: int, seconds: float,
              sample_rate: int) -> bool:
         return self.pipeline.seeker.seek(stream_id,
                                          int(seconds * sample_rate))
 
-    def next(self) -> None:
+    def _skip(self, backwards: bool) -> None:
+        provider = self.filler.provider
+        if provider is not None:
+            if backwards:
+                if provider.mode_info.supports_prev:
+                    provider.move_prev()
+            elif provider.mode_info.supports_next:
+                provider.move_next()
         self.pipeline.skipper.remove_current_stream()
 
+    def next(self) -> None:
+        self._skip(backwards=False)
+
     def prev(self) -> None:
-        self.pipeline.skipper.remove_current_stream()
+        """Backward navigation of the active UriProvider (Filler.h:24-72
+        TrackPrev) — NOT an alias of next()."""
+        self._skip(backwards=True)
 
     def mute(self) -> None:
         self.pipeline.muter.mute()

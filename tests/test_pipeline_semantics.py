@@ -1,0 +1,208 @@
+"""Kernel-semantics regression tests (round-2 VERDICT items): OkToPlay
+admission is enforced, prev() navigates backwards, wait(flush_id) honours
+its argument, and DSD reaches the animator sink end-to-end."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu.core import events as ev
+from ohpipeline_tpu.core.jiffies import Jiffies
+from ohpipeline_tpu.core.streaminfo import AudioFormat, PcmStreamInfo
+from ohpipeline_tpu.pipeline import AnimatorBatch, PipelineManager, control
+from ohpipeline_tpu.pipeline.filler import IdManager, UriProvider
+from ohpipeline_tpu.pipeline.manager import PipelineInitParams
+
+INFO = PcmStreamInfo(44100, 16, 2)
+
+
+class ScriptedUpstream:
+    def __init__(self, events):
+        self.events = list(events)
+
+    def pull(self):
+        if not self.events:
+            return ev.QuitEvent()
+        return self.events.pop(0)
+
+
+def audio(n=441, value=1000):
+    return ev.AudioPcmEvent(np.full((2, n), value, np.int32), INFO)
+
+
+def stream(stream_id=1, handler=None):
+    return ev.DecodedStreamEvent(stream_id, INFO, handler)
+
+
+def drain(element, limit=200):
+    out = []
+    for _ in range(limit):
+        e = element.pull()
+        out.append(e)
+        if e.kind == "quit":
+            break
+    return out
+
+
+class TestStopperAdmission:
+    def test_refused_stream_and_its_audio_are_swallowed(self):
+        # Stopper.cpp:221-259: every stream boundary is arbitrated via
+        # OkToPlay; a refused stream never reaches the render chain.
+        up = ScriptedUpstream([stream(2), audio(), audio(),
+                               stream(1), audio(value=7)])
+        s = control.Stopper(up, ok_to_play=lambda sid: sid == 1)
+        out = drain(s)
+        kinds = [e.kind for e in out]
+        assert kinds == ["decoded_stream", "audio_pcm", "quit"]
+        assert out[0].stream_id == 1
+        assert out[1].samples[0, 0] == 7
+
+    def test_id_manager_arbitration_wired(self):
+        ids = IdManager()
+        ids.set_active_track(10, "Playlist")
+        sid = ids.next_stream_id()
+        assert ids.ok_to_play(sid)
+        ids.invalidate_all()
+        sid2 = 999          # never registered
+        assert not ids.ok_to_play(sid2)
+
+    def test_stop_invalidates_pending_streams(self):
+        ids = IdManager()
+        ids.set_active_track(1, "m")
+        s1 = ids.next_stream_id()
+        ids.set_active_track(2, "m")
+        s2 = ids.next_stream_id()
+        ids.invalidate_pending()
+        assert ids.ok_to_play(s1)      # current keeps playing
+        assert not ids.ok_to_play(s2)  # queued stream refused
+
+
+class TestPrevNext:
+    def make_manager(self):
+        params = PipelineInitParams()
+        params.gorge_jiffies = 0
+        params.threaded_starvation_ramper = False
+        return PipelineManager(params)
+
+    def test_prev_moves_provider_backwards(self):
+        mgr = self.make_manager()
+        calls = []
+
+        class P(UriProvider):
+            def __init__(self):
+                super().__init__("X", supports_next=True, supports_prev=True)
+
+            def move_next(self):
+                calls.append("next")
+                return True
+
+            def move_prev(self):
+                calls.append("prev")
+                return True
+
+            def get_next(self):
+                return None
+
+        mgr.add_provider(P())
+        mgr.begin("X")
+        try:
+            mgr.prev()
+            mgr.next()
+            assert calls == ["prev", "next"]   # prev() is NOT next()
+        finally:
+            mgr.quit()
+
+    def test_playlist_provider_prev_track(self):
+        from ohpipeline_tpu.av.sources import (TrackDatabase,
+                                               UriProviderPlaylist)
+        db = TrackDatabase()
+        a = db.insert(0, "file:///a.wav", "")
+        b = db.insert(a, "file:///b.wav", "")
+        c = db.insert(b, "file:///c.wav", "")
+        p = UriProviderPlaylist(db)
+        assert p.get_next().id == a
+        assert p.get_next().id == b
+        assert p.move_prev()
+        assert p.get_next().id == a        # backward navigation
+        assert p.get_next().id == b        # then forward again
+        assert p.get_next().id == c
+
+
+class TestWaiterFlushId:
+    def test_wait_resumes_only_on_matching_flush(self):
+        up = ScriptedUpstream([
+            stream(), audio(4410), audio(4410),
+            ev.FlushEvent(5),                  # wrong id: stays waiting
+            audio(4410),
+            ev.FlushEvent(7),                  # target: resume
+            audio(4410), audio(4410)])
+        w = control.Waiter(up, ramp_jiffies=10 * Jiffies.kPerMs)
+        assert w.pull().kind == "decoded_stream"
+        w.wait(7)
+        out = drain(w)
+        pcm = [e for e in out if isinstance(e, ev.AudioPcmEvent)]
+        # first audio ramps down to silence
+        assert pcm[0].ramp.enabled
+        # the wrong-id flush is passed through un-consumed? no: only the
+        # matching id is consumed; non-matching flushes flow downstream
+        assert any(e.kind == "flush" and e.id == 5 for e in out)
+        assert not any(e.kind == "flush" and e.id == 7 for e in out)
+        # audio between ramp-down completion and the matching flush is
+        # discarded; audio after the flush ramps back up
+        ups = [e for e in pcm if e.ramp.enabled
+               and e.ramp.start < e.ramp.end]
+        assert ups, "no ramp-up audio after matching flush"
+
+    def test_manager_wait_routes_to_waiter(self):
+        params = PipelineInitParams()
+        params.gorge_jiffies = 0
+        params.threaded_starvation_ramper = False
+        mgr = PipelineManager(params)
+        try:
+            mgr.wait(42)
+            assert mgr.pipeline.waiter._target_flush == 42
+        finally:
+            mgr.quit()
+
+
+def _dsf_bytes(payload: bytes, channels: int = 2,
+               rate: int = 2_822_400) -> bytes:
+    blocks = payload * channels
+    dsd_chunk = struct.pack("<4sQQQ", b"DSD ", 28,
+                            28 + 52 + 12 + len(blocks), 0)
+    fmt = struct.pack("<4sQIIIIIIQII", b"fmt ", 52, 1, 0, 2, channels, rate,
+                      1, 4096 * 8, 4096, 0)
+    data_hdr = struct.pack("<4sQ", b"data", 12 + len(blocks))
+    return dsd_chunk + fmt + data_hdr + blocks
+
+
+class TestDsdEndToEnd:
+    def test_dsf_file_reaches_sink(self, tmp_path):
+        # AudioDsdEvent must be sunk by the animator, not silently dropped
+        # (reference IDsdProcessor, Msg.h:1204-1278).
+        payload = bytes(range(256)) * 16            # one 4096-byte block
+        path = tmp_path / "t.dsf"
+        path.write_bytes(_dsf_bytes(payload))
+        params = PipelineInitParams()
+        params.gorge_jiffies = 0
+        params.threaded_starvation_ramper = False
+        mgr = PipelineManager(params)
+        got = []
+        mgr.play_uri(f"file://{path}")
+        animator = AnimatorBatch(mgr.pipeline.predriver,
+                                 lambda data, info: got.append((data, info)),
+                                 use_device=False)
+        animator.run()
+        mgr.quit()
+        dsd = [(d, i) for d, i in got
+               if i.audio_format is AudioFormat.DSD]
+        assert dsd, "no DSD data reached the sink"
+        data = np.concatenate([d for d, _ in dsd], axis=1)
+        assert data.shape[0] == 2
+        # DSF stores bits LSB-first; pipeline normalises MSB-first
+        rev = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)],
+                       dtype=np.uint8)
+        expect = rev[np.frombuffer(payload, np.uint8)]
+        np.testing.assert_array_equal(data[0][:len(expect)], expect)
+        assert dsd[0][1].sample_rate == 2_822_400
