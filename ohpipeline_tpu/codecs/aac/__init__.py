@@ -170,9 +170,11 @@ def prepare_device_group(batch: dict, nframes: int, channels: int,
                 cfg_map=cfg_map)
 
 
-def cfg_tables(cfg_map: dict) -> tuple[np.ndarray, np.ndarray]:
-    perm_tab = np.zeros((NCFG, 1024), np.int32)
-    band_tab = np.full((NCFG, 1024), 127, np.int32)
+def cfg_tables(cfg_map: dict,
+               ncfg: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
+    rows = max(ncfg or NCFG, len(cfg_map))
+    perm_tab = np.zeros((rows, 1024), np.int32)
+    band_tab = np.full((rows, 1024), 127, np.int32)
     for key, i in cfg_map.items():
         if key[3] == 0:
             continue

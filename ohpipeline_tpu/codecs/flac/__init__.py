@@ -71,6 +71,32 @@ def _synthesise_group(data, coeffs, shift, order, wasted, assign,
     return jnp.stack([left, right], axis=1)
 
 
+def _synthesise_group12(pack12, warm, esc_row, esc_pos, esc_val,
+                        coeffs, shift, order, wasted, assign, num_channels):
+    """_synthesise_group fed by the 12-bit wire pack
+    (native.flac_parse_group12): two residuals per three bytes, raw
+    warm-up in `warm` (B, 32) int32, |v| >= 2048 residuals as escape
+    triples.  ~25% fewer host->device bytes than int16 rows."""
+    B, pbytes = pack12.shape
+    stride = pbytes * 2 // 3
+    b = pack12.reshape(B, stride // 2, 3).astype(jnp.int32)
+    v0 = (b[..., 0] << 4) | (b[..., 1] >> 4)
+    v1 = ((b[..., 1] & 15) << 8) | b[..., 2]
+    d = jnp.stack([((v0 + 2048) & 4095) - 2048,
+                   ((v1 + 2048) & 4095) - 2048], axis=-1).reshape(B, stride)
+    flat = d.reshape(-1)
+    dummy = B * stride
+    eidx = jnp.where(esc_row >= 0, esc_row * stride + esc_pos, dummy)
+    flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+    flat = flat.at[eidx].set(esc_val)
+    d = flat[:dummy].reshape(B, stride)
+    pos = jnp.arange(32)
+    d = d.at[:, :32].set(jnp.where(pos[None, :] < order[:, None],
+                                   warm, d[:, :32]))
+    return _synthesise_group(d, coeffs, shift, order, wasted, assign,
+                             num_channels)
+
+
 def synthesise_batch(batch: dict, num_channels: int,
                      nframes: int) -> np.ndarray:
     """Run the fused device program over a parsed batch dict (layout of

@@ -62,6 +62,11 @@ def _flac_lib() -> ctypes.CDLL | None:
         lib.flac_parse_group16.restype = ctypes.c_int
         lib.flac_parse_group16.argtypes = _common + [
             _i16pw, ctypes.POINTER(ctypes.c_int)]
+        _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.flac_parse_group12.restype = ctypes.c_int
+        lib.flac_parse_group12.argtypes = _common + [
+            _u8, _i32p, _i32p, _i32p, _i32p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int]
         lib._sigs_set = True
     return lib
 
@@ -95,6 +100,28 @@ def _aac_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
             _i32p, _i8p, _i32p, _i32p, _u8p, _i32p, _i32p, _f32p, _i32p]
+        lib.aac_prepare_rows.restype = ctypes.c_int
+        lib.aac_prepare_rows.argtypes = [
+            _i32p, _i8p, _i32p, _i32p, _u8p, _i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p,
+            _i16p, _i16p, _u8p, _i32p, _u8p, _i32p,
+            ctypes.c_int, ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.aac_prepare_rows_sparse.restype = ctypes.c_int
+        lib.aac_prepare_rows_sparse.argtypes = [
+            _i32p, _i8p, _i32p, _i32p, _u8p, _i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p,
+            _u8p, _i8p, ctypes.c_int,
+            _u8p, _i32p, _u8p, _i32p,
+            ctypes.c_int, ctypes.c_int,
+            _i32p, _i32p, _i32p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.aac_tns_group.argtypes = [
             _f64p, ctypes.c_int, _i32p, _i32p, _i32p, _f32p, ctypes.c_int]
@@ -166,6 +193,146 @@ def aac_parse_group(buf: bytes, byte_pos: int, *, channels: int,
                  tnsn=tnsn, tnsp=tnsp, tnsc=tnsc,
                  rate_index=int(rate_index[0]))
     return n, pos.value, batch
+
+
+class AacCfgMap:
+    """Persistent shared config map for aac_prepare_rows: packed int32
+    keys <-> config-table rows, mirrored as the Python-key dict that
+    codecs.aac.cfg_tables consumes."""
+
+    def __init__(self, max_cfg: int = 16):
+        self.max_cfg = max_cfg
+        self.keys = np.zeros(max_cfg, np.int32)
+        self.count = ctypes.c_int32(0)
+
+    def as_dict(self) -> dict:
+        out = {}
+        for i in range(self.count.value):
+            k = int(self.keys[i])
+            out[((k >> 20) & 0xFFF, (k >> 16) & 0xF, (k >> 8) & 0xFF,
+                 k & 0xFF)] = i
+        return out
+
+
+def aac_prepare_rows(batch: dict, nframes: int, F: int, channels: int,
+                     prev_shape: np.ndarray, cfg: AacCfgMap, *,
+                     quant16: np.ndarray, sf16: np.ndarray,
+                     coded: np.ndarray, cfg_idx: np.ndarray,
+                     ms_flag: np.ndarray, opidx: np.ndarray,
+                     col0: int, max_special: int = 64):
+    """Assemble one stream's F frames into stacked step slabs (C fast
+    path of codecs.aac.prepare_device_group).  Slabs are (F, SC, ...) /
+    (F, SC//2, 128) contiguous; this stream occupies columns
+    [col0, col0+channels).  Returns (special_frames, overflow16) or None
+    when the config/special tables overflow (caller falls back)."""
+    lib = _aac_lib()
+    SC = quant16.shape[1]
+    special = np.zeros(max_special, np.int32)
+    n_special = ctypes.c_int32(0)
+    overflow = ctypes.c_int(0)
+    rc = lib.aac_prepare_rows(
+        np.ascontiguousarray(batch["ics"]),
+        np.ascontiguousarray(batch["cb"]),
+        np.ascontiguousarray(batch["sf"]),
+        np.ascontiguousarray(batch["quant"]),
+        np.ascontiguousarray(batch["msmask"]),
+        np.ascontiguousarray(batch["tnsn"]),
+        nframes, F, channels, batch["rate_index"], prev_shape,
+        quant16.reshape(-1), sf16.reshape(-1), coded.reshape(-1),
+        cfg_idx.reshape(-1), ms_flag.reshape(-1), opidx.reshape(-1),
+        SC, col0,
+        cfg.keys, ctypes.byref(cfg.count), cfg.max_cfg,
+        special, ctypes.byref(n_special), max_special,
+        ctypes.byref(overflow))
+    if rc != 0:
+        return None
+    return special[:n_special.value], bool(overflow.value)
+
+
+class EscapeList:
+    """Shared (row, pos, val) escape triples for one step's slabs."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.row = np.full(cap, -1, np.int32)
+        self.pos = np.zeros(cap, np.int32)
+        self.val = np.zeros(cap, np.int32)
+        self.count = ctypes.c_int32(0)
+
+    def reset(self):
+        self.row[:] = -1
+        self.count.value = 0
+
+
+def aac_prepare_rows_sparse(batch: dict, nframes: int, F: int, channels: int,
+                            prev_shape: np.ndarray, cfg: AacCfgMap,
+                            esc: EscapeList, *,
+                            mask: np.ndarray, vals: np.ndarray,
+                            sf_u8: np.ndarray, cfg_idx: np.ndarray,
+                            ms_flag: np.ndarray, opidx: np.ndarray,
+                            col0: int, max_special: int = 64):
+    """Sparse-wire variant of aac_prepare_rows (mask bits + ranked int8
+    values + escape triples; sf as uint8 on coded slots only).  Returns
+    special_frames or None when any capacity overflows."""
+    lib = _aac_lib()
+    SC = mask.shape[1]
+    vcap = vals.shape[-1]
+    special = np.zeros(max_special, np.int32)
+    n_special = ctypes.c_int32(0)
+    rc = lib.aac_prepare_rows_sparse(
+        np.ascontiguousarray(batch["ics"]),
+        np.ascontiguousarray(batch["cb"]),
+        np.ascontiguousarray(batch["sf"]),
+        np.ascontiguousarray(batch["quant"]),
+        np.ascontiguousarray(batch["msmask"]),
+        np.ascontiguousarray(batch["tnsn"]),
+        nframes, F, channels, batch["rate_index"], prev_shape,
+        mask.reshape(-1), vals.reshape(-1), vcap,
+        sf_u8.reshape(-1), cfg_idx.reshape(-1), ms_flag.reshape(-1),
+        opidx.reshape(-1), SC, col0,
+        esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap,
+        cfg.keys, ctypes.byref(cfg.count), cfg.max_cfg,
+        special, ctypes.byref(n_special), max_special)
+    if rc != 0:
+        return None
+    return special[:n_special.value]
+
+
+def flac_parse_group12(buf: bytes, bit_pos: int, pack12: np.ndarray,
+                       warm: np.ndarray, scratch: np.ndarray,
+                       esc: EscapeList, row0: int, *, sample_rate: int,
+                       bits_per_sample: int, max_blocksize: int,
+                       channels: int, max_frames: int,
+                       check_crc16: bool = True):
+    """flac_parse_group with residuals packed to 12 bits in C
+    (pack12 (B, stride*3//2) uint8, warm (B, 32) int32 raw warm-up,
+    |v|>=2048 residuals appended to `esc` with row offset row0).
+    Returns (nframes, new_bit_pos, status, batch)."""
+    lib = _flac_lib()
+    if lib is None:
+        raise RuntimeError("native flac unpacker unavailable")
+    stride = max_blocksize
+    B = max_frames * channels
+    coeffs = np.zeros((B, 32), np.int32)
+    shift = np.zeros(B, np.int32)
+    order = np.zeros(B, np.int32)
+    wasted = np.zeros(B, np.int32)
+    assign = np.zeros(max_frames, np.int32)
+    blocksize = np.zeros(max_frames, np.int32)
+    sample_number = np.zeros(max_frames, np.int64)
+    pos = ctypes.c_int64(bit_pos)
+    status = ctypes.c_int(0)
+    n = lib.flac_parse_group12(
+        buf, len(buf), ctypes.byref(pos), sample_rate, bits_per_sample,
+        max_blocksize, channels, max_frames, stride, int(check_crc16),
+        scratch, coeffs, shift, order, wasted, assign, blocksize,
+        sample_number, ctypes.byref(status),
+        pack12.reshape(-1), warm.reshape(-1),
+        esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap, row0)
+    batch = dict(coeffs=coeffs, shift=shift, order=order, wasted=wasted,
+                 assign=assign, blocksize=blocksize,
+                 sample_number=sample_number, data=scratch)
+    return n, pos.value, status.value, batch
 
 
 def aac_tns_group(specs: np.ndarray, batch: dict, nrows: int) -> None:

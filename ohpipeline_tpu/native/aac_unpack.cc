@@ -30,33 +30,33 @@ struct BitReader {
     size_t pos = 0;
     bool ok = true;
 
-    inline uint32_t read(int nbits) {
+    // 64-bit big-endian window with bit `pos` as MSB; bits past EOF are 0
+    // (matching the old peek()'s zero-padding semantics).
+    inline uint64_t window() const {
+        size_t byte = pos >> 3;
+        uint64_t w;
+        if (byte + 8 <= nbytes) {
+            memcpy(&w, data + byte, 8);
+            w = __builtin_bswap64(w);
+        } else {
+            w = 0;
+            for (int i = 0; i < 8; i++)
+                w = (w << 8) | (byte + (size_t)i < nbytes
+                                    ? data[byte + i] : 0);
+        }
+        return w << (pos & 7);
+    }
+
+    inline uint32_t read(int nbits) {        // nbits in [0, 32]
         if (nbits == 0) return 0;
-        size_t end = pos + nbits;
-        if (end > nbytes * 8) { ok = false; return 0; }
-        size_t first = pos >> 3;
-        int got = -(int)(pos & 7);
-        uint64_t acc = 0;
-        size_t i = first;
-        while (got < nbits) { acc = (acc << 8) | data[i++]; got += 8; }
-        acc >>= (got - nbits);
-        pos = end;
-        return (uint32_t)(acc & ((1ULL << nbits) - 1));
+        if (pos + nbits > nbytes * 8) { ok = false; return 0; }
+        uint32_t v = (uint32_t)(window() >> (64 - nbits));
+        pos += nbits;
+        return v;
     }
 
     inline uint32_t peek(int nbits) {
-        size_t save = pos;
-        bool saveok = ok;
-        size_t avail = nbytes * 8 > pos ? nbytes * 8 - pos : 0;
-        uint32_t v;
-        if ((int)avail >= nbits) {
-            v = read(nbits);
-        } else {
-            v = read((int)avail) << (nbits - (int)avail);
-        }
-        pos = save;
-        ok = saveok;
-        return v;
+        return (uint32_t)(window() >> (64 - nbits));
     }
 
     inline void skip(int nbits) { pos += nbits; }
@@ -337,10 +337,20 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
                 br.skip(len);
                 const int8_t* v = &lut.vals[g_spec[c].rows[w] * lut.dim];
                 int32_t vv[4];
-                for (int d = 0; d < lut.dim; d++) {
-                    vv[d] = v[d];
-                    if (lut.is_unsigned && vv[d] != 0 && br.read(1))
-                        vv[d] = -vv[d];
+                if (lut.is_unsigned) {
+                    // batch the sign bits into one read (1 window load
+                    // instead of one per nonzero coefficient)
+                    int nz = 0;
+                    for (int d = 0; d < lut.dim; d++) nz += v[d] != 0;
+                    uint32_t signs = nz ? br.read(nz) : 0;
+                    int bit = nz;
+                    for (int d = 0; d < lut.dim; d++) {
+                        vv[d] = v[d];
+                        if (v[d] != 0 && ((signs >> --bit) & 1))
+                            vv[d] = -vv[d];
+                    }
+                } else {
+                    for (int d = 0; d < lut.dim; d++) vv[d] = v[d];
                 }
                 if (c == 11) {
                     for (int d = 0; d < lut.dim; d++) {
@@ -477,6 +487,244 @@ int aac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
     }
     *byte_pos = pos;
     return nframes;
+}
+
+// Assemble device-dispatch inputs for one parsed group directly into the
+// caller's stacked per-step slabs (the C equivalent of
+// codecs/aac/prepare_device_group + the bench's numpy stacking; layouts
+// must match synthesis.dequant_filterbank's docstring).
+//
+// Slab row addressing: row = f * SC + col0 + c for per-channel arrays,
+// pair row = f * (SC/2) + pair0 + c/2 for ms_flag.  rows with f >= nframes
+// are written as silence.  cfg_keys/cfg_count implement the shared config
+// map: key = (ri<<20)|(seq<<16)|(grouping<<8)|max_sfb with seq/grouping
+// forced 0 for long windows (matching the Python cfg_map keys).
+//
+// Returns 0 ok, -1 cfg table overflow, -2 special-row overflow (caller
+// falls back to the Python path).
+int aac_prepare_rows(const int32_t* ics, const int8_t* cb, const int32_t* sf,
+                     const int32_t* quant, const uint8_t* msmask,
+                     const int32_t* tnsn,
+                     int nframes, int F, int C, int rate_index,
+                     int32_t* prev_shape,
+                     int16_t* quant16, int16_t* sf16, uint8_t* coded,
+                     int32_t* cfg_idx, uint8_t* ms_flag, int32_t* opidx,
+                     int SC, int col0,
+                     int32_t* cfg_keys, int32_t* cfg_count, int max_cfg,
+                     int32_t* special_frames, int32_t* n_special,
+                     int max_special, int* overflow16) {
+    *overflow16 = 0;
+    *n_special = 0;
+    const int pairs = C / 2;
+    const int SP = SC / 2;
+    const int pair0 = col0 / 2;
+    for (int f = 0; f < F; f++) {
+        bool parsed = f < nframes;
+        bool frame_special = false;
+        for (int c = 0; c < C; c++) {
+            int r = f * C + c;                       // input row
+            int64_t orow = (int64_t)f * SC + col0 + c;  // output row
+            int seq = 0, shape = 0, max_sfb = 0, grouping = 0;
+            if (parsed) {
+                seq = ics[r * 4];
+                shape = ics[r * 4 + 1];
+                max_sfb = ics[r * 4 + 2];
+                grouping = ics[r * 4 + 3];
+            }
+            bool shortw = seq == 2;
+            int32_t key = ((int32_t)rate_index << 20)
+                | ((shortw ? seq : 0) << 16)
+                | ((shortw ? grouping : 0) << 8) | max_sfb;
+            int ci = -1;
+            for (int i = 0; i < *cfg_count; i++)
+                if (cfg_keys[i] == key) { ci = i; break; }
+            if (ci < 0) {
+                if (*cfg_count >= max_cfg) return -1;
+                ci = (*cfg_count)++;
+                cfg_keys[ci] = key;
+            }
+            cfg_idx[orow] = ci;
+            opidx[orow] = seq * 4 + prev_shape[c] * 2 + shape;
+            prev_shape[c] = shape;
+            int16_t* q16 = quant16 + orow * 1024;
+            int16_t* s16 = sf16 + orow * 128;
+            uint8_t* cd = coded + orow * 128;
+            if (!parsed) {
+                memset(q16, 0, 1024 * 2);
+                memset(s16, 0, 128 * 2);
+                memset(cd, 0, 128);
+                continue;
+            }
+            const int32_t* q = quant + (int64_t)r * 1024;
+            for (int i = 0; i < 1024; i++) {
+                int32_t v = q[i];
+                if (v < -32768 || v > 32767) {
+                    *overflow16 = 1;
+                    v = v < 0 ? -32768 : 32767;
+                }
+                q16[i] = (int16_t)v;
+            }
+            const int8_t* cbr = cb + (int64_t)r * SFB_SLOTS;
+            const int32_t* sfr = sf + (int64_t)r * SFB_SLOTS;
+            bool any_exotic = false;
+            for (int k = 0; k < 120; k++) {
+                int32_t s = sfr[k];
+                s16[k] = (int16_t)(s < -32768 ? -32768
+                                              : (s > 32767 ? 32767 : s));
+                cd[k] = (cbr[k] >= 1 && cbr[k] <= 11);
+                if (cbr[k] >= 13) any_exotic = true;
+            }
+            memset(s16 + 120, 0, 8 * 2);
+            memset(cd + 120, 0, 8);
+            if (any_exotic) frame_special = true;
+            const int32_t* tn = tnsn + (int64_t)r * 8;
+            for (int w = 0; w < 8; w++)
+                if (tn[w]) { frame_special = true; break; }
+        }
+        // M/S flags per pair (the parser emits one mask per frame; CPE
+        // channel pairs are (0,1), (2,3), ...)
+        for (int p = 0; p < pairs; p++) {
+            uint8_t* mrow = ms_flag + ((int64_t)f * SP + pair0 + p) * 128;
+            memset(mrow, 0, 128);
+            if (f >= nframes) continue;
+            const uint8_t* ms = msmask + (int64_t)f * SFB_SLOTS;
+            uint8_t flag = ms[0];
+            if (flag == 2) {
+                memset(mrow, 1, 120);
+            } else if (flag == 1) {
+                for (int k = 0; k < 120; k++) mrow[k] = ms[1 + k] != 0;
+            }
+            // exclude intensity/noise bands on the pair's right channel
+            const int8_t* cbp = cb + ((int64_t)(f * C + p * 2 + 1))
+                * SFB_SLOTS;
+            for (int k = 0; k < 120; k++)
+                if (cbp[k] >= 13) mrow[k] = 0;
+        }
+        if (frame_special) {
+            if (*n_special >= max_special) return -2;
+            special_frames[(*n_special)++] = f;
+        }
+    }
+    return 0;
+}
+
+// Sparse variant of aac_prepare_rows for the host->device wire: instead of
+// the dense (1024,) int16 quant row it emits
+//   mask  [row][128] uint8  bit (7-(i&7)) of byte i>>3 set where q[i] != 0
+//   vals  [row][vcap] int8  nonzero values in position order (rank order)
+//   escape triples (row, pos, val) for |q| >= 128 (val8 holds a clipped
+//   placeholder; the device overlay replaces it)
+// and sf as uint8 gains for CODED slots only (others 0, so the device can
+// use implicit coded = spec != 0).  ~4x fewer wire bytes at 128 kbps.
+//
+// Returns 0 ok, -1 cfg overflow, -2 special overflow, -3 vals overflow,
+// -4 escape overflow (callers fall back to the dense path).
+int aac_prepare_rows_sparse(
+        const int32_t* ics, const int8_t* cb, const int32_t* sf,
+        const int32_t* quant, const uint8_t* msmask, const int32_t* tnsn,
+        int nframes, int F, int C, int rate_index,
+        int32_t* prev_shape,
+        uint8_t* mask, int8_t* vals, int vcap,
+        uint8_t* sf_u8, int32_t* cfg_idx, uint8_t* ms_flag, int32_t* opidx,
+        int SC, int col0,
+        int32_t* esc_row, int32_t* esc_pos, int32_t* esc_val,
+        int32_t* esc_count, int esc_cap,
+        int32_t* cfg_keys, int32_t* cfg_count, int max_cfg,
+        int32_t* special_frames, int32_t* n_special, int max_special) {
+    *n_special = 0;
+    const int pairs = C / 2;
+    const int SP = SC / 2;
+    const int pair0 = col0 / 2;
+    for (int f = 0; f < F; f++) {
+        bool parsed = f < nframes;
+        bool frame_special = false;
+        for (int c = 0; c < C; c++) {
+            int r = f * C + c;
+            int64_t orow = (int64_t)f * SC + col0 + c;
+            int seq = 0, shape = 0, max_sfb = 0, grouping = 0;
+            if (parsed) {
+                seq = ics[r * 4];
+                shape = ics[r * 4 + 1];
+                max_sfb = ics[r * 4 + 2];
+                grouping = ics[r * 4 + 3];
+            }
+            bool shortw = seq == 2;
+            int32_t key = ((int32_t)rate_index << 20)
+                | ((shortw ? seq : 0) << 16)
+                | ((shortw ? grouping : 0) << 8) | max_sfb;
+            int ci = -1;
+            for (int i = 0; i < *cfg_count; i++)
+                if (cfg_keys[i] == key) { ci = i; break; }
+            if (ci < 0) {
+                if (*cfg_count >= max_cfg) return -1;
+                ci = (*cfg_count)++;
+                cfg_keys[ci] = key;
+            }
+            cfg_idx[orow] = ci;
+            opidx[orow] = seq * 4 + prev_shape[c] * 2 + shape;
+            prev_shape[c] = shape;
+            uint8_t* mrow = mask + orow * 128;
+            int8_t* vrow = vals + orow * vcap;
+            uint8_t* srow = sf_u8 + orow * 128;
+            memset(mrow, 0, 128);
+            memset(srow, 0, 128);
+            if (!parsed) { memset(vrow, 0, vcap); continue; }
+            const int32_t* q = quant + (int64_t)r * 1024;
+            int rank = 0;
+            for (int i = 0; i < 1024; i++) {
+                int32_t v = q[i];
+                if (v == 0) continue;
+                if (rank >= vcap) return -3;
+                mrow[i >> 3] |= (uint8_t)(1u << (7 - (i & 7)));
+                if (v < -128 || v > 127) {
+                    if (*esc_count >= esc_cap) return -4;
+                    int j = (*esc_count)++;
+                    esc_row[j] = (int32_t)orow;
+                    esc_pos[j] = i;
+                    esc_val[j] = v;
+                    vrow[rank++] = v < 0 ? -128 : 127;
+                } else {
+                    vrow[rank++] = (int8_t)v;
+                }
+            }
+            memset(vrow + rank, 0, (size_t)(vcap - rank));
+            const int8_t* cbr = cb + (int64_t)r * SFB_SLOTS;
+            const int32_t* sfr = sf + (int64_t)r * SFB_SLOTS;
+            bool any_exotic = false;
+            for (int k = 0; k < 120; k++) {
+                if (cbr[k] >= 1 && cbr[k] <= 11) {
+                    int32_t sv = sfr[k];
+                    srow[k] = (uint8_t)(sv < 0 ? 0 : (sv > 255 ? 255 : sv));
+                }
+                if (cbr[k] >= 13) any_exotic = true;
+            }
+            if (any_exotic) frame_special = true;
+            const int32_t* tn = tnsn + (int64_t)r * 8;
+            for (int w = 0; w < 8; w++)
+                if (tn[w]) { frame_special = true; break; }
+        }
+        for (int p = 0; p < pairs; p++) {
+            uint8_t* mrow = ms_flag + ((int64_t)f * SP + pair0 + p) * 128;
+            memset(mrow, 0, 128);
+            if (f >= nframes) continue;
+            const uint8_t* ms = msmask + (int64_t)f * SFB_SLOTS;
+            uint8_t flag = ms[0];
+            if (flag == 2) {
+                memset(mrow, 1, 120);
+            } else if (flag == 1) {
+                for (int k = 0; k < 120; k++) mrow[k] = ms[1 + k] != 0;
+            }
+            const int8_t* cbp = cb + ((int64_t)(f * C + p * 2 + 1))
+                * SFB_SLOTS;
+            for (int k = 0; k < 120; k++)
+                if (cbp[k] >= 13) mrow[k] = 0;
+        }
+        if (frame_special) {
+            if (*n_special >= max_special) return -2;
+            special_frames[(*n_special)++] = f;
+        }
+    }
+    return 0;
 }
 
 }  // extern "C"

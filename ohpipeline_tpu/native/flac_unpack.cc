@@ -27,22 +27,29 @@ struct BitReader {
     size_t pos;        // bits
     bool ok = true;
 
-    inline uint64_t read(int nbits) {
-        if (nbits == 0) return 0;
-        size_t end = pos + nbits;
-        if (end > nbytes * 8) { ok = false; return 0; }
-        size_t first = pos >> 3;
-        int skip = pos & 7;
-        uint64_t acc = 0;
-        int got = -skip;
-        size_t i = first;
-        while (got < nbits) {
-            acc = (acc << 8) | data[i++];
-            got += 8;
+    // 64-bit big-endian window starting at the current bit: bit `pos` is
+    // the MSB.  At least 56 bits are valid (unread bits past EOF read 0).
+    inline uint64_t window() const {
+        size_t byte = pos >> 3;
+        uint64_t w;
+        if (byte + 8 <= nbytes) {
+            memcpy(&w, data + byte, 8);
+            w = __builtin_bswap64(w);
+        } else {
+            w = 0;
+            for (int i = 0; i < 8; i++)
+                w = (w << 8) | (byte + (size_t)i < nbytes
+                                    ? data[byte + i] : 0);
         }
-        acc >>= (got - nbits);
-        pos = end;
-        return acc & ((nbits == 64) ? ~0ULL : ((1ULL << nbits) - 1));
+        return w << (pos & 7);
+    }
+
+    inline uint64_t read(int nbits) {        // nbits in [0, 56]
+        if (nbits == 0) return 0;
+        if (pos + nbits > nbytes * 8) { ok = false; return 0; }
+        uint64_t v = window() >> (64 - nbits);
+        pos += nbits;
+        return v;
     }
 
     inline int64_t read_signed(int nbits) {
@@ -54,13 +61,18 @@ struct BitReader {
     inline int read_unary() {
         int count = 0;
         while (true) {
-            size_t byte_i = pos >> 3;
-            if (byte_i >= nbytes) { ok = false; return 0; }
-            int rem = 8 - (int)(pos & 7);
-            int window = data[byte_i] & ((1 << rem) - 1);
-            if (window == 0) { count += rem; pos += rem; continue; }
-            int msb = 31 - __builtin_clz((unsigned)window);
-            int lead = rem - 1 - msb;
+            if (pos >= nbytes * 8) { ok = false; return 0; }
+            uint64_t w = window();
+            if (w == 0) {                     // >=56 zero bits; keep going
+                int valid = (int)(nbytes * 8 - pos);
+                if (valid <= 56) { ok = false; return 0; }
+                count += 56;
+                pos += 56;
+                continue;
+            }
+            int lead = __builtin_clzll(w);
+            size_t remaining = nbytes * 8 - pos;
+            if ((size_t)lead >= remaining) { ok = false; return 0; }
             count += lead;
             pos += lead + 1;
             return count;
@@ -68,6 +80,21 @@ struct BitReader {
     }
 
     inline int64_t read_rice(int param) {
+        // fast path: whole code (unary + param bits) inside one window
+        uint64_t w = window();
+        if (w != 0) {
+            int lead = __builtin_clzll(w);
+            if (lead + 1 + param <= 56) {
+                size_t remaining = nbytes * 8 - pos;
+                if ((size_t)(lead + 1 + param) <= remaining) {
+                    uint64_t v = ((uint64_t)lead << param);
+                    if (param)
+                        v |= (w << (lead + 1)) >> (64 - param);
+                    pos += lead + 1 + param;
+                    return (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+                }
+            }
+        }
         int q = read_unary();
         uint64_t v = ((uint64_t)q << param) | read(param);
         return (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
@@ -103,7 +130,9 @@ uint8_t crc8_buf(const uint8_t* d, size_t n) {
     return crc;
 }
 
-uint16_t crc16_tab[256];
+// CRC-16 poly 0x8005 (FLAC frame CRC), slicing-by-8: ~5x the byte-wise
+// table loop, which otherwise dominates frame parse time.
+uint16_t crc16_tab[8][256];
 bool crc16_init_done = false;
 void crc16_init() {
     for (int i = 0; i < 256; i++) {
@@ -111,15 +140,31 @@ void crc16_init() {
         for (int b = 0; b < 8; b++)
             crc = (crc & 0x8000) ? ((crc << 1) ^ 0x8005) & 0xFFFF
                                  : (crc << 1) & 0xFFFF;
-        crc16_tab[i] = (uint16_t)crc;
+        crc16_tab[0][i] = (uint16_t)crc;
     }
+    for (int k = 1; k < 8; k++)
+        for (int i = 0; i < 256; i++) {
+            uint16_t c = crc16_tab[k - 1][i];
+            crc16_tab[k][i] = (uint16_t)((c << 8)
+                                         ^ crc16_tab[0][(c >> 8) & 0xFF]);
+        }
     crc16_init_done = true;
 }
 uint16_t crc16_buf(const uint8_t* d, size_t n) {
     if (!crc16_init_done) crc16_init();
     uint16_t crc = 0;
+    while (n >= 8) {
+        crc = (uint16_t)(crc16_tab[7][d[0] ^ (crc >> 8)]
+                         ^ crc16_tab[6][d[1] ^ (crc & 0xFF)]
+                         ^ crc16_tab[5][d[2]] ^ crc16_tab[4][d[3]]
+                         ^ crc16_tab[3][d[4]] ^ crc16_tab[2][d[5]]
+                         ^ crc16_tab[1][d[6]] ^ crc16_tab[0][d[7]]);
+        d += 8;
+        n -= 8;
+    }
     for (size_t i = 0; i < n; i++)
-        crc = (uint16_t)((crc << 8) ^ crc16_tab[((crc >> 8) ^ d[i]) & 0xFF]);
+        crc = (uint16_t)((crc << 8)
+                         ^ crc16_tab[0][((crc >> 8) ^ d[i]) & 0xFF]);
     return crc;
 }
 
@@ -383,6 +428,71 @@ int flac_parse_group16(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
     } else {
         memset(data16 + total, 0, (size_t)(cap - total) * sizeof(int16_t));
     }
+    return n;
+}
+
+// As flac_parse_group, but ships residuals as a 12-bit pack (two samples
+// -> three bytes, big-endian nibbles) plus escape triples for |v| >= 2048
+// and a separate int32 warm-up slab — ~25% fewer wire bytes than int16
+// over the host->device link, unpacked with vectorized shifts on device.
+//
+//   pack12  [B x stride*3/2] uint8   (warm-up region packed as zeros)
+//   warm    [B x 32] int32           raw warm-up samples
+//   esc_*   escape triples (row, pos, val) appended at *esc_count,
+//           capacity esc_cap (returns -9 in *status when exceeded)
+int flac_parse_group12(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
+                       int si_rate, int si_bps, int si_max_blocksize,
+                       int channels, int max_frames, int64_t stride,
+                       int check_crc16,
+                       int32_t* data, int32_t* coeffs, int32_t* shift,
+                       int32_t* order, int32_t* wasted, int32_t* assign,
+                       int32_t* blocksize, int64_t* sample_number,
+                       int* status,
+                       uint8_t* pack12, int32_t* warm,
+                       int32_t* esc_row, int32_t* esc_pos, int32_t* esc_val,
+                       int32_t* esc_count, int esc_cap, int row0) {
+    int n = flac_parse_group(buf, nbytes, bit_pos, si_rate, si_bps,
+                             si_max_blocksize, channels, max_frames, stride,
+                             check_crc16, data, coeffs, shift, order, wasted,
+                             assign, blocksize, sample_number, status);
+    int64_t rows = (int64_t)n * channels;
+    int64_t cap_rows = (int64_t)max_frames * channels;
+    int64_t pbytes = stride * 3 / 2;
+    for (int64_t r = 0; r < rows; r++) {
+        const int32_t* src = data + r * stride;
+        uint8_t* dst = pack12 + r * pbytes;
+        int o = order[r];
+        for (int i = 0; i < 32; i++)
+            warm[r * 32 + i] = i < o ? src[i] : 0;
+        for (int64_t i = 0; i < stride; i += 2) {
+            int32_t v0 = (i >= o) ? src[i] : 0;
+            int32_t v1 = (i + 1 >= o && i + 1 < stride) ? src[i + 1] : 0;
+            if (v0 < -2048 || v0 > 2047) {
+                if (*esc_count >= esc_cap) { *status = -9; return n; }
+                int j = (*esc_count)++;
+                esc_row[j] = (int32_t)(row0 + r);
+                esc_pos[j] = (int32_t)i;
+                esc_val[j] = v0;
+                v0 = 0;
+            }
+            if (v1 < -2048 || v1 > 2047) {
+                if (*esc_count >= esc_cap) { *status = -9; return n; }
+                int j = (*esc_count)++;
+                esc_row[j] = (int32_t)(row0 + r);
+                esc_pos[j] = (int32_t)(i + 1);
+                esc_val[j] = v1;
+                v1 = 0;
+            }
+            uint32_t u0 = (uint32_t)(v0 & 0xFFF);
+            uint32_t u1 = (uint32_t)(v1 & 0xFFF);
+            dst[i / 2 * 3] = (uint8_t)(u0 >> 4);
+            dst[i / 2 * 3 + 1] = (uint8_t)(((u0 & 0xF) << 4) | (u1 >> 8));
+            dst[i / 2 * 3 + 2] = (uint8_t)(u1 & 0xFF);
+        }
+    }
+    memset(pack12 + rows * pbytes, 0,
+           (size_t)((cap_rows - rows) * pbytes));
+    memset(warm + rows * 32, 0, (size_t)((cap_rows - rows) * 32) * 4);
     return n;
 }
 

@@ -1,0 +1,179 @@
+"""Device wire formats (bench fast paths) must reconstruct exactly:
+FLAC 12-bit pack + escapes + warm-up == int16 rows; AAC sparse
+mask/ranked-values/escapes == dense quant path."""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu import native
+from ohpipeline_tpu.codecs import aac, flac
+from ohpipeline_tpu.codecs.aac import synthesis as ASYN
+from ohpipeline_tpu.codecs.flac import frames as FF
+from ohpipeline_tpu.codecs.flac import _synthesise_group, _synthesise_group12
+
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not (native.have_flac_unpack() and native.have_aac_unpack()),
+    reason="native unpackers unavailable")
+
+
+def _noisy_track(seconds=3.0, rate=44100, seed=5, noise=0.2):
+    rng = np.random.default_rng(seed)
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    x = (np.sin(2 * np.pi * 700 * t) * 0.5
+         + rng.standard_normal(n) * noise)          # noisy -> escapes
+    x[rate // 2:rate // 2 + 300] += 0.9             # transient
+    s = np.stack([x, np.roll(x, 11)])
+    return np.clip(np.rint(s * 20000), -32768, 32767).astype(np.int32)
+
+
+def test_flac_pack12_roundtrip():
+    track = _noisy_track()
+    data = flac.encode_flac(track, 44100, 16)
+    m = FF.parse_metadata(data)
+    si = m.streaminfo
+    G, nch = 8, 2
+    B = G * nch
+    stride = si.max_blocksize
+    scratch = np.zeros((B, stride), np.int32)
+    d16 = np.empty((B, stride), np.int16)
+    pack = np.zeros((B, stride * 3 // 2), np.uint8)
+    warm = np.zeros((B, 32), np.int32)
+    esc = native.EscapeList(200000)
+    pos = pos12 = m.header_bytes * 8
+    steps = 0
+    while True:
+        n, pos, _s, b16, ovf = native.flac_parse_group16(
+            data, pos, d16, scratch, sample_rate=si.sample_rate,
+            bits_per_sample=si.bits_per_sample, max_blocksize=stride,
+            channels=nch, max_frames=G)
+        if n == 0:
+            break
+        ref16 = d16.copy()
+        meta16 = {k: b16[k].copy() for k in ("coeffs", "shift", "order",
+                                             "wasted", "assign")}
+        esc.reset()
+        n2, pos12, st, b12 = native.flac_parse_group12(
+            data, pos12, pack, warm, scratch, esc, 0,
+            sample_rate=si.sample_rate,
+            bits_per_sample=si.bits_per_sample, max_blocksize=stride,
+            channels=nch, max_frames=G)
+        assert n2 == n and st == 0
+        pcm16 = np.asarray(_synthesise_group(
+            jnp.asarray(ref16), jnp.asarray(meta16["coeffs"]),
+            jnp.asarray(meta16["shift"]), jnp.asarray(meta16["order"]),
+            jnp.asarray(meta16["wasted"]), jnp.asarray(meta16["assign"]),
+            nch))
+        pcm12 = np.asarray(_synthesise_group12(
+            jnp.asarray(pack), jnp.asarray(warm), jnp.asarray(esc.row),
+            jnp.asarray(esc.pos), jnp.asarray(esc.val),
+            jnp.asarray(b12["coeffs"]), jnp.asarray(b12["shift"]),
+            jnp.asarray(b12["order"]), jnp.asarray(b12["wasted"]),
+            jnp.asarray(b12["assign"]), nch))
+        np.testing.assert_array_equal(pcm12, pcm16)
+        steps += 1
+    assert steps >= 2
+    assert esc.count.value > 0     # the noisy content must exercise escapes
+
+
+ORACLE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".oracle_build", "aac_oracle")
+
+
+def test_aac_sparse_matches_dense():
+    if not os.path.exists(ORACLE):
+        pytest.skip("aac oracle not built")
+    track = _noisy_track(4.0, noise=0.1)
+    with tempfile.TemporaryDirectory() as td:
+        fin, fout = os.path.join(td, "i.raw"), os.path.join(td, "o.aac")
+        np.ascontiguousarray(track.T).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "128000"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+
+    nch, F = 2, 32
+    SC = nch
+    pos = posd = 0
+    cfg = native.AacCfgMap(16)
+    cfgd = native.AacCfgMap(16)
+    ps = np.zeros(nch, np.int32)
+    psd = np.zeros(nch, np.int32)
+    W, SW = ASYN.window_bank()
+    consts = (jnp.asarray(ASYN._imdct_matrix(2048)),
+              jnp.asarray(ASYN._imdct_matrix(256)),
+              jnp.asarray(W), jnp.asarray(SW))
+    ov_d = jnp.zeros((SC, 1024), jnp.float32)
+    ov_s = jnp.zeros((SC, 1024), jnp.float32)
+    steps = 0
+    while steps < 6:
+        n, pos, b = native.aac_parse_group(data, pos, channels=nch,
+                                           max_frames=F)
+        if n == 0:
+            break
+        posd = pos
+        # dense
+        q16 = np.zeros((F, SC, 1024), np.int16)
+        sf16 = np.zeros((F, SC, 128), np.int16)
+        coded = np.zeros((F, SC, 128), np.uint8)
+        ci_d = np.zeros((F, SC), np.int32)
+        ms_d = np.zeros((F, SC // 2, 128), np.uint8)
+        op_d = np.zeros((F, SC), np.int32)
+        rd = native.aac_prepare_rows(b, n, F, nch, psd, cfgd,
+                                     quant16=q16, sf16=sf16, coded=coded,
+                                     cfg_idx=ci_d, ms_flag=ms_d,
+                                     opidx=op_d, col0=0)
+        assert rd is not None
+        # sparse
+        mask = np.zeros((F, SC, 128), np.uint8)
+        vals = np.zeros((F, SC, 768), np.int8)
+        sf8 = np.zeros((F, SC, 128), np.uint8)
+        ci_s = np.zeros((F, SC), np.int32)
+        ms_s = np.zeros((F, SC // 2, 128), np.uint8)
+        op_s = np.zeros((F, SC), np.int32)
+        esc = native.EscapeList(4096)
+        rs = native.aac_prepare_rows_sparse(b, n, F, nch, ps, cfg, esc,
+                                            mask=mask, vals=vals, sf_u8=sf8,
+                                            cfg_idx=ci_s, ms_flag=ms_s,
+                                            opidx=op_s, col0=0)
+        assert rs is not None
+        np.testing.assert_array_equal(ms_s, ms_d)
+        np.testing.assert_array_equal(op_s, op_d)
+        np.testing.assert_array_equal(rs, rd[0])
+
+        # side rows (special frames) via the python path, both identical
+        side = np.zeros((16, 1024), np.float32)
+        srow = np.full(16, -1, np.int32)
+        j = 0
+        for f in rs:
+            sub = {k: (v[f * nch:(f + 1) * nch]
+                       if k not in ("msmask", "rate_index")
+                       else (v[f:f + 1] if k == "msmask" else v))
+                   for k, v in b.items()}
+            sp, _ = ASYN.prepare_group(sub, 1, nch, np.zeros(nch, np.int32))
+            for c in range(nch):
+                side[j] = sp[0, c]
+                srow[j] = int(f) * SC + c
+                j += 1
+        perm_d, band_d = aac.cfg_tables(cfgd.as_dict(), ncfg=16)
+        perm_s, band_s = aac.cfg_tables(cfg.as_dict(), ncfg=16)
+        pcm_d, ov_d = ASYN.dequant_filterbank(
+            jnp.asarray(q16), jnp.asarray(sf16), jnp.asarray(coded),
+            jnp.asarray(ci_d), jnp.asarray(perm_d), jnp.asarray(band_d),
+            jnp.asarray(ms_d), jnp.asarray(side), jnp.asarray(srow),
+            jnp.asarray(op_d), ov_d, *consts)
+        pcm_s, ov_s = ASYN.dequant_filterbank_sparse(
+            jnp.asarray(mask), jnp.asarray(vals), jnp.asarray(esc.row),
+            jnp.asarray(esc.pos), jnp.asarray(esc.val), jnp.asarray(sf8),
+            jnp.asarray(ci_s), jnp.asarray(perm_s), jnp.asarray(band_s),
+            jnp.asarray(ms_s), jnp.asarray(side), jnp.asarray(srow),
+            jnp.asarray(op_s), ov_s, *consts)
+        np.testing.assert_allclose(np.asarray(pcm_s), np.asarray(pcm_d),
+                                   atol=1e-4, rtol=0)
+        steps += 1
+    assert steps >= 4
