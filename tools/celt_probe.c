@@ -26,6 +26,7 @@
 #include <stdlib.h>
 #include <string.h>
 
+#include "opus.h"
 #include "opus_custom.h"
 #include "modes.h"
 #include "entenc.h"
@@ -33,6 +34,9 @@
 #include "rate.h"
 #include "cwrs.h"
 #include "laplace.h"
+#include "bands.h"
+#include "celt.h"
+#include "quant_bands.h"
 
 static unsigned int rngs = 22222;
 static unsigned int prng(void) {
@@ -242,6 +246,248 @@ static int do_laplace(int fs, int decay, unsigned seed, int n) {
     return 0;
 }
 
+
+/* decode a sequence of raw CELT frames ([u16le len][bytes]...) with the
+   reference celt decoder; dump float PCM (interleaved) as f32le to stdout */
+static int do_celtdec(const char *path, int C, int frame_size) {
+    int err = 0;
+    OpusCustomMode *m = opus_custom_mode_create(48000, 960, &err);
+    if (!m) return 1;
+    int sz = celt_decoder_get_size(C);
+    CELTDecoder *st = (CELTDecoder *)calloc(1, (size_t)sz);
+    celt_decoder_init(st, 48000, C);
+    FILE *f = fopen(path, "rb");
+    if (!f) { perror("open"); return 1; }
+    unsigned char pkt[1500];
+    float pcm[960 * 2 * 8];
+    unsigned char hdr[2];
+    while (fread(hdr, 1, 2, f) == 2) {
+        int len = hdr[0] | (hdr[1] << 8);
+        if (len > (int)sizeof pkt) return 1;
+        if ((int)fread(pkt, 1, (size_t)len, f) != len) break;
+        int n = celt_decode_with_ec(st, pkt, len, pcm, frame_size, NULL, 0);
+        if (n < 0) { fprintf(stderr, "celt err %d\n", n); return 1; }
+        fwrite(pcm, sizeof(float), (size_t)(n * C), stdout);
+    }
+    fclose(f);
+    return 0;
+}
+
+/* dump the clt_mdct_backward response to a unit impulse at `bin`
+   (B blocks interleaved layout, block 0), into a zeroed buffer of
+   nb + overlap samples, as f32le on stdout */
+static int do_imdct(int shift, int B, int bin) {
+    int err = 0;
+    OpusCustomMode *m = opus_custom_mode_create(48000, 960, &err);
+    if (!m) return 1;
+    int N = 960 * 2;                 /* mdct size at shift 0 */
+    int nb = (N >> shift) >> 1;      /* coefficients per block */
+    float *in = (float *)calloc((size_t)(nb * B), sizeof(float));
+    float *out = (float *)calloc((size_t)(nb + m->overlap + 8),
+                                 sizeof(float));
+    in[bin * B] = 1.0f;
+    clt_mdct_backward_c(&m->mdct, in, out, m->window, m->overlap, shift, B,
+                        0);
+    fwrite(out, sizeof(float), (size_t)(nb + m->overlap), stdout);
+    return 0;
+}
+
+
+/* encode s16le raw audio into CELT-only frames via the reference encoder
+   (RESTRICTED_LOWDELAY forces CELT mode); writes [u16le len][frame bytes]
+   (TOC stripped from code-0 packets) */
+static int do_celtenc(const char *inp, const char *outp, int C,
+                      int frame_size, int bitrate) {
+    FILE *in = fopen(inp, "rb");
+    FILE *out = fopen(outp, "wb");
+    if (!in || !out) { perror("open"); return 1; }
+    int err = 0;
+    OpusEncoder *enc = opus_encoder_create(
+        48000, C, OPUS_APPLICATION_RESTRICTED_LOWDELAY, &err);
+    if (err) return 1;
+    opus_encoder_ctl(enc, OPUS_SET_BITRATE(bitrate));
+    {
+        const char *cx = getenv("CELT_COMPLEXITY");
+        if (cx) opus_encoder_ctl(enc, OPUS_SET_COMPLEXITY(atoi(cx)));
+    }
+    short pcm[960 * 2];
+    unsigned char pkt[1500];
+    for (;;) {
+        size_t got = fread(pcm, sizeof(short) * (size_t)C,
+                           (size_t)frame_size, in);
+        if (got < (size_t)frame_size) break;
+        int len = opus_encode(enc, pcm, frame_size, pkt, sizeof pkt);
+        if (len < 1) return 1;
+        if ((pkt[0] & 0x3) != 0) { fprintf(stderr, "not code 0\n");
+                                   return 1; }
+        unsigned char hdr[2] = {(unsigned char)((len - 1) & 0xFF),
+                                (unsigned char)((len - 1) >> 8)};
+        fwrite(hdr, 1, 2, out);
+        fwrite(pkt + 1, 1, (size_t)(len - 1), out);
+    }
+    fclose(in);
+    fclose(out);
+    return 0;
+}
+
+
+/* run unquant_coarse_energy on pseudorandom scratch bytes + pseudorandom
+   previous energies; dump resulting energies (exact float) */
+static int do_coarse(int C, int LM, int intra, unsigned seed, int nbytes) {
+    rngs = seed;
+    int err = 0;
+    OpusCustomMode *m = opus_custom_mode_create(48000, 960, &err);
+    if (!m) return 1;
+    static unsigned char scratch[4096];
+    for (int i = 0; i < nbytes && i < 4096; i++)
+        scratch[i] = (unsigned char)prng();
+    float oldE[2 * 21];
+    for (int i = 0; i < 2 * 21; i++)
+        oldE[i] = ((int)(prng() % 4000) - 2000) / 100.0f;
+    printf("{\"oldE\":[");
+    for (int i = 0; i < 42; i++) printf("%s%.9g", i ? "," : "", oldE[i]);
+    ec_dec dec;
+    ec_dec_init(&dec, scratch, (opus_uint32)nbytes);
+    unquant_coarse_energy(m, 0, 21, oldE, intra, &dec, C, LM);
+    printf("],\"out\":[");
+    for (int i = 0; i < 42; i++) printf("%s%.9g", i ? "," : "", oldE[i]);
+    printf("],\"tell\":%d,\"scratch\":\"", ec_tell(&dec));
+    for (int i = 0; i < nbytes; i++) printf("%02x", scratch[i]);
+    printf("\"}\n");
+    return 0;
+}
+
+
+/* drive the reference quant_all_bands (decode side) on pseudorandom
+   scratch + a real allocation; dump everything for conformance */
+static int do_qab(int C, int LM, int transient, int total8, int trim,
+                  unsigned seed, int intensity_req) {
+    rngs = seed;
+    int err = 0;
+    OpusCustomMode *m = opus_custom_mode_create(48000, 960, &err);
+    if (!m) return 1;
+    int nb = m->nbEBands;
+    int M = 1 << LM;
+    int N = M * m->shortMdctSize;
+    static unsigned char scratch[4096];
+    for (int i = 0; i < 4096; i++) scratch[i] = (unsigned char)prng();
+    int offsets[32] = {0}, cap[32];
+    for (int i = 0; i < nb; i++) {
+        int nn = (m->eBands[i + 1] - m->eBands[i]) << LM;
+        cap[i] = (m->cache.caps[(LM * 2 + C - 1) * nb + i] + 64)
+            * C * nn >> 2;
+    }
+    int tf_res[32];
+    const signed char *row = tf_select_table[LM];
+    for (int i = 0; i < nb; i++)
+        tf_res[i] = row[4 * transient + 2 * (int)(prng() % 2)
+                        + (int)(prng() % 2)];
+    int spread = (int)(prng() % 4);
+    ec_dec dec;
+    ec_dec_init(&dec, scratch, sizeof scratch);
+    int intensity = 0, dual = 0;
+    opus_int32 balance = 0;
+    int pulses[32], ebits[32], prio[32];
+    int coded = clt_compute_allocation(m, 0, nb, offsets, cap, trim,
+                                       &intensity, &dual, total8, &balance,
+                                       pulses, ebits, prio, C, LM, &dec, 0,
+                                       0, nb);
+    float *X = (float *)calloc((size_t)(C * N), sizeof(float));
+    unsigned char masks[64] = {0};
+    opus_uint32 rng_ = 0;
+    quant_all_bands(0, m, 0, nb, X, C == 2 ? X + N : NULL, masks, NULL,
+                    pulses, transient ? M : 0, spread, dual, intensity,
+                    tf_res, (opus_int32)sizeof(scratch) * 8 * 8, balance,
+                    &dec, LM, coded, &rng_, 0, 0, 0);
+    printf("{\"spread\":%d,\"coded\":%d,\"intensity\":%d,"
+           "\"dual\":%d,\"balance\":%d,\"tf\":[", spread, coded,
+           intensity, dual, (int)balance);
+    for (int i = 0; i < nb; i++) printf("%s%d", i ? "," : "", tf_res[i]);
+    printf("],\"pulses\":[");
+    for (int i = 0; i < nb; i++) printf("%s%d", i ? "," : "", pulses[i]);
+    printf("],\"masks\":[");
+    for (int i = 0; i < C * nb; i++) printf("%s%d", i ? "," : "", masks[i]);
+    printf("],\"rng\":%u,\"tell\":%u,\"total\":%d,", rng_,
+           (unsigned)ec_tell_frac(&dec), total8);
+    printf("\"X\":[");
+    for (int i = 0; i < C * N; i++) printf("%s%.9g", i ? "," : "", X[i]);
+    printf("],\"scratch\":\"");
+    for (int i = 0; i < 4096; i++) printf("%02x", scratch[i]);
+    printf("\"}\n");
+    return 0;
+}
+
+
+/* run the reference comb_filter on pseudorandom signal/params; dump IO */
+static int do_comb(int T0, int T1, int N, int g0q, int g1q, int t0, int t1,
+                   unsigned seed) {
+    rngs = seed;
+    int err = 0;
+    OpusCustomMode *m = opus_custom_mode_create(48000, 960, &err);
+    if (!m) return 1;
+    int total = 2048 + N;
+    float *x = (float *)calloc((size_t)total, sizeof(float));
+    for (int i = 0; i < total; i++)
+        x[i] = ((int)(prng() % 20000) - 10000) / 10.0f;
+    printf("{\"x\":[");
+    for (int i = 0; i < total; i++) printf("%s%.9g", i ? "," : "", x[i]);
+    comb_filter(x + 2048, x + 2048, T0, T1, N, g0q / 32.0f, g1q / 32.0f,
+                t0, t1, m->window, m->overlap, 0);
+    printf("],\"y\":[");
+    for (int i = 0; i < N; i++)
+        printf("%s%.9g", i ? "," : "", x[2048 + i]);
+    printf("]}\n");
+    return 0;
+}
+
+
+/* mirror of the reference decoder struct head (behavior study: offsets
+   only, to locate oldEBands for state dumping in oracle tooling) */
+struct ProbeDecHead {
+    const OpusCustomMode *mode;
+    int overlap, channels, stream_channels, downsample, start, end;
+    int signalling, disable_inv, complexity, arch;
+    opus_uint32 rng;
+    int error, last_pitch_index, loss_duration, skip_plc;
+    int postfilter_period, postfilter_period_old;
+    float postfilter_gain, postfilter_gain_old;
+    int postfilter_tapset, postfilter_tapset_old, prefilter_and_fold;
+    float preemph_memD[2];
+    float _decode_mem[1];
+};
+#define PROBE_DECODE_BUFFER_SIZE 2048
+#define PROBE_LPC_ORDER 24
+
+static int do_celtdec_energy(const char *path, int C, int frame_size) {
+    int err = 0;
+    OpusCustomMode *m = opus_custom_mode_create(48000, 960, &err);
+    if (!m) return 1;
+    int sz = celt_decoder_get_size(C);
+    CELTDecoder *st = (CELTDecoder *)calloc(1, (size_t)sz);
+    celt_decoder_init(st, 48000, C);
+    struct ProbeDecHead *h = (struct ProbeDecHead *)st;
+    float *lpc = h->_decode_mem
+        + C * (PROBE_DECODE_BUFFER_SIZE + m->overlap);
+    float *oldE = lpc + C * PROBE_LPC_ORDER;
+    FILE *f = fopen(path, "rb");
+    unsigned char pkt[1500];
+    float pcm[960 * 2 * 8];
+    unsigned char hdr[2];
+    int fno = 0;
+    while (fread(hdr, 1, 2, f) == 2) {
+        int len = hdr[0] | (hdr[1] << 8);
+        if ((int)fread(pkt, 1, (size_t)len, f) != len) break;
+        celt_decode_with_ec(st, pkt, len, pcm, frame_size, NULL, 0);
+        printf("{\"frame\":%d,\"oldE\":[", fno++);
+        for (int i = 0; i < 42; i++)
+            printf("%s%.9g", i ? "," : "", oldE[i]);
+        printf("],\"rng\":%u,\"pf_period\":%d,\"pf_gain\":%.9g}\n",
+               h->rng, h->postfilter_period, (double)h->postfilter_gain);
+    }
+    fclose(f);
+    return 0;
+}
+
 int main(int argc, char **argv) {
     if (argc < 2) return 2;
     if (!strcmp(argv[1], "mode") && argc == 3)
@@ -255,6 +501,26 @@ int main(int argc, char **argv) {
     if (!strcmp(argv[1], "cwrs") && argc == 5)
         return do_cwrs(atoi(argv[2]), atoi(argv[3]),
                        (unsigned)atoi(argv[4]));
+    if (!strcmp(argv[1], "comb") && argc == 10)
+        return do_comb(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                       atoi(argv[5]), atoi(argv[6]), atoi(argv[7]),
+                       atoi(argv[8]), (unsigned)atoi(argv[9]));
+    if (!strcmp(argv[1], "qab") && argc == 9)
+        return do_qab(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                      atoi(argv[5]), atoi(argv[6]),
+                      (unsigned)atoi(argv[7]), atoi(argv[8]));
+    if (!strcmp(argv[1], "coarse") && argc == 7)
+        return do_coarse(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                         (unsigned)atoi(argv[5]), atoi(argv[6]));
+    if (!strcmp(argv[1], "celtenc") && argc == 7)
+        return do_celtenc(argv[2], argv[3], atoi(argv[4]), atoi(argv[5]),
+                          atoi(argv[6]));
+    if (!strcmp(argv[1], "celtdec_energy") && argc == 5)
+        return do_celtdec_energy(argv[2], atoi(argv[3]), atoi(argv[4]));
+    if (!strcmp(argv[1], "celtdec") && argc == 5)
+        return do_celtdec(argv[2], atoi(argv[3]), atoi(argv[4]));
+    if (!strcmp(argv[1], "imdct") && argc == 5)
+        return do_imdct(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]));
     if (!strcmp(argv[1], "laplace") && argc == 6)
         return do_laplace(atoi(argv[2]), atoi(argv[3]),
                           (unsigned)atoi(argv[4]), atoi(argv[5]));
