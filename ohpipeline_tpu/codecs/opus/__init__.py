@@ -1,0 +1,222 @@
+"""Opus codec: Ogg Opus (RFC 7845) framing over the from-spec CELT
+decoder (RFC 6716 s4.3).
+
+Parity target: OpenHome/Media/Codec/Opus.cpp (adapter over vendored
+opus-1.5.2 + libogg).  CELT-only streams (music; all frame sizes
+120..960 @48 kHz, mono/stereo) decode conformantly vs the compiled
+reference (tests/test_opus_celt.py, tests/test_opus.py).  SILK and
+hybrid packets (speech modes) are gated with a clear error, matching
+NEXT.md's staged plan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ...containers.ogg import OggReader
+from ...core.jiffies import Jiffies
+from ...core.streaminfo import PcmStreamInfo
+from ..base import (CodecBase, CodecStreamCorrupt, DecodedBatch, EndOfStream,
+                    StreamReader)
+from ..opus_headers import OpusHead, OpusToc, parse_opus_head, \
+    parse_opus_tags, parse_toc
+from .celt import CeltDecoderState, decode_frame
+
+GROUP_PACKETS = 32
+
+#: CELT end band per Opus bandwidth (opus_decoder.c -> CELT_SET_END_BAND)
+_END_BAND = {"nb": 13, "mb": 17, "wb": 17, "swb": 19, "fb": 21}
+
+
+def split_packet_frames(packet: bytes) -> tuple[OpusToc, list[bytes]]:
+    """RFC 6716 s3.2 packet -> frames."""
+    if not packet:
+        raise CodecStreamCorrupt("empty opus packet")
+    toc = parse_toc(packet)
+    code = packet[0] & 3
+    body = packet[1:]
+
+    def read_len(buf, p):
+        v = buf[p]
+        p += 1
+        if v >= 252:
+            v += 4 * buf[p]
+            p += 1
+        return v, p
+
+    if code == 0:
+        frames = [body]
+    elif code == 1:
+        if len(body) % 2:
+            raise CodecStreamCorrupt("code-1 packet with odd length")
+        h = len(body) // 2
+        frames = [body[:h], body[h:]]
+    elif code == 2:
+        ln, p = read_len(body, 0)
+        frames = [body[p:p + ln], body[p + ln:]]
+    else:
+        fc = body[0]
+        m = fc & 0x3F
+        vbr = fc & 0x80
+        pad = fc & 0x40
+        p = 1
+        padding = 0
+        if pad:
+            while True:
+                v = body[p]
+                p += 1
+                padding += v if v < 255 else 254
+                if v < 255:
+                    break
+        if vbr:
+            lens = []
+            for _ in range(m - 1):
+                ln, p = read_len(body, p)
+                lens.append(ln)
+            avail = len(body) - p - padding
+            lens.append(avail - sum(lens))
+            frames = []
+            for ln in lens:
+                frames.append(body[p:p + ln])
+                p += ln
+        else:
+            avail = len(body) - p - padding
+            if m == 0 or avail % m:
+                raise CodecStreamCorrupt("bad CBR code-3 packet")
+            ln = avail // m
+            frames = [body[p + i * ln:p + (i + 1) * ln] for i in range(m)]
+    return toc, frames
+
+
+class _OpusStream:
+    """Decode state across packets of one Ogg Opus stream."""
+
+    def __init__(self, head: OpusHead):
+        self.head = head
+        self.celt: Optional[CeltDecoderState] = None
+        self.stream_channels = 0
+        self.gain = 10.0 ** (head.output_gain_q8 / (20.0 * 256.0))
+
+    def decode_packet(self, packet: bytes) -> np.ndarray:
+        toc, frames = split_packet_frames(packet)
+        if toc.mode != "celt":
+            raise CodecStreamCorrupt(
+                f"opus {toc.mode} (speech) mode not supported yet: "
+                "CELT-only streams (music) decode; see NEXT.md")
+        sc = 2 if toc.stereo else 1
+        if self.celt is None or sc != self.stream_channels:
+            # stream channel switches reset the CELT state (the reference
+            # re-creates its decoder on stream param changes)
+            self.celt = CeltDecoderState(sc)
+            self.stream_channels = sc
+        frame_size = int(toc.frame_ms * 48)
+        outs = [decode_frame(self.celt, f, frame_size,
+                             end_band=_END_BAND[toc.bandwidth])
+                for f in frames]
+        pcm = np.concatenate(outs, axis=1) * self.gain
+        C = self.head.channels
+        if pcm.shape[0] == 1 and C == 2:
+            pcm = np.repeat(pcm, 2, axis=0)
+        elif pcm.shape[0] == 2 and C == 1:
+            pcm = 0.5 * (pcm[:1] + pcm[1:])
+        return pcm
+
+
+class CodecOpus(CodecBase):
+    """Ogg Opus (reference CodecOpus, Media/Codec/Opus.cpp:429)."""
+
+    name = "Opus"
+    recognition_cost = 44
+    mime_types = ("audio/opus", "audio/ogg; codecs=opus")
+
+    def __init__(self):
+        self._info: Optional[PcmStreamInfo] = None
+
+    def recognise(self, header: bytes) -> bool:
+        if header[:4] != b"OggS":
+            return False
+        return b"OpusHead" in header[:128]
+
+    def stream_initialise(self, reader: StreamReader) -> PcmStreamInfo:
+        self._ogg = OggReader(reader)
+        self._packets = self._ogg.packets()
+        try:
+            self._head = parse_opus_head(next(self._packets))
+            _vendor, self.tags = parse_opus_tags(next(self._packets))
+        except (StopIteration, ValueError) as e:
+            raise CodecStreamCorrupt(f"opus headers: {e}")
+        if self._head.version >> 4 != 0:
+            raise CodecStreamCorrupt("unsupported OpusHead version")
+        if self._head.mapping_family != 0:
+            raise CodecStreamCorrupt("opus surround mapping unsupported")
+        self._stream = _OpusStream(self._head)
+        self._skip = self._head.pre_skip
+        self._sample_pos = 0
+        self._done = False
+        nbytes = reader.stream_bytes or 0
+        total_jiffies = 0
+        # Ogg Opus duration needs the last page granule; estimate from
+        # size at a typical music bitrate when streaming (like Vorbis)
+        if nbytes:
+            seconds = nbytes * 8 / 128000
+            total_jiffies = int(seconds * Jiffies.kPerSecond)
+        self._info = PcmStreamInfo(
+            sample_rate=48000, bit_depth=16,
+            num_channels=self._head.channels, codec_name="Opus",
+            lossless=False, seekable=False, bitrate=0,
+            track_length_jiffies=total_jiffies)
+        return self._info
+
+    def process(self, reader: StreamReader) -> DecodedBatch:
+        if self._done:
+            raise EndOfStream
+        packets = []
+        for p in self._packets:
+            packets.append(p)
+            if len(packets) >= GROUP_PACKETS:
+                break
+        if not packets:
+            raise EndOfStream
+        if len(packets) < GROUP_PACKETS:
+            self._done = True
+        stream = self._stream
+        first = self._sample_pos
+        skip = self._skip
+        granule = self._ogg.last_granule
+
+        def run():
+            parts = [stream.decode_packet(p) for p in packets]
+            out = np.concatenate(parts, axis=1)
+            if skip:
+                drop = min(skip, out.shape[1])
+                out = out[:, drop:]
+                self._skip = skip - drop
+            if self._done and granule >= 0:
+                # RFC 7845: granule counts 48k samples incl. pre-skip
+                keep = max(0, int(granule) - self._head.pre_skip - first)
+                if out.shape[1] > keep:
+                    out = out[:, :keep]
+            self._sample_pos = first + out.shape[1]
+            return np.clip(np.rint(out * 32768.0),
+                           -32768, 32767).astype(np.int32)
+
+        return DecodedBatch(self._info, defer=run,
+                            track_offset_samples=first)
+
+
+def decode_opus(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:
+    """Whole-buffer Ogg Opus decode (tests/tools)."""
+    from ..base import BufferReader
+    codec = CodecOpus()
+    r = BufferReader(data)
+    info = codec.stream_initialise(r)
+    parts = []
+    while True:
+        try:
+            parts.append(codec.process(r).resolve())
+        except EndOfStream:
+            break
+    return info, (np.concatenate(parts, axis=1) if parts
+                  else np.zeros((info.num_channels, 0), np.int32))
