@@ -59,6 +59,19 @@ class MediaPlayer:
     def add_source(self, source) -> None:
         self.product.add_source(source)
 
+    def start_upnp(self, port: int = 0, host: str = "127.0.0.1",
+                   ssdp: bool = True):
+        """Publish the UPnP MediaRenderer control plane (SSDP + SOAP +
+        GENA over net.upnp; the reference's ohNet DvDeviceStandard
+        equivalent).  Returns the UpnpDevice."""
+        from ..net.upnp import make_av_renderer
+        self.upnp = make_av_renderer(
+            self.pipeline, self.volumes,
+            friendly_name=f"{self.product.room}:{self.product.name}",
+            port=port, host=host)
+        self.upnp.start(ssdp=ssdp)
+        return self.upnp
+
     def _on_gain(self, multiplier: float) -> None:
         att = self.pipeline.pipeline.attenuator
         att.active = True
