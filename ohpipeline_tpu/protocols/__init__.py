@@ -23,10 +23,12 @@ def make_default_manager(supply, id_provider=None) -> ProtocolManager:
     from .dash import ProtocolDash
     from .hls import ProtocolHls
     from .http import ProtocolHttp
+    from .rtsp import ProtocolRtsp
     pm = ProtocolManager(supply, id_provider)
     pm.add(ProtocolHls())
     pm.add(ProtocolDash())
     pm.add(ProtocolHttp())
+    pm.add(ProtocolRtsp())
     pm.add(ProtocolFile())
     pm.add(ProtocolTone())
     return pm
