@@ -54,6 +54,11 @@ class StreamReader(abc.ABC):
     def stream_bytes(self) -> Optional[int]:
         """Total stream length, if known."""
 
+    #: True when try_seek_bytes is a cheap local reposition (in-memory /
+    #: file) rather than an upstream protocol seek with flush semantics;
+    #: codecs may only scan around (e.g. duration discovery) when set
+    random_access = False
+
     def try_seek_bytes(self, pos: int) -> bool:
         """Reposition the stream (IStreamHandler::TrySeek upstream)."""
         return False
@@ -61,6 +66,8 @@ class StreamReader(abc.ABC):
 
 class BufferReader(StreamReader):
     """In-memory StreamReader over a bytes object (tests, file protocol)."""
+
+    random_access = True
 
     def __init__(self, data: bytes):
         self._data = data

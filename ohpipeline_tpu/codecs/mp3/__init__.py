@@ -88,6 +88,66 @@ def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
                    hi).astype(np.int32)
 
 
+def parse_vbr_header(buf: bytes, hdr) -> Optional[dict]:
+    """Xing/Info/VBRI VBR header in the first frame (reference Mp3.cpp
+    duration/seek handling): returns {frames, bytes, toc} or None.
+    `toc` maps 100 stream-time percentiles to byte positions."""
+    # Xing/Info: after the side info block
+    if hdr.version == 1:
+        side = 32 if hdr.channels == 2 else 17
+    else:
+        side = 17 if hdr.channels == 2 else 9
+    off = 4 + side
+    if buf[off:off + 4] in (b"Xing", b"Info"):
+        p = off + 4
+        flags = int.from_bytes(buf[p:p + 4], "big")
+        p += 4
+        frames = nbytes = 0
+        toc = None
+        if flags & 1:
+            frames = int.from_bytes(buf[p:p + 4], "big")
+            p += 4
+        if flags & 2:
+            nbytes = int.from_bytes(buf[p:p + 4], "big")
+            p += 4
+        if flags & 4:
+            toc = [b / 256.0 for b in buf[p:p + 100]]
+            p += 100
+        if frames:
+            return {"frames": frames, "bytes": nbytes, "toc": toc}
+        return None
+    # VBRI (Fraunhofer): fixed offset 36 from the frame header
+    if buf[36:40] == b"VBRI":
+        p = 40 + 2 + 2 + 2                     # version, delay, quality
+        nbytes = int.from_bytes(buf[p:p + 4], "big")
+        frames = int.from_bytes(buf[p + 4:p + 8], "big")
+        p += 8
+        n_ent = int.from_bytes(buf[p:p + 2], "big")
+        scale = int.from_bytes(buf[p + 2:p + 4], "big")
+        ent_bytes = int.from_bytes(buf[p + 4:p + 6], "big")
+        p += 8                                  # + frames-per-entry
+        toc = None
+        if n_ent and nbytes:
+            acc = 0
+            positions = []
+            for i in range(n_ent):
+                v = int.from_bytes(buf[p + i * ent_bytes:
+                                       p + (i + 1) * ent_bytes], "big")
+                acc += v * scale
+                positions.append(acc / nbytes)
+            # resample entry positions onto 100 percentiles
+            toc = []
+            for pct in range(100):
+                idx = pct / 100 * n_ent
+                i0 = min(int(idx), n_ent - 1)
+                prev = positions[i0 - 1] if i0 > 0 else 0.0
+                frac = idx - i0
+                toc.append(prev + (positions[i0] - prev) * frac)
+        if frames:
+            return {"frames": frames, "bytes": nbytes, "toc": toc}
+    return None
+
+
 class CodecMp3(CodecBase):
     name = "MP3"
     recognition_cost = 40
@@ -118,7 +178,16 @@ class CodecMp3(CodecBase):
         self._state = _StreamState(hdr.channels)
         self._sample_pos = 0
         total = reader.stream_bytes or 0
-        frames = total // hdr.frame_bytes if total else 0
+        self._vbr = parse_vbr_header(self._buf, hdr)
+        if self._vbr:
+            frames = self._vbr["frames"]
+            if not total:
+                total = self._vbr["bytes"]
+            # the Xing/VBRI frame itself carries no audio: skip it
+            self._stream.pos = hdr.frame_bytes
+        else:
+            frames = total // hdr.frame_bytes if total else 0
+        self._stream_bytes = total
         self._info = PcmStreamInfo(
             sample_rate=hdr.sample_rate, bit_depth=16,
             num_channels=hdr.channels, codec_name="MP3", lossless=False,
@@ -137,14 +206,27 @@ class CodecMp3(CodecBase):
             self._stream.data = self._buf
 
     def try_seek(self, sample: int) -> Optional[int]:
-        """CBR byte estimate + header resync on restart (the reference's
-        Mp3.cpp:331 seeks by average byte rate the same way).  The decode
-        pump owns the stream state, so the reset is deferred to the next
-        process() call (the seek flush discards in-flight audio)."""
+        """Seek byte estimate + header resync on restart.  With a
+        Xing/VBRI TOC (parse_vbr_header) the estimate interpolates the
+        100-percentile byte map, so VBR files land on the right frame;
+        otherwise CBR average byte rate (reference Mp3.cpp:331).  The
+        decode pump owns the stream state, so the reset is deferred to
+        the next process() call (the seek flush discards in-flight
+        audio)."""
         if self._info is None or not self._info.seekable:
             return None
         frame = sample // self._hdr.samples_per_frame
         self._seek_to = frame * self._hdr.samples_per_frame
+        if self._vbr and self._vbr.get("toc") and self._vbr["frames"]:
+            total_samples = self._vbr["frames"] * self._hdr.samples_per_frame
+            pct = min(99.999, max(0.0, 100.0 * sample / total_samples))
+            toc = self._vbr["toc"]
+            i = int(pct)
+            lo = toc[i]
+            hi = toc[i + 1] if i + 1 < 100 else 1.0
+            frac = pct - i
+            nbytes = self._vbr["bytes"] or self._stream_bytes
+            return int((lo + (hi - lo) * frac) * nbytes)
         return frame * self._hdr.frame_bytes
 
     _seek_to: Optional[int] = None

@@ -25,6 +25,31 @@ from .synthesis import Lapper, PacketDecoder, imdct_many
 GROUP_PACKETS = 64
 
 
+def _last_granule(reader, nbytes: int, chunk: int = 65536) -> int:
+    """Backward scan for the stream's final OggS page granule (the
+    reference's FindSync, Vorbis.cpp:269).  Restores the read position;
+    returns 0 when the reader can't seek."""
+    if not getattr(reader, "random_access", False):
+        return 0                    # upstream seeks have flush semantics
+    here = getattr(reader, "pos", None)
+    start = max(0, nbytes - chunk)
+    if not reader.try_seek_bytes(start):
+        return 0
+    tail = reader.read(nbytes - start)
+    granule = 0
+    i = tail.rfind(b"OggS")
+    while i != -1:
+        if i + 14 <= len(tail):
+            g = int.from_bytes(tail[i + 6:i + 14], "little", signed=True)
+            if g > 0:
+                granule = g
+                break
+        i = tail.rfind(b"OggS", 0, i)
+    if here is not None:
+        reader.try_seek_bytes(here)
+    return max(0, granule)
+
+
 def _to_int16_range(x: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int32)
 
@@ -94,12 +119,18 @@ class CodecVorbis(CodecBase):
         self._vs = _VorbisStream(ident, setup)
         self._done = False
         self._sample_pos = 0
-        # duration estimate from the nominal bitrate (the reference's
-        # Vorbis.cpp:208 does the same when no seek table exists; exact
-        # length comes from the final page granule at EOS)
-        total_jiffies = 0
         nbytes = reader.stream_bytes or 0
-        if nbytes and ident.bitrate_nominal:
+        # exact duration from the final page granule, like the reference
+        # (Vorbis.cpp FindSync scans backwards for the last OggS page);
+        # fall back to the nominal-bitrate estimate on non-seekable input
+        self._samples_total = 0
+        if nbytes:
+            self._samples_total = _last_granule(reader, nbytes)
+        total_jiffies = 0
+        if self._samples_total:
+            total_jiffies = self._samples_total \
+                * Jiffies.per_sample(ident.sample_rate)
+        elif nbytes and ident.bitrate_nominal:
             seconds = nbytes * 8 / ident.bitrate_nominal
             total_jiffies = int(seconds * Jiffies.kPerSecond)
         self._ident = ident
@@ -110,20 +141,24 @@ class CodecVorbis(CodecBase):
             sample_rate=ident.sample_rate, bit_depth=16,
             num_channels=ident.channels, codec_name="Vorbis",
             lossless=False,
-            seekable=bool(nbytes and ident.bitrate_nominal),
+            seekable=bool(nbytes and (self._samples_total
+                                      or ident.bitrate_nominal)),
             bitrate=ident.bitrate_nominal or 0,
             track_length_jiffies=total_jiffies)
         return self._info
 
     def try_seek(self, sample: int) -> Optional[int]:
-        """Coarse seek: bitrate-proportional byte estimate; decode
-        restarts at the next Ogg page boundary found there (the
-        reference's Tremor does precise granule bisection — NEXT.md).
+        """Stream-position-proportional byte estimate, the reference's
+        strategy (Vorbis.cpp TrySeek: aSample * StreamLength /
+        iSamplesTotal); decode restarts at the next Ogg page boundary.
         The reset is deferred to the decode thread's process()."""
         if self._info is None or not self._info.seekable:
             return None
-        seconds = sample / self._ident.sample_rate
-        byte = int(seconds * self._ident.bitrate_nominal / 8)
+        if self._samples_total:
+            byte = sample * self._stream_bytes // self._samples_total
+        else:
+            seconds = sample / self._ident.sample_rate
+            byte = int(seconds * self._ident.bitrate_nominal / 8)
         byte = max(0, min(byte, self._stream_bytes - 1))
         self._pending_seek = sample
         return byte

@@ -151,20 +151,34 @@ class StreamSpec:
         out += b"\x01"
         return out
 
-    def setup_packet(self) -> bytes:
-        bw = LsbBitWriter()
-        for b in b"\x05vorbis":
-            bw.write(b, 8)
-        bw.write(2 - 1, 8)                # 2 codebooks
-        self.classbook.write(bw)
-        self.vqbook.write(bw)
-        bw.write(0, 6)                    # 1 time transform
-        bw.write(0, 16)
-        bw.write(0, 6)                    # 1 floor
+    def _write_floor_setup(self, bw: LsbBitWriter) -> None:
         bw.write(1, 16)                   # floor type 1
         bw.write(0, 5)                    # 0 partitions
         bw.write(1 - 1, 2)                # multiplier 1 (range 256)
         bw.write(self.RANGEBITS, 4)
+
+    def _books(self) -> list:
+        return [self.classbook, self.vqbook]
+
+    def _write_floor_packet(self, bw: LsbBitWriter, c: int,
+                            floor_y: list) -> None:
+        bw.write(1, 1)                    # floor nonzero
+        y0, y1 = floor_y[c]
+        bw.write(y0, 8)                   # ilog(255) = 8 bits
+        bw.write(y1, 8)
+
+    def setup_packet(self) -> bytes:
+        bw = LsbBitWriter()
+        for b in b"\x05vorbis":
+            bw.write(b, 8)
+        books = self._books()
+        bw.write(len(books) - 1, 8)
+        for b in books:
+            b.write(bw)
+        bw.write(0, 6)                    # 1 time transform
+        bw.write(0, 16)
+        bw.write(0, 6)                    # 1 floor
+        self._write_floor_setup(bw)
         bw.write(0, 6)                    # 1 residue
         bw.write(2, 16)                   # residue type 2
         bw.write(0, 24)                   # begin
@@ -219,10 +233,7 @@ class StreamSpec:
             bw.write(1 if prev_long else 0, 1)
             bw.write(1 if next_long else 0, 1)
         for c in range(self.ch):
-            bw.write(1, 1)                # floor nonzero
-            y0, y1 = floor_y[c]
-            bw.write(y0, 8)               # ilog(255) = 8 bits
-            bw.write(y1, 8)
+            self._write_floor_packet(bw, c, floor_y)
         # residue type 2: interleave channels
         inter = np.zeros(self.ch * half, np.int64)
         for c in range(self.ch):
@@ -274,3 +285,48 @@ class StreamSpec:
         data += build_pages(serial, audio, first_sequence=seq,
                             granule=granule, eos=True)
         return data
+
+
+class StreamSpecFloor0(StreamSpec):
+    """StreamSpec variant with the legacy type-0 LSP floor (spec s6.2):
+    order-8 LSP coefficients from a dedicated dim-4 type-2 VQ book.
+    floor_y entries in audio packets are (amplitude, [entry0, entry1])."""
+
+    ORDER = 8
+    AMP_BITS = 6
+    AMP_OFFSET = 20
+    BARK_MAP = 64
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        # LSP roots spread over (0, pi); any two-vector combination
+        # (second vector rides on the first's last element) stays < pi,
+        # inside Tremor's cos lookup domain
+        # roots deliberately OFF the bark grid points (pi*k/BARK_MAP):
+        # a root exactly on a grid omega is a numerics pathology where
+        # fixed-point (Tremor) and float resonances diverge unboundedly
+        vals = np.array([[0, 1, 2, 3], [1, 2, 3, 4],
+                         [2, 3, 4, 5], [4, 5, 6, 7]])
+        self.lspbook = BookSpec(4, 4, values=vals, value_bits=3,
+                                minimum=0.171, delta=0.173)
+
+    def _books(self) -> list:
+        return [self.classbook, self.vqbook, self.lspbook]
+
+    def _write_floor_setup(self, bw: LsbBitWriter) -> None:
+        bw.write(0, 16)                   # floor type 0
+        bw.write(self.ORDER, 8)
+        bw.write(self.rate, 16)
+        bw.write(self.BARK_MAP, 16)
+        bw.write(self.AMP_BITS, 6)
+        bw.write(self.AMP_OFFSET, 8)
+        bw.write(0, 4)                    # 1 book
+        bw.write(2, 8)                    # LSP book index
+
+    def _write_floor_packet(self, bw: LsbBitWriter, c: int,
+                            floor_y: list) -> None:
+        amplitude, entries = floor_y[c]
+        bw.write(amplitude, self.AMP_BITS)
+        bw.write(0, 1)                    # book 0 (ilog(1) = 1 bit)
+        for e in entries:
+            self.lspbook.write_code(bw, e)

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from .bitreader import EndOfPacket, LsbBitReader, ilog
 from .codebook import VorbisError
-from .floor import decode_floor1, render_curve
+from .floor import (decode_floor0, decode_floor1, render_curve,
+                    render_curve0)
 from .headers import Setup, VorbisInfo
 from .residue import decode_residue
 
@@ -106,13 +107,14 @@ class PacketDecoder:
         ch = info.channels
         books = setup.codebooks
 
-        # floors
+        # floors (type 1, and the legacy type-0 LSP floor)
         posts = []
         for c in range(ch):
             kind, fl = setup.floors[mapping.submap_floor[mapping.mux[c]]]
-            if kind != 1:
-                raise VorbisError("floor0 decode unsupported")
-            posts.append(decode_floor1(br, fl, books))
+            if kind == 1:
+                posts.append(decode_floor1(br, fl, books))
+            else:
+                posts.append(decode_floor0(br, fl, books))
         no_residue = [p is None for p in posts]
         # nonzero propagation through coupling
         for m, a in mapping.coupling:
@@ -143,8 +145,9 @@ class PacketDecoder:
         for c in range(ch):
             if posts[c] is None:
                 continue
-            _, fl = setup.floors[mapping.submap_floor[mapping.mux[c]]]
-            curve = render_curve(posts[c], fl, half)
+            kind, fl = setup.floors[mapping.submap_floor[mapping.mux[c]]]
+            curve = (render_curve(posts[c], fl, half) if kind == 1
+                     else render_curve0(posts[c], fl, half))
             spectra[c] = residue_v[c] * curve
         return n, prev_full, next_full, spectra
 
