@@ -105,6 +105,8 @@ def is_master(text: str) -> bool:
 
 class ProtocolHls(Protocol):
     name = "HLS"
+    MAX_STALE_RELOADS = 5       # playlist not advancing -> stalled
+    MAX_RELOAD_ERRORS = 3       # consecutive reload fetch failures
 
     def __init__(self, fetch: Callable[[str], bytes] = default_fetch,
                  sleep: Callable[[float], None] = time.sleep,
@@ -151,7 +153,16 @@ class ProtocolHls(Protocol):
             stream_handler=self)
         next_seq = playlist.media_sequence
         reloads = 0
+        stale = 0
+        fetch_errors = 0
         while True:
+            if playlist.segments \
+                    and next_seq < playlist.media_sequence:
+                # live-edge drift: we fell behind the server's window;
+                # skip forward to what it still serves
+                # (ProtocolHls.h drift handling)
+                next_seq = playlist.media_sequence
+                self.supply.output_stream_interrupted()
             progressed = False
             for seg in playlist.segments:
                 if seg.sequence < next_seq:
@@ -163,7 +174,9 @@ class ProtocolHls(Protocol):
                 try:
                     data = self._fetch(seg.uri)
                 except OSError:
+                    # skip the broken segment rather than spinning on it
                     self.supply.output_stream_interrupted()
+                    next_seq = seg.sequence + 1
                     continue
                 self.supply.output_data(data)
                 next_seq = seg.sequence + 1
@@ -174,6 +187,11 @@ class ProtocolHls(Protocol):
                 reloads += 1
                 if reloads > self._max_reloads:
                     break
+            stale = 0 if progressed else stale + 1
+            if stale > self.MAX_STALE_RELOADS:
+                # server stopped advancing its playlist (stale live
+                # stream): give up so the filler can restart the track
+                return ProtocolStreamResult.ERROR_RECOVERABLE
             # live: reload at target-duration cadence (half if stale,
             # ProtocolHls.h reload timing)
             self._sleep(playlist.target_duration
@@ -182,8 +200,14 @@ class ProtocolHls(Protocol):
                 return ProtocolStreamResult.STOPPED
             try:
                 text = self._fetch(url).decode("utf-8", "replace")
+                fetch_errors = 0
             except OSError:
-                return ProtocolStreamResult.ERROR_RECOVERABLE
+                # transient playlist-reload failures are retried before
+                # declaring the stream broken
+                fetch_errors += 1
+                if fetch_errors > self.MAX_RELOAD_ERRORS:
+                    return ProtocolStreamResult.ERROR_RECOVERABLE
+                continue
             playlist = parse_media(text, url)
         if hasattr(self.supply, "flush_pending"):
             self.supply.flush_pending()
