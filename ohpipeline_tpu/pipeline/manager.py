@@ -59,6 +59,10 @@ class PipelineInitParams:
         self.max_streams = 10
         self.support_elements = SupportElements.NONE
         self.threaded_starvation_ramper = True
+        # reference default: observer callbacks marshalled off the audio
+        # threads (PipelineElementObserverThread, ElementObserver.h:36);
+        # tests may force synchronous delivery (ElementObserverSync)
+        self.synchronous_observers = False
 
 
 class PipelineState(enum.Enum):
@@ -122,7 +126,11 @@ class Pipeline:
                                ok_to_play=self.id_manager.ok_to_play,
                                observer=self._on_stopper)
         e = wrap(self.stopper, "stopper")
-        self.reporter = Reporter(e)
+        from .observer import ObserverSync, ObserverThread
+        self.observer_thread = (ObserverSync()
+                                if p.synchronous_observers
+                                else ObserverThread())
+        self.reporter = Reporter(e, observer_thread=self.observer_thread)
         e = wrap(self.reporter, "reporter")
         self.async_track_observer = AsyncTrackObserver(e)
         e = wrap(self.async_track_observer, "asynctrack")
@@ -196,6 +204,13 @@ class Pipeline:
         self.starvation.quit()
         self.encoded.close()
         self.decoded.close()
+        if hasattr(self.observer_thread, "flush"):
+            self.observer_thread.flush()
+            self.observer_thread.quit()
+
+    def flush_observers(self) -> None:
+        if hasattr(self.observer_thread, "flush"):
+            self.observer_thread.flush()
 
 
 class PipelineManager:
@@ -303,6 +318,10 @@ class PipelineManager:
 
     def pull(self) -> ev.Event:
         return self.pipeline.pull()
+
+    def flush_observers(self) -> None:
+        """Wait for queued observer callbacks (tests/shutdown)."""
+        self.pipeline.flush_observers()
 
     def quit(self) -> None:
         self.filler.quit()
