@@ -148,6 +148,10 @@ build_opus() {
       "$(dirname "$0")/opus_oracle.c" "$oobj/ogg_bitwise.o" \
       "$oobj/ogg_framing.o" "$obj/libopus.a" -lm -o "$OUT/opus_oracle"
   echo "built $OUT/opus_oracle"
+  gcc -O2 -DVAR_ARRAYS -DOPUS_BUILD -I"$src/include" -I"$src/celt" -I"$src" \
+      -I"$obj" -w "$(dirname "$0")/celt_probe.c" "$obj/libopus.a" -lm \
+      -o "$OUT/celt_probe"
+  echo "built $OUT/celt_probe"
 }
 
 case "${1:-all}" in
