@@ -425,6 +425,49 @@ def main() -> int:
         peak = max(float(p) for p in peaks)
         return time.perf_counter() - t0, peak
 
+    if os.environ.get("BENCH_PHASES"):
+        # separate parse / transfer / exec timing (diagnostic, not the metric)
+        float(warm_exec(jnp.asarray(np.ones((128, 128), np.float32))))
+        fq = [threading.Event() for _ in range(QUARTERS)]
+        aq = [threading.Event() for _ in range(QUARTERS)]
+        t0 = time.perf_counter()
+        parse_all(fq, aq)
+        t_parse = time.perf_counter() - t0
+        nbytes = sum(a.nbytes for a in flac_in)
+        qf, qa = St_f // QUARTERS, (St_a // QUARTERS) if S_a else 0
+        t_ftx = t_fex = t_atx = t_aex = 0.0
+        for q in range(QUARTERS):
+            s0, s1 = q * qf, (q + 1) * qf
+            t0 = time.perf_counter()
+            dev = [jnp.asarray(a[s0:s1]) for a in flac_in]
+            jax.block_until_ready(dev)
+            t_ftx += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(flac_exec(*dev))
+            t_fex += time.perf_counter() - t0
+        if S_a:
+            nbytes += sum(a.nbytes for a in aac_in)
+            perm_tab, band_tab = cfg_tables(state["cfg"].as_dict(), ncfg=16)
+            ov = jnp.asarray(np.zeros((SC, 1024), np.float32))
+            for q in range(QUARTERS):
+                s0, s1 = q * qa, (q + 1) * qa
+                t0 = time.perf_counter()
+                adev = [jnp.asarray(a[s0:s1]) for a in aac_in]
+                jax.block_until_ready(adev)
+                t_atx += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                pk, ov = aac_exec(*adev, jnp.asarray(perm_tab),
+                                  jnp.asarray(band_tab), ov)
+                jax.block_until_ready(ov)
+                t_aex += time.perf_counter() - t0
+        print(json.dumps({"parse_s": round(t_parse, 2),
+                          "tx_flac_s": round(t_ftx, 2),
+                          "tx_aac_s": round(t_atx, 2),
+                          "exec_flac_s": round(t_fex, 2),
+                          "exec_aac_s": round(t_aex, 2),
+                          "slab_mb": round(nbytes / 1e6, 1)}))
+        return 0
+
     walls = []
     peak = 0.0
     for _ in range(max(1, args.passes)):

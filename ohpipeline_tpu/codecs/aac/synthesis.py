@@ -247,6 +247,104 @@ def dequant_filterbank_sparse(mask, vals, esc_row, esc_pos, esc_val, sf_u8,
                               M_long, M_short, W, SW)
 
 
+def _fast_cbrt(x):
+    """Elementwise cube root for non-negative f32 via exponent bit-trick
+    seed + 3 Newton steps — avoids XLA's transcendental pow lowering,
+    which is ~50x slower on the TPU VPU.  Exact to ~1e-7 relative over
+    the AAC quantizer range [1, 8191]; x == 0 yields a finite garbage
+    value that callers must mask (q * cbrt(|q|) handles it for free)."""
+    i = jax.lax.bitcast_convert_type(jnp.maximum(x, 1e-30), jnp.int32)
+    y = jax.lax.bitcast_convert_type(i // 3 + 0x2A514067, jnp.float32)
+    for _ in range(3):
+        y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
+    return y
+
+
+def _exp2_quarter(k):
+    """Elementwise 2**(k/4) for int32 k in [-126*4, 127*4): exponent-field
+    construction for the integer part, a 4-way select for the fraction."""
+    e = k >> 2
+    r = k & 3
+    base = jax.lax.bitcast_convert_type((e + 127) << 23, jnp.float32)
+    frac = jnp.where(r == 0, 1.0,
+                     jnp.where(r == 1, 1.189207115002721,
+                               jnp.where(r == 2, 1.4142135623730951,
+                                         1.681792830507429)))
+    return base * frac.astype(jnp.float32)
+
+
+def decode_chunk_zz(q4, sfc, msb, opx, esc_row, esc_pos, esc_val,
+                    side_q, side_row, overlap,
+                    M_long, M_short, W, SW):
+    """Scan-free whole-chunk AAC-LC decode for the zigzag-nibble wire
+    (native.aac_prepare_rows_zz).  Everything the per-step path did with
+    per-element gathers (config tables, permutations, rank reconstruction)
+    is gone: the host lays values out at spectral positions and expands
+    scalefactors per coefficient, so the device program is elementwise ops
+    plus three MXU matmuls (window one-hots + IMDCT) and an overlap-add
+    expressed as a shifted slice instead of a lax.scan.
+
+    q4 (T, B, 512) u8 zigzag nibbles; sfc (T, B, 1024) u8 scalefactor
+    bytes; msb (T, B//2, 128) u8 M/S bitmask (LSB-first); opx (T, B)
+    window-operator index; escapes flat over T*B rows (|q| > 7, raw
+    values); side_q (S, 1024) i16 + side_scale (S,) f32 host-prepared
+    exception spectra (TNS/PNS/intensity/short-special), side_row (S,)
+    flat row each replaces (-1 pad); overlap (B, 1024) f32 carried across
+    chunks.  Returns (pcm (T, B, 1024) f32, new_overlap)."""
+    Tn, B, _ = sfc.shape
+    TB = Tn * B
+    b = q4.reshape(TB, 512).astype(jnp.int32)
+    zz = jnp.stack([b & 15, b >> 4], axis=-1).reshape(TB, 1024)
+    q = ((zz >> 1) ^ -(zz & 1)).astype(jnp.float32)
+    flat = q.reshape(-1)
+    dummy = TB * 1024
+    eidx = jnp.where(esc_row >= 0, esc_row * 1024 + esc_pos, dummy)
+    flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+    flat = flat.at[eidx].set(esc_val.astype(jnp.float32))
+    q = flat[:dummy].reshape(TB, 1024)
+    dq = q * _fast_cbrt(jnp.abs(q))                  # sign(q)|q|^{4/3}
+    gain = _exp2_quarter(sfc.reshape(TB, 1024).astype(jnp.int32) - 100)
+    spec = dq * gain
+    # M/S per pair (per-coefficient bitmask, LSB-first)
+    bits = msb.reshape(Tn, B // 2, 128, 1).astype(jnp.int32)
+    ms = ((bits >> jnp.arange(8, dtype=jnp.int32)) & 1) \
+        .reshape(Tn, B // 2, 1024) > 0
+    sp = spec.reshape(Tn, B // 2, 2, 1024)
+    mid, side = sp[:, :, 0], sp[:, :, 1]
+    left = jnp.where(ms, mid + side, mid)
+    right = jnp.where(ms, mid - side, side)
+    spec = jnp.stack([left, right], axis=2).reshape(TB, 1024)
+    # exception rows (host-prepared full spectra, rare -> f32 wire)
+    side_spec = side_q.astype(jnp.float32)
+    sidx = jnp.where(side_row >= 0, side_row, TB)
+    spec_ext = jnp.concatenate([spec, jnp.zeros((1, 1024), spec.dtype)])
+    spec = spec_ext.at[sidx].set(side_spec)[:TB]
+    # filterbank: whole-chunk IMDCT matmuls + one-hot window matmuls
+    op = opx.reshape(TB).astype(jnp.int32)
+    onehot = (op[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]) \
+        .astype(jnp.float32)
+    x_long = jnp.dot(spec, M_long, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    x_long = x_long * jnp.dot(onehot, W)
+    xs = jnp.dot(spec.reshape(TB, 8, 128), M_short,
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)    # (TB, 8, 256)
+    oh4 = (jnp.bitwise_and(op, 3)[:, None]
+           == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    xs = xs * jnp.dot(oh4, SW.reshape(4, 8 * 256)).reshape(TB, 8, 256)
+    x_short = jnp.zeros((TB, 2048), jnp.float32)
+    for w in range(8):
+        x_short = x_short.at[:, 448 + w * 128:448 + w * 128 + 256].add(
+            xs[:, w])
+    is_short = (op >> 2) == EIGHT_SHORT
+    x = jnp.where(is_short[:, None], x_short, x_long).reshape(Tn, B, 2048)
+    # overlap-add as a shifted slice: frame t's first half overlaps frame
+    # t-1's second half (chronology runs along the T axis per column)
+    prev = jnp.concatenate([overlap[None], x[:-1, :, 1024:]], axis=0)
+    pcm = x[:, :, :1024] + prev
+    return pcm, x[-1, :, 1024:]
+
+
 @jax.jit
 def filterbank_fast(spec_t, opidx_t, overlap, M_long, M_short, W, SW):
     """High-throughput filterbank: single MXU matmul for the IMDCT of all

@@ -97,6 +97,31 @@ def _synthesise_group12(pack12, warm, esc_row, esc_pos, esc_val,
                              num_channels)
 
 
+def _synthesise_group_zz(lo, hi, warm, esc_row, esc_pos, esc_val,
+                         coeffs, shift, order, wasted, assign, num_channels):
+    """_synthesise_group fed by the zigzag byte-plane wire
+    (native.flac_parse_group_zz): a low-byte plane (B, stride) u8 plus a
+    packed high-nibble plane (B, stride//2) u8 — the high plane is mostly
+    zero and collapses on the compressing host->device link; decode is
+    pure elementwise (no gathers)."""
+    B, stride = lo.shape
+    h = hi.astype(jnp.int32)
+    hfull = jnp.stack([h & 15, h >> 4], axis=-1).reshape(B, stride)
+    zz = lo.astype(jnp.int32) | (hfull << 8)
+    d = (zz >> 1) ^ -(zz & 1)
+    flat = d.reshape(-1)
+    dummy = B * stride
+    eidx = jnp.where(esc_row >= 0, esc_row * stride + esc_pos, dummy)
+    flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+    flat = flat.at[eidx].set(esc_val)
+    d = flat[:dummy].reshape(B, stride)
+    pos = jnp.arange(32)
+    d = d.at[:, :32].set(jnp.where(pos[None, :] < order[:, None],
+                                   warm, d[:, :32]))
+    return _synthesise_group(d, coeffs, shift, order, wasted, assign,
+                             num_channels)
+
+
 def synthesise_batch(batch: dict, num_channels: int,
                      nframes: int) -> np.ndarray:
     """Run the fused device program over a parsed batch dict (layout of

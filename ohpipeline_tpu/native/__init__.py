@@ -67,6 +67,10 @@ def _flac_lib() -> ctypes.CDLL | None:
         lib.flac_parse_group12.argtypes = _common + [
             _u8, _i32p, _i32p, _i32p, _i32p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int]
+        lib.flac_parse_group_zz.restype = ctypes.c_int
+        lib.flac_parse_group_zz.argtypes = _common + [
+            _u8, _u8, _i32p, _i32p, _i32p, _i32p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int64]
         lib._sigs_set = True
     return lib
 
@@ -121,6 +125,16 @@ def _aac_lib() -> ctypes.CDLL | None:
             _i32p, _i32p, _i32p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.aac_prepare_rows_zz.restype = ctypes.c_int
+        lib.aac_prepare_rows_zz.argtypes = [
+            _i32p, _i8p, _i32p, _i32p, _u8p, _i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p,
+            _u8p, _u8p, _u8p, _u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            _i32p, _i32p, _i32p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.aac_tns_group.argtypes = [
@@ -328,6 +342,79 @@ def flac_parse_group12(buf: bytes, bit_pos: int, pack12: np.ndarray,
         scratch, coeffs, shift, order, wasted, assign, blocksize,
         sample_number, ctypes.byref(status),
         pack12.reshape(-1), warm.reshape(-1),
+        esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap, row0)
+    batch = dict(coeffs=coeffs, shift=shift, order=order, wasted=wasted,
+                 assign=assign, blocksize=blocksize,
+                 sample_number=sample_number, data=scratch)
+    return n, pos.value, status.value, batch
+
+
+def aac_prepare_rows_zz(batch: dict, nframes: int, F: int, channels: int,
+                        prev_shape: np.ndarray, esc: EscapeList, *,
+                        q4: np.ndarray, sfc: np.ndarray, msb: np.ndarray,
+                        opx: np.ndarray, col0: int, row_base: int = 0,
+                        max_special: int = 64):
+    """Zigzag-nibble wire variant (gather-free device decode): quantized
+    coefficients land at their spectral positions as zigzag nibbles in
+    ``q4`` (rows x 512 u8), the scalefactor byte is expanded per
+    coefficient into ``sfc`` (rows x 1024 u8, long runs -> near-free on
+    the compressing link), M/S flags become a per-coefficient bitmask
+    ``msb`` (pairs x 128 u8, LSB-first) and the window-operator index goes
+    to ``opx`` (rows u8).  |q| > 7 values become escape triples with the
+    row offset ``row_base`` added.  Returns special_frames or None on
+    overflow."""
+    lib = _aac_lib()
+    SC = q4.shape[1] if q4.ndim == 3 else q4.shape[0] // F
+    special = np.zeros(max_special, np.int32)
+    n_special = ctypes.c_int32(0)
+    rc = lib.aac_prepare_rows_zz(
+        np.ascontiguousarray(batch["ics"]),
+        np.ascontiguousarray(batch["cb"]),
+        np.ascontiguousarray(batch["sf"]),
+        np.ascontiguousarray(batch["quant"]),
+        np.ascontiguousarray(batch["msmask"]),
+        np.ascontiguousarray(batch["tnsn"]),
+        nframes, F, channels, batch["rate_index"], prev_shape,
+        q4.reshape(-1), sfc.reshape(-1), msb.reshape(-1), opx.reshape(-1),
+        SC, col0, row_base,
+        esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap,
+        special, ctypes.byref(n_special), max_special)
+    if rc != 0:
+        return None
+    return special[:n_special.value]
+
+
+def flac_parse_group_zz(buf: bytes, bit_pos: int, lo: np.ndarray,
+                        hi: np.ndarray, warm: np.ndarray,
+                        scratch: np.ndarray, esc: EscapeList, row0: int, *,
+                        sample_rate: int, bits_per_sample: int,
+                        max_blocksize: int, channels: int, max_frames: int,
+                        check_crc16: bool = True):
+    """flac_parse_group with residuals as zigzag byte planes: ``lo``
+    (B, stride) u8 low bytes and ``hi`` (B, stride//2) u8 packed high
+    nibbles (mostly zero -> collapses on the compressing link); |v| > 2047
+    residuals go to ``esc`` with row offset row0.  Returns
+    (nframes, new_bit_pos, status, batch)."""
+    lib = _flac_lib()
+    if lib is None:
+        raise RuntimeError("native flac unpacker unavailable")
+    stride = max_blocksize
+    B = max_frames * channels
+    coeffs = np.zeros((B, 32), np.int32)
+    shift = np.zeros(B, np.int32)
+    order = np.zeros(B, np.int32)
+    wasted = np.zeros(B, np.int32)
+    assign = np.zeros(max_frames, np.int32)
+    blocksize = np.zeros(max_frames, np.int32)
+    sample_number = np.zeros(max_frames, np.int64)
+    pos = ctypes.c_int64(bit_pos)
+    status = ctypes.c_int(0)
+    n = lib.flac_parse_group_zz(
+        buf, len(buf), ctypes.byref(pos), sample_rate, bits_per_sample,
+        max_blocksize, channels, max_frames, stride, int(check_crc16),
+        scratch, coeffs, shift, order, wasted, assign, blocksize,
+        sample_number, ctypes.byref(status),
+        lo.reshape(-1), hi.reshape(-1), warm.reshape(-1),
         esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap, row0)
     batch = dict(coeffs=coeffs, shift=shift, order=order, wasted=wasted,
                  assign=assign, blocksize=blocksize,

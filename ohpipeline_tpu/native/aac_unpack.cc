@@ -727,4 +727,171 @@ int aac_prepare_rows_sparse(
     return 0;
 }
 
+// Zigzag-nibble wire variant tuned for the compressing host->device link
+// AND for gather-free device decode:
+//   q4   [row][512]  uint8: zigzag nibbles of the quantized coefficients at
+//        their *spectral* (dst) positions — the short-window deinterleave
+//        runs here on the host so the device needs no permutation tables.
+//        zz = (v<<1)^(v>>31); values with |v| > 7 pack as 0 plus an escape
+//        triple (row+row_base, dst, v).  Coefficient i lives in byte i>>1
+//        (even i = low nibble).
+//   sfc  [row][1024] uint8: per-coefficient scalefactor byte (0 when the
+//        band is uncoded) — long runs of equal bytes, near-free on the
+//        compressed link, and it removes every config/band table from the
+//        device program.
+//   msb  [pair][128] uint8: per-coefficient M/S bitmask (bit i&7 of byte
+//        i>>3, LSB-first).
+//   opx  [row] uint8 window-operator index (seq*4 + prev_shape*2 + shape).
+//
+// Returns 0 ok, -2 special-row overflow, -4 escape overflow.
+int aac_prepare_rows_zz(
+        const int32_t* ics, const int8_t* cb, const int32_t* sf,
+        const int32_t* quant, const uint8_t* msmask, const int32_t* tnsn,
+        int nframes, int F, int C, int rate_index,
+        int32_t* prev_shape,
+        uint8_t* q4, uint8_t* sfc, uint8_t* msb, uint8_t* opx,
+        int SC, int col0, int64_t row_base,
+        int32_t* esc_row, int32_t* esc_pos, int32_t* esc_val,
+        int32_t* esc_count, int esc_cap,
+        int32_t* special_frames, int32_t* n_special, int max_special) {
+    *n_special = 0;
+    const int pairs = C / 2;
+    const int SP = SC / 2;
+    const int pair0 = col0 / 2;
+    for (int f = 0; f < F; f++) {
+        bool parsed = f < nframes;
+        bool frame_special = false;
+        for (int c = 0; c < C; c++) {
+            int r = f * C + c;
+            int64_t orow = (int64_t)f * SC + col0 + c;
+            int seq = 0, shape = 0, max_sfb = 0, grouping = 0;
+            if (parsed) {
+                seq = ics[r * 4];
+                shape = ics[r * 4 + 1];
+                max_sfb = ics[r * 4 + 2];
+                grouping = ics[r * 4 + 3];
+            }
+            bool shortw = seq == 2;
+            opx[orow] = (uint8_t)(seq * 4 + prev_shape[c] * 2 + shape);
+            prev_shape[c] = shape;
+            uint8_t* qrow = q4 + orow * 512;
+            uint8_t* srow = sfc + orow * 1024;
+            memset(qrow, 0, 512);
+            memset(srow, 0, 1024);
+            if (!parsed) continue;
+            const int32_t* q = quant + (int64_t)r * 1024;
+            const int8_t* cbr = cb + (int64_t)r * SFB_SLOTS;
+            const int32_t* sfr = sf + (int64_t)r * SFB_SLOTS;
+            const int16_t* offsets = shortw ? g_sfb_short[rate_index]
+                                            : g_sfb_long[rate_index];
+            // reconstruct the window grouping exactly as the parser did
+            int group_wins[8] = {1, 0, 0, 0, 0, 0, 0, 0};
+            int ngroups = 1;
+            if (shortw) {
+                int gi = 0;
+                for (int b = 6; b >= 0; b--) {
+                    if ((grouping >> b) & 1) group_wins[gi]++;
+                    else group_wins[++gi] = 1;
+                }
+                ngroups = gi + 1;
+            }
+            int pos = 0, win_base = 0;
+            for (int g = 0; g < ngroups; g++) {
+                int wins = group_wins[g];
+                for (int k = 0; k < max_sfb; k++) {
+                    int width = offsets[k + 1] - offsets[k];
+                    int cbv = cbr[g * 15 + k];
+                    bool coded = cbv >= 1 && cbv <= 11;
+                    int32_t sv = sfr[g * 15 + k];
+                    uint8_t sb = (uint8_t)(sv < 0 ? 0 : (sv > 255 ? 255 : sv));
+                    for (int w = 0; w < wins; w++) {
+                        int dbase = shortw ? (win_base + w) * 128 + offsets[k]
+                                           : offsets[k];
+                        for (int j = 0; j < width; j++) {
+                            int dst = dbase + j;
+                            if (coded) srow[dst] = sb;
+                            int32_t v = q[pos + j];
+                            if (v == 0) continue;
+                            uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
+                            if (zz > 14) {
+                                if (*esc_count >= esc_cap) return -4;
+                                int e = (*esc_count)++;
+                                esc_row[e] = (int32_t)(row_base + orow);
+                                esc_pos[e] = dst;
+                                esc_val[e] = v;
+                            } else {
+                                qrow[dst >> 1] |= (uint8_t)(
+                                    (dst & 1) ? (zz << 4) : zz);
+                            }
+                        }
+                        pos += width;
+                    }
+                }
+                win_base += wins;
+                pos = win_base * (shortw ? 128 : 1024);
+            }
+            bool any_exotic = false;
+            for (int k = 0; k < 120; k++)
+                if (cbr[k] >= 13) any_exotic = true;
+            if (any_exotic) frame_special = true;
+            const int32_t* tn = tnsn + (int64_t)r * 8;
+            for (int w = 0; w < 8; w++)
+                if (tn[w]) { frame_special = true; break; }
+        }
+        // per-coefficient M/S bitmask (left channel's layout; shared ics)
+        for (int p = 0; p < pairs; p++) {
+            uint8_t* mrow = msb + ((int64_t)f * SP + pair0 + p) * 128;
+            memset(mrow, 0, 128);
+            if (f >= nframes) continue;
+            const uint8_t* ms = msmask + (int64_t)f * SFB_SLOTS;
+            uint8_t flag = ms[0];
+            if (flag != 1 && flag != 2) continue;
+            int rl = f * C + p * 2;
+            int seq = ics[rl * 4];
+            int max_sfb = ics[rl * 4 + 2];
+            int grouping = ics[rl * 4 + 3];
+            bool shortw = seq == 2;
+            const int16_t* offsets = shortw ? g_sfb_short[rate_index]
+                                            : g_sfb_long[rate_index];
+            int group_wins[8] = {1, 0, 0, 0, 0, 0, 0, 0};
+            int ngroups = 1;
+            if (shortw) {
+                int gi = 0;
+                for (int b = 6; b >= 0; b--) {
+                    if ((grouping >> b) & 1) group_wins[gi]++;
+                    else group_wins[++gi] = 1;
+                }
+                ngroups = gi + 1;
+            }
+            const int8_t* cbp = cb + ((int64_t)(f * C + p * 2 + 1))
+                * SFB_SLOTS;
+            int win_base = 0;
+            for (int g = 0; g < ngroups; g++) {
+                int wins = group_wins[g];
+                for (int k = 0; k < max_sfb; k++) {
+                    bool on = (flag == 2) || ms[1 + g * 15 + k];
+                    if (cbp[g * 15 + k] >= 13) on = false;
+                    if (on) {
+                        for (int w = 0; w < wins; w++) {
+                            int dbase = shortw
+                                ? (win_base + w) * 128 + offsets[k]
+                                : offsets[k];
+                            for (int j = offsets[k]; j < offsets[k + 1]; j++) {
+                                int dst = dbase + (j - offsets[k]);
+                                mrow[dst >> 3] |= (uint8_t)(1u << (dst & 7));
+                            }
+                        }
+                    }
+                }
+                win_base += wins;
+            }
+        }
+        if (frame_special) {
+            if (*n_special >= max_special) return -2;
+            special_frames[(*n_special)++] = f;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

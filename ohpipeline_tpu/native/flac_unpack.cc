@@ -496,4 +496,73 @@ int flac_parse_group12(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
     return n;
 }
 
+// As flac_parse_group, but ships residuals as zigzag byte planes tuned for
+// the compressing host->device link: a low-byte plane (B x stride, u8) that
+// carries the noise-like residual low bits, and a packed high-nibble plane
+// (B x stride/2, u8) that is mostly zero and collapses under the link's
+// LZ-style compression.  zz = (v << 1) ^ (v >> 31); values with zz >= 4095
+// (|v| > 2047) become escape triples (row, pos, val) and pack as zero.
+// Warm-up samples live in `warm` (B x 32 int32) like flac_parse_group12.
+int flac_parse_group_zz(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
+                        int si_rate, int si_bps, int si_max_blocksize,
+                        int channels, int max_frames, int64_t stride,
+                        int check_crc16,
+                        int32_t* data, int32_t* coeffs, int32_t* shift,
+                        int32_t* order, int32_t* wasted, int32_t* assign,
+                        int32_t* blocksize, int64_t* sample_number,
+                        int* status,
+                        uint8_t* lo, uint8_t* hi, int32_t* warm,
+                        int32_t* esc_row, int32_t* esc_pos, int32_t* esc_val,
+                        int32_t* esc_count, int esc_cap, int64_t row0) {
+    int n = flac_parse_group(buf, nbytes, bit_pos, si_rate, si_bps,
+                             si_max_blocksize, channels, max_frames, stride,
+                             check_crc16, data, coeffs, shift, order, wasted,
+                             assign, blocksize, sample_number, status);
+    int64_t rows = (int64_t)n * channels;
+    int64_t cap_rows = (int64_t)max_frames * channels;
+    int64_t hbytes = stride / 2;
+    for (int64_t r = 0; r < rows; r++) {
+        const int32_t* src = data + r * stride;
+        uint8_t* lrow = lo + r * stride;
+        uint8_t* hrow = hi + r * hbytes;
+        int o = order[r];
+        for (int i = 0; i < 32; i++)
+            warm[r * 32 + i] = i < o ? src[i] : 0;
+        for (int64_t i = 0; i < stride; i += 2) {
+            uint32_t z0 = 0, z1 = 0;
+            if (i >= o) {
+                int32_t v = src[i];
+                z0 = (uint32_t)((v << 1) ^ (v >> 31));
+                if (z0 >= 4095) {
+                    if (*esc_count >= esc_cap) { *status = -9; return n; }
+                    int j = (*esc_count)++;
+                    esc_row[j] = (int32_t)(row0 + r);
+                    esc_pos[j] = (int32_t)i;
+                    esc_val[j] = v;
+                    z0 = 0;
+                }
+            }
+            if (i + 1 >= o && i + 1 < stride) {
+                int32_t v = src[i + 1];
+                z1 = (uint32_t)((v << 1) ^ (v >> 31));
+                if (z1 >= 4095) {
+                    if (*esc_count >= esc_cap) { *status = -9; return n; }
+                    int j = (*esc_count)++;
+                    esc_row[j] = (int32_t)(row0 + r);
+                    esc_pos[j] = (int32_t)(i + 1);
+                    esc_val[j] = v;
+                    z1 = 0;
+                }
+            }
+            lrow[i] = (uint8_t)(z0 & 0xFF);
+            lrow[i + 1] = (uint8_t)(z1 & 0xFF);
+            hrow[i >> 1] = (uint8_t)(((z0 >> 8) & 0xF) | (((z1 >> 8) & 0xF) << 4));
+        }
+    }
+    memset(lo + rows * stride, 0, (size_t)((cap_rows - rows) * stride));
+    memset(hi + rows * hbytes, 0, (size_t)((cap_rows - rows) * hbytes));
+    memset(warm + rows * 32, 0, (size_t)((cap_rows - rows) * 32) * 4);
+    return n;
+}
+
 }  // extern "C"

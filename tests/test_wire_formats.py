@@ -82,6 +82,71 @@ def test_flac_pack12_roundtrip():
     assert esc.count.value > 0     # the noisy content must exercise escapes
 
 
+def test_flac_zz_matches_pack12():
+    from ohpipeline_tpu.codecs.flac import _synthesise_group_zz
+    track = _noisy_track()
+    data = flac.encode_flac(track, 44100, 16)
+    m = FF.parse_metadata(data)
+    si = m.streaminfo
+    G, nch = 8, 2
+    B = G * nch
+    stride = si.max_blocksize
+    scratch = np.zeros((B, stride), np.int32)
+    pack = np.zeros((B, stride * 3 // 2), np.uint8)
+    warm = np.zeros((B, 32), np.int32)
+    lo = np.zeros((B, stride), np.uint8)
+    hi = np.zeros((B, stride // 2), np.uint8)
+    warm_z = np.zeros((B, 32), np.int32)
+    esc = native.EscapeList(200000)
+    escz = native.EscapeList(200000)
+    pos = posz = m.header_bytes * 8
+    steps = 0
+    while True:
+        esc.reset()
+        n, pos, st, b12 = native.flac_parse_group12(
+            data, pos, pack, warm, scratch, esc, 0,
+            sample_rate=si.sample_rate, bits_per_sample=si.bits_per_sample,
+            max_blocksize=stride, channels=nch, max_frames=G)
+        if n == 0:
+            break
+        escz.reset()
+        nz, posz, stz, bz = native.flac_parse_group_zz(
+            data, posz, lo, hi, warm_z, scratch, escz, 0,
+            sample_rate=si.sample_rate, bits_per_sample=si.bits_per_sample,
+            max_blocksize=stride, channels=nch, max_frames=G)
+        assert nz == n and stz == 0
+        pcm12 = np.asarray(_synthesise_group12(
+            jnp.asarray(pack), jnp.asarray(warm), jnp.asarray(esc.row),
+            jnp.asarray(esc.pos), jnp.asarray(esc.val),
+            jnp.asarray(b12["coeffs"]), jnp.asarray(b12["shift"]),
+            jnp.asarray(b12["order"]), jnp.asarray(b12["wasted"]),
+            jnp.asarray(b12["assign"]), nch))
+        pcmz = np.asarray(_synthesise_group_zz(
+            jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(warm_z),
+            jnp.asarray(escz.row), jnp.asarray(escz.pos),
+            jnp.asarray(escz.val),
+            jnp.asarray(bz["coeffs"]), jnp.asarray(bz["shift"]),
+            jnp.asarray(bz["order"]), jnp.asarray(bz["wasted"]),
+            jnp.asarray(bz["assign"]), nch))
+        np.testing.assert_array_equal(pcmz, pcm12)
+        steps += 1
+    assert steps >= 2
+    assert escz.count.value > 0
+
+
+def test_fast_cbrt_and_exp2():
+    import jax
+    x = jnp.asarray(np.arange(1, 8192, dtype=np.float32))
+    got = np.asarray(jax.jit(ASYN._fast_cbrt)(x))
+    np.testing.assert_allclose(got, np.cbrt(np.arange(1, 8192)),
+                               rtol=3e-7)
+    k = jnp.asarray(np.arange(-120, 156, dtype=np.int32))
+    got2 = np.asarray(jax.jit(ASYN._exp2_quarter)(k))
+    np.testing.assert_allclose(got2,
+                               np.exp2(np.arange(-120, 156) / 4.0),
+                               rtol=3e-7)
+
+
 ORACLE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".oracle_build", "aac_oracle")
 
@@ -177,3 +242,89 @@ def test_aac_sparse_matches_dense():
                                    atol=1e-4, rtol=0)
         steps += 1
     assert steps >= 4
+
+
+def test_aac_zz_matches_dense():
+    """The zigzag-nibble wire + scan-free chunk decoder must match the
+    dense per-step device path on real encoded content."""
+    if not os.path.exists(ORACLE):
+        pytest.skip("aac oracle not built")
+    import jax
+    track = _noisy_track(4.0, noise=0.1)
+    with tempfile.TemporaryDirectory() as td:
+        fin, fout = os.path.join(td, "i.raw"), os.path.join(td, "o.aac")
+        np.ascontiguousarray(track.T).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "128000"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+
+    nch, F = 2, 96                     # one chunk of 96 frames
+    SC = nch
+    cfgd = native.AacCfgMap(16)
+    psd = np.zeros(nch, np.int32)
+    psz = np.zeros(nch, np.int32)
+    W, SW = ASYN.window_bank()
+    consts = (jnp.asarray(ASYN._imdct_matrix(2048)),
+              jnp.asarray(ASYN._imdct_matrix(256)),
+              jnp.asarray(W), jnp.asarray(SW))
+    n, _pos, b = native.aac_parse_group(data, 0, channels=nch, max_frames=F)
+    assert n >= 64
+    # dense reference path
+    q16 = np.zeros((F, SC, 1024), np.int16)
+    sf16 = np.zeros((F, SC, 128), np.int16)
+    coded = np.zeros((F, SC, 128), np.uint8)
+    ci_d = np.zeros((F, SC), np.int32)
+    ms_d = np.zeros((F, SC // 2, 128), np.uint8)
+    op_d = np.zeros((F, SC), np.int32)
+    rd = native.aac_prepare_rows(b, n, F, nch, psd, cfgd,
+                                 quant16=q16, sf16=sf16, coded=coded,
+                                 cfg_idx=ci_d, ms_flag=ms_d,
+                                 opidx=op_d, col0=0, max_special=F)
+    assert rd is not None
+    special = rd[0]
+    # zz wire
+    q4 = np.zeros((F, SC, 512), np.uint8)
+    sfc = np.zeros((F, SC, 1024), np.uint8)
+    msb = np.zeros((F, SC // 2, 128), np.uint8)
+    opx = np.zeros((F, SC), np.uint8)
+    esc = native.EscapeList(65536)
+    rz = native.aac_prepare_rows_zz(b, n, F, nch, psz, esc,
+                                    q4=q4, sfc=sfc, msb=msb, opx=opx,
+                                    col0=0, max_special=F)
+    assert rz is not None
+    np.testing.assert_array_equal(rz, special)
+    np.testing.assert_array_equal(opx.astype(np.int32), op_d)
+    assert esc.count.value > 0
+
+    # side rows (special frames), shared between both paths
+    nside = max(1, len(special) * nch)
+    side_f = np.zeros((nside, 1024), np.float32)
+    srow = np.full(nside, -1, np.int32)
+    j = 0
+    for f in special:
+        sub = {k: (v[f * nch:(f + 1) * nch]
+                   if k not in ("msmask", "rate_index")
+                   else (v[f:f + 1] if k == "msmask" else v))
+               for k, v in b.items()}
+        sp, _ = ASYN.prepare_group(sub, 1, nch, np.zeros(nch, np.int32))
+        for c in range(nch):
+            side_f[j] = sp[0, c]
+            srow[j] = int(f) * SC + c
+            j += 1
+
+    perm_d, band_d = aac.cfg_tables(cfgd.as_dict(), ncfg=16)
+    ov0 = jnp.zeros((SC, 1024), jnp.float32)
+    pcm_d, ov_d = ASYN.dequant_filterbank(
+        jnp.asarray(q16), jnp.asarray(sf16), jnp.asarray(coded),
+        jnp.asarray(ci_d), jnp.asarray(perm_d), jnp.asarray(band_d),
+        jnp.asarray(ms_d), jnp.asarray(side_f), jnp.asarray(srow),
+        jnp.asarray(op_d), ov0, *consts)
+    pcm_z, ov_z = jax.jit(ASYN.decode_chunk_zz)(
+        jnp.asarray(q4), jnp.asarray(sfc), jnp.asarray(msb),
+        jnp.asarray(opx), jnp.asarray(esc.row), jnp.asarray(esc.pos),
+        jnp.asarray(esc.val), jnp.asarray(side_f),
+        jnp.asarray(srow), ov0, *consts)
+    np.testing.assert_allclose(np.asarray(pcm_z), np.asarray(pcm_d),
+                               atol=0.02, rtol=0)
+    np.testing.assert_allclose(np.asarray(ov_z), np.asarray(ov_d),
+                               atol=0.02, rtol=0)
