@@ -273,9 +273,20 @@ def _exp2_quarter(k):
     return base * frac.astype(jnp.float32)
 
 
-def decode_chunk_zz(q4, sfc, msb, opx, esc_row, esc_pos, esc_val,
+def sf_expand_matrix(rate_index: int) -> np.ndarray:
+    """(64, 1024) one-hot expansion: long-window band k -> its coefficient
+    span (per the rate's long sfb offsets).  Coefficients beyond the last
+    band map to no row (expanded byte 0)."""
+    offsets = T.sfb_offsets(rate_index, False)
+    E = np.zeros((64, 1024), np.float32)
+    for k in range(min(64, len(offsets) - 1)):
+        E[k, int(offsets[k]):int(offsets[k + 1])] = 1.0
+    return E
+
+
+def decode_chunk_zz(q4, sfb, ssf, ssr, msb, opx, esc_row, esc_pos, esc_val,
                     side_q, side_row, overlap,
-                    M_long, M_short, W, SW):
+                    M_long, M_short, W, SW, E_sf):
     """Scan-free whole-chunk AAC-LC decode for the zigzag-nibble wire
     (native.aac_prepare_rows_zz).  Everything the per-step path did with
     per-element gathers (config tables, permutations, rank reconstruction)
@@ -284,14 +295,17 @@ def decode_chunk_zz(q4, sfc, msb, opx, esc_row, esc_pos, esc_val,
     plus three MXU matmuls (window one-hots + IMDCT) and an overlap-add
     expressed as a shifted slice instead of a lax.scan.
 
-    q4 (T, B, 512) u8 zigzag nibbles; sfc (T, B, 1024) u8 scalefactor
-    bytes; msb (T, B//2, 128) u8 M/S bitmask (LSB-first); opx (T, B)
+    q4 (T, B, 512) u8 zigzag nibbles; sfb (T, B, 64) u8 per-band
+    scalefactor bytes for long rows, expanded per coefficient with the
+    one-hot E_sf (64, 1024) matmul; ssf (S2, 1024) u8 + ssr (S2,) pooled
+    per-coefficient bytes for short-window rows (scattered over the
+    expansion); msb (T, B//2, 128) u8 M/S bitmask (LSB-first); opx (T, B)
     window-operator index; escapes flat over T*B rows (|q| > 7, raw
     values); side_q (S, 1024) i16 + side_scale (S,) f32 host-prepared
     exception spectra (TNS/PNS/intensity/short-special), side_row (S,)
     flat row each replaces (-1 pad); overlap (B, 1024) f32 carried across
     chunks.  Returns (pcm (T, B, 1024) f32, new_overlap)."""
-    Tn, B, _ = sfc.shape
+    Tn, B, _ = sfb.shape
     TB = Tn * B
     b = q4.reshape(TB, 512).astype(jnp.int32)
     zz = jnp.stack([b & 15, b >> 4], axis=-1).reshape(TB, 1024)
@@ -303,7 +317,16 @@ def decode_chunk_zz(q4, sfc, msb, opx, esc_row, esc_pos, esc_val,
     flat = flat.at[eidx].set(esc_val.astype(jnp.float32))
     q = flat[:dummy].reshape(TB, 1024)
     dq = q * _fast_cbrt(jnp.abs(q))                  # sign(q)|q|^{4/3}
-    gain = _exp2_quarter(sfc.reshape(TB, 1024).astype(jnp.int32) - 100)
+    # scalefactor bytes: per-band -> per-coefficient via one-hot matmul
+    # (exact: integer values <= 255, one nonzero product per output),
+    # short-window rows overlaid from the pooled per-coefficient bytes
+    kexp = jnp.dot(sfb.reshape(TB, 64).astype(jnp.float32), E_sf,
+                   precision=jax.lax.Precision.HIGHEST)
+    k = kexp.astype(jnp.int32)
+    kidx = jnp.where(ssr >= 0, ssr, TB)
+    k_ext = jnp.concatenate([k, jnp.zeros((1, 1024), k.dtype)])
+    k = k_ext.at[kidx].set(ssf.astype(jnp.int32))[:TB]
+    gain = _exp2_quarter(k - 100)
     spec = dq * gain
     # M/S per pair (per-coefficient bitmask, LSB-first)
     bits = msb.reshape(Tn, B // 2, 128, 1).astype(jnp.int32)
@@ -314,7 +337,7 @@ def decode_chunk_zz(q4, sfc, msb, opx, esc_row, esc_pos, esc_val,
     left = jnp.where(ms, mid + side, mid)
     right = jnp.where(ms, mid - side, side)
     spec = jnp.stack([left, right], axis=2).reshape(TB, 1024)
-    # exception rows (host-prepared full spectra, rare -> f32 wire)
+    # exception rows (host-prepared spectra; rare channels -> f32 wire)
     side_spec = side_q.astype(jnp.float32)
     sidx = jnp.where(side_row >= 0, side_row, TB)
     spec_ext = jnp.concatenate([spec, jnp.zeros((1, 1024), spec.dtype)])
@@ -323,15 +346,30 @@ def decode_chunk_zz(q4, sfc, msb, opx, esc_row, esc_pos, esc_val,
     op = opx.reshape(TB).astype(jnp.int32)
     onehot = (op[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]) \
         .astype(jnp.float32)
-    x_long = jnp.dot(spec, M_long, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    x_long = x_long * jnp.dot(onehot, W)
-    xs = jnp.dot(spec.reshape(TB, 8, 128), M_short,
-                 preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)    # (TB, 8, 256)
+    # magnitude-split IMDCT: tonal content concentrates ~1e7-magnitude
+    # bins, and one f32 accumulation over them costs ~30 LSB of the 16-bit
+    # output.  Zero entries accumulate exactly in the MXU, so summing the
+    # few huge bins in their own pass keeps each pass's rounding at the
+    # scale of its own terms (~10x less error for two matmuls).
+    s_big = jnp.where(jnp.abs(spec) > 16384.0, spec, 0.0)
+    s_small = spec - s_big
+    x_long = (jnp.dot(s_small, M_long, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+              + jnp.dot(s_big, M_long, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
+    x_long = x_long * jnp.dot(onehot, W,
+                              precision=jax.lax.Precision.HIGHEST)
+    xs = (jnp.dot(s_small.reshape(TB, 8, 128), M_short,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+          + jnp.dot(s_big.reshape(TB, 8, 128), M_short,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))  # (TB, 8, 256)
     oh4 = (jnp.bitwise_and(op, 3)[:, None]
            == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    xs = xs * jnp.dot(oh4, SW.reshape(4, 8 * 256)).reshape(TB, 8, 256)
+    xs = xs * jnp.dot(oh4, SW.reshape(4, 8 * 256),
+                      precision=jax.lax.Precision.HIGHEST) \
+        .reshape(TB, 8, 256)
     x_short = jnp.zeros((TB, 2048), jnp.float32)
     for w in range(8):
         x_short = x_short.at[:, 448 + w * 128:448 + w * 128 + 256].add(
@@ -343,6 +381,52 @@ def decode_chunk_zz(q4, sfc, msb, opx, esc_row, esc_pos, esc_val,
     prev = jnp.concatenate([overlap[None], x[:-1, :, 1024:]], axis=0)
     pcm = x[:, :, :1024] + prev
     return pcm, x[-1, :, 1024:]
+
+
+def decode_chunk_zz_reference(q4, sfb, ssf, ssr, msb, opx,
+                              esc_row, esc_pos, esc_val,
+                              side_q, side_row, overlap, E_sf):
+    """float64 numpy reference of decode_chunk_zz — the precision gate the
+    bench smoke checks the device program against (the device's f32 IMDCT
+    accumulation is the only deviation)."""
+    Tn, B, _ = sfb.shape
+    TB = Tn * B
+    bb = q4.reshape(TB, 512).astype(np.int32)
+    zz = np.stack([bb & 15, bb >> 4], axis=-1).reshape(TB, 1024)
+    q = ((zz >> 1) ^ -(zz & 1)).astype(np.float64)
+    flat = q.reshape(-1)
+    m = esc_row >= 0
+    flat[esc_row[m] * 1024 + esc_pos[m]] = esc_val[m]
+    q = flat.reshape(TB, 1024)
+    k = (sfb.reshape(TB, 64).astype(np.float64)
+         @ E_sf.astype(np.float64)).astype(np.int64)
+    sel2 = ssr >= 0
+    k[ssr[sel2]] = ssf[sel2]
+    spec = (np.sign(q) * np.abs(q) ** (4.0 / 3.0)
+            * np.exp2(0.25 * (k.astype(np.float64) - 100.0)))
+    bits = ((msb.reshape(Tn, B // 2, 128, 1).astype(np.int32)
+             >> np.arange(8)) & 1).reshape(Tn, B // 2, 1024)
+    sp = spec.reshape(Tn, B // 2, 2, 1024)
+    mid, side = sp[:, :, 0], sp[:, :, 1]
+    left = np.where(bits > 0, mid + side, mid)
+    right = np.where(bits > 0, mid - side, side)
+    spec = np.stack([left, right], axis=2).reshape(TB, 1024)
+    sel = side_row >= 0
+    spec[side_row[sel]] = side_q[sel]
+    W, SW = window_bank()
+    ML = _imdct_matrix(2048).astype(np.float64)
+    MS = _imdct_matrix(256).astype(np.float64)
+    op = opx.reshape(TB).astype(int)
+    x_long = spec @ ML * W[op]
+    xs = np.einsum("twk,kn->twn", spec.reshape(TB, 8, 128), MS) * SW[op & 3]
+    x_short = np.zeros((TB, 2048))
+    for w in range(8):
+        x_short[:, 448 + w * 128:448 + w * 128 + 256] += xs[:, w]
+    x = np.where(((op >> 2) == EIGHT_SHORT)[:, None], x_short, x_long) \
+        .reshape(Tn, B, 2048)
+    prev = np.concatenate([overlap[None].astype(np.float64),
+                           x[:-1, :, 1024:]], axis=0)
+    return x[:, :, :1024] + prev, x[-1, :, 1024:]
 
 
 @jax.jit

@@ -132,6 +132,7 @@ def _aac_lib() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _i32p,
             _u8p, _u8p, _u8p, _u8p,
+            _u8p, _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             _i32p, _i32p, _i32p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -349,20 +350,37 @@ def flac_parse_group12(buf: bytes, bit_pos: int, pack12: np.ndarray,
     return n, pos.value, status.value, batch
 
 
+class ShortSfPool:
+    """Pooled per-coefficient scalefactor bytes for short-window rows
+    (the long-window per-band wire can't express their grouping)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.sf = np.zeros((cap, 1024), np.uint8)
+        self.row = np.full(cap, -1, np.int32)
+        self.count = ctypes.c_int32(0)
+
+    def reset(self):
+        self.row[:] = -1
+        self.count.value = 0
+
+
 def aac_prepare_rows_zz(batch: dict, nframes: int, F: int, channels: int,
-                        prev_shape: np.ndarray, esc: EscapeList, *,
-                        q4: np.ndarray, sfc: np.ndarray, msb: np.ndarray,
+                        prev_shape: np.ndarray, esc: EscapeList,
+                        ssf: "ShortSfPool", *,
+                        q4: np.ndarray, sfb: np.ndarray, msb: np.ndarray,
                         opx: np.ndarray, col0: int, row_base: int = 0,
                         max_special: int = 64):
     """Zigzag-nibble wire variant (gather-free device decode): quantized
     coefficients land at their spectral positions as zigzag nibbles in
-    ``q4`` (rows x 512 u8), the scalefactor byte is expanded per
-    coefficient into ``sfc`` (rows x 1024 u8, long runs -> near-free on
-    the compressing link), M/S flags become a per-coefficient bitmask
-    ``msb`` (pairs x 128 u8, LSB-first) and the window-operator index goes
-    to ``opx`` (rows u8).  |q| > 7 values become escape triples with the
-    row offset ``row_base`` added.  Returns special_frames or None on
-    overflow."""
+    ``q4`` (rows x 512 u8); long-window scalefactors go per band to
+    ``sfb`` (rows x 64 u8, expanded per coefficient on device with a
+    one-hot matmul) while short-window rows pool per-coefficient bytes in
+    ``ssf``; M/S flags become a per-coefficient bitmask ``msb`` (pairs x
+    128 u8, LSB-first) and the window-operator index goes to ``opx``
+    (rows u8).  |q| > 7 values become escape triples with the row offset
+    ``row_base`` added (also applied to ``ssf`` row indices).  Returns
+    special (frame*C + channel) row flags or None on overflow."""
     lib = _aac_lib()
     SC = q4.shape[1] if q4.ndim == 3 else q4.shape[0] // F
     special = np.zeros(max_special, np.int32)
@@ -375,7 +393,8 @@ def aac_prepare_rows_zz(batch: dict, nframes: int, F: int, channels: int,
         np.ascontiguousarray(batch["msmask"]),
         np.ascontiguousarray(batch["tnsn"]),
         nframes, F, channels, batch["rate_index"], prev_shape,
-        q4.reshape(-1), sfc.reshape(-1), msb.reshape(-1), opx.reshape(-1),
+        q4.reshape(-1), sfb.reshape(-1), msb.reshape(-1), opx.reshape(-1),
+        ssf.sf.reshape(-1), ssf.row, ctypes.byref(ssf.count), ssf.cap,
         SC, col0, row_base,
         esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap,
         special, ctypes.byref(n_special), max_special)

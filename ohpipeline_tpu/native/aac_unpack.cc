@@ -735,32 +735,41 @@ int aac_prepare_rows_sparse(
 //        zz = (v<<1)^(v>>31); values with |v| > 7 pack as 0 plus an escape
 //        triple (row+row_base, dst, v).  Coefficient i lives in byte i>>1
 //        (even i = low nibble).
-//   sfc  [row][1024] uint8: per-coefficient scalefactor byte (0 when the
-//        band is uncoded) — long runs of equal bytes, near-free on the
-//        compressed link, and it removes every config/band table from the
-//        device program.
+//   sfb  [row][64]   uint8: per-band scalefactor byte for LONG-window
+//        rows (band k of the rate's long sfb table; 0 when uncoded) —
+//        the device expands it per coefficient with one one-hot matmul.
+//   ssf  short-window rows can't use the long band layout; their
+//        per-coefficient scalefactor bytes go to a pool: ssf[j][1024]
+//        uint8 + ssr[j] = row_base + row (count in *ssf_count, cap
+//        ssf_cap), scattered over the expanded bytes on device.
 //   msb  [pair][128] uint8: per-coefficient M/S bitmask (bit i&7 of byte
 //        i>>3, LSB-first).
 //   opx  [row] uint8 window-operator index (seq*4 + prev_shape*2 + shape).
 //
-// Returns 0 ok, -2 special-row overflow, -4 escape overflow.
+// Exception spectra are flagged per (frame, channel): special_rows gets
+// f*C + c entries for channels whose final spectrum the wire cannot
+// represent (TNS-filtered, PNS noise, intensity right channels) — the
+// host preps those few channels and the device overwrites their rows.
+//
+// Returns 0 ok, -2 special-row overflow, -4 escape overflow,
+// -5 short-sf pool overflow.
 int aac_prepare_rows_zz(
         const int32_t* ics, const int8_t* cb, const int32_t* sf,
         const int32_t* quant, const uint8_t* msmask, const int32_t* tnsn,
         int nframes, int F, int C, int rate_index,
         int32_t* prev_shape,
-        uint8_t* q4, uint8_t* sfc, uint8_t* msb, uint8_t* opx,
+        uint8_t* q4, uint8_t* sfb, uint8_t* msb, uint8_t* opx,
+        uint8_t* ssf, int32_t* ssr, int32_t* ssf_count, int ssf_cap,
         int SC, int col0, int64_t row_base,
         int32_t* esc_row, int32_t* esc_pos, int32_t* esc_val,
         int32_t* esc_count, int esc_cap,
-        int32_t* special_frames, int32_t* n_special, int max_special) {
+        int32_t* special_rows, int32_t* n_special, int max_special) {
     *n_special = 0;
     const int pairs = C / 2;
     const int SP = SC / 2;
     const int pair0 = col0 / 2;
     for (int f = 0; f < F; f++) {
         bool parsed = f < nframes;
-        bool frame_special = false;
         for (int c = 0; c < C; c++) {
             int r = f * C + c;
             int64_t orow = (int64_t)f * SC + col0 + c;
@@ -775,9 +784,17 @@ int aac_prepare_rows_zz(
             opx[orow] = (uint8_t)(seq * 4 + prev_shape[c] * 2 + shape);
             prev_shape[c] = shape;
             uint8_t* qrow = q4 + orow * 512;
-            uint8_t* srow = sfc + orow * 1024;
+            uint8_t* brow = sfb + orow * 64;
             memset(qrow, 0, 512);
-            memset(srow, 0, 1024);
+            memset(brow, 0, 64);
+            uint8_t* srow = nullptr;          // short rows: pooled sf bytes
+            if (parsed && shortw) {
+                if (*ssf_count >= ssf_cap) return -5;
+                int j = (*ssf_count)++;
+                srow = ssf + (int64_t)j * 1024;
+                memset(srow, 0, 1024);
+                ssr[j] = (int32_t)(row_base + orow);
+            }
             if (!parsed) continue;
             const int32_t* q = quant + (int64_t)r * 1024;
             const int8_t* cbr = cb + (int64_t)r * SFB_SLOTS;
@@ -804,12 +821,13 @@ int aac_prepare_rows_zz(
                     bool coded = cbv >= 1 && cbv <= 11;
                     int32_t sv = sfr[g * 15 + k];
                     uint8_t sb = (uint8_t)(sv < 0 ? 0 : (sv > 255 ? 255 : sv));
+                    if (!shortw && coded && k < 64) brow[k] = sb;
                     for (int w = 0; w < wins; w++) {
                         int dbase = shortw ? (win_base + w) * 128 + offsets[k]
                                            : offsets[k];
                         for (int j = 0; j < width; j++) {
                             int dst = dbase + j;
-                            if (coded) srow[dst] = sb;
+                            if (shortw && coded) srow[dst] = sb;
                             int32_t v = q[pos + j];
                             if (v == 0) continue;
                             uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
@@ -830,13 +848,16 @@ int aac_prepare_rows_zz(
                 win_base += wins;
                 pos = win_base * (shortw ? 128 : 1024);
             }
-            bool any_exotic = false;
+            bool ch_special = false;
             for (int k = 0; k < 120; k++)
-                if (cbr[k] >= 13) any_exotic = true;
-            if (any_exotic) frame_special = true;
+                if (cbr[k] >= 13) ch_special = true;
             const int32_t* tn = tnsn + (int64_t)r * 8;
             for (int w = 0; w < 8; w++)
-                if (tn[w]) { frame_special = true; break; }
+                if (tn[w]) { ch_special = true; break; }
+            if (ch_special) {
+                if (*n_special >= max_special) return -2;
+                special_rows[(*n_special)++] = f * C + c;
+            }
         }
         // per-coefficient M/S bitmask (left channel's layout; shared ics)
         for (int p = 0; p < pairs; p++) {
@@ -885,10 +906,6 @@ int aac_prepare_rows_zz(
                 }
                 win_base += wins;
             }
-        }
-        if (frame_special) {
-            if (*n_special >= max_special) return -2;
-            special_frames[(*n_special)++] = f;
         }
     }
     return 0;

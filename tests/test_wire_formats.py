@@ -284,15 +284,17 @@ def test_aac_zz_matches_dense():
     special = rd[0]
     # zz wire
     q4 = np.zeros((F, SC, 512), np.uint8)
-    sfc = np.zeros((F, SC, 1024), np.uint8)
+    sfb = np.zeros((F, SC, 64), np.uint8)
     msb = np.zeros((F, SC // 2, 128), np.uint8)
     opx = np.zeros((F, SC), np.uint8)
     esc = native.EscapeList(65536)
-    rz = native.aac_prepare_rows_zz(b, n, F, nch, psz, esc,
-                                    q4=q4, sfc=sfc, msb=msb, opx=opx,
-                                    col0=0, max_special=F)
+    ssf = native.ShortSfPool(F * nch)
+    rz = native.aac_prepare_rows_zz(b, n, F, nch, psz, esc, ssf,
+                                    q4=q4, sfb=sfb, msb=msb, opx=opx,
+                                    col0=0, max_special=F * nch)
     assert rz is not None
-    np.testing.assert_array_equal(rz, special)
+    # zz flags per (frame, channel); the dense path flags whole frames
+    np.testing.assert_array_equal(np.unique(np.asarray(rz) // nch), special)
     np.testing.assert_array_equal(opx.astype(np.int32), op_d)
     assert esc.count.value > 0
 
@@ -319,12 +321,19 @@ def test_aac_zz_matches_dense():
         jnp.asarray(ci_d), jnp.asarray(perm_d), jnp.asarray(band_d),
         jnp.asarray(ms_d), jnp.asarray(side_f), jnp.asarray(srow),
         jnp.asarray(op_d), ov0, *consts)
+    E_sf = ASYN.sf_expand_matrix(b["rate_index"])
     pcm_z, ov_z = jax.jit(ASYN.decode_chunk_zz)(
-        jnp.asarray(q4), jnp.asarray(sfc), jnp.asarray(msb),
+        jnp.asarray(q4), jnp.asarray(sfb), jnp.asarray(ssf.sf),
+        jnp.asarray(ssf.row), jnp.asarray(msb),
         jnp.asarray(opx), jnp.asarray(esc.row), jnp.asarray(esc.pos),
         jnp.asarray(esc.val), jnp.asarray(side_f),
-        jnp.asarray(srow), ov0, *consts)
+        jnp.asarray(srow), ov0, *consts, jnp.asarray(E_sf))
     np.testing.assert_allclose(np.asarray(pcm_z), np.asarray(pcm_d),
-                               atol=0.02, rtol=0)
+                               atol=0.05, rtol=0)
     np.testing.assert_allclose(np.asarray(ov_z), np.asarray(ov_d),
-                               atol=0.02, rtol=0)
+                               atol=0.05, rtol=0)
+    # and the float64 reference of the same wire agrees with the device
+    ref, ov_r = ASYN.decode_chunk_zz_reference(
+        q4, sfb, ssf.sf, ssf.row, msb, opx, esc.row, esc.pos, esc.val,
+        side_f, srow, np.zeros((SC, 1024), np.float32), E_sf)
+    assert float(np.abs(np.asarray(pcm_z) - ref).max()) <= 0.05
