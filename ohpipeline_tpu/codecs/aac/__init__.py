@@ -68,6 +68,42 @@ def decode_frames(frames: list[BS.FrameData], state: _StreamState,
     return np.clip(np.rint(out), lo, hi).astype(np.int32)
 
 
+def decode_frames_float(frames: list[BS.FrameData],
+                        state: _StreamState) -> np.ndarray:
+    """decode_frames without the final integer clip — the float core
+    signal the SBR upsampler consumes (float64 (C, T*1024))."""
+    if not frames:
+        return np.zeros((len(state.prev_shape), 0))
+    nch = len(frames[0].channels)
+    W, SW = SYN.window_bank()
+    ML = SYN._imdct_matrix(2048).astype(np.float64)
+    MS = SYN._imdct_matrix(256).astype(np.float64)
+    if state.overlap is None or np.ndim(state.overlap) != 2:
+        state.overlap = np.zeros((nch, 1024))
+    out = np.zeros((nch, len(frames) * 1024))
+    for t, frame in enumerate(frames):
+        chs = frame.channels
+        sp = [SYN.dequantize(ch, frame.rate_index) for ch in chs]
+        SYN.apply_spectral_tools(frame, sp)
+        for ci, ch in enumerate(chs):
+            SYN.apply_tns(ch, sp[ci], frame.rate_index)
+            mode = ch.ics.window_sequence
+            opidx = (mode * 4 + int(state.prev_shape[ci]) * 2
+                     + ch.ics.window_shape)
+            state.prev_shape[ci] = ch.ics.window_shape
+            if mode == BS.EIGHT_SHORT:
+                xs = sp[ci].reshape(8, 128) @ MS * SW[opidx & 3]
+                x = np.zeros(2048)
+                for w in range(8):
+                    x[448 + w * 128:448 + w * 128 + 256] += xs[w]
+            else:
+                x = sp[ci] @ ML * W[opidx]
+            out[ci, t * 1024:(t + 1) * 1024] = x[:1024] \
+                + state.overlap[ci]
+            state.overlap[ci] = x[1024:]
+    return out
+
+
 def decode_group_arrays(batch: dict, nframes: int, channels: int,
                         state: _StreamState,
                         bit_depth: int = 16) -> np.ndarray:
@@ -310,15 +346,31 @@ class CodecAacAdts(CodecBase):
         self._hdr = hdr
         self._state = _StreamState(hdr.channels)
         self._sample_pos = 0
+        # HE-AAC: a low core rate with SBR extension payloads doubles the
+        # output rate (reference: AacFdkBase.cpp decodes HE via libSBRdec)
+        self._sbr = None
+        if hdr.sample_rate <= 24000:
+            try:
+                h2 = BS.parse_adts_header(self._buf)
+                br = BitReader(self._buf, h2.header_bytes * 8)
+                fr = BS.parse_raw_data_block(br, h2.rate_index)
+                if fr.sbr is not None:
+                    from .sbr import SbrDecoder
+                    self._sbr = SbrDecoder(hdr.sample_rate)
+            except Exception:
+                self._sbr = None
+        rate = hdr.sample_rate * (2 if self._sbr else 1)
+        spf = 1024 * (2 if self._sbr else 1)
         total = reader.stream_bytes
         length_j = 0
         if total:
             # estimate duration from first-frame size (CBR-ish)
             frames = total // max(hdr.frame_bytes, 1)
-            length_j = frames * 1024 * Jiffies.per_sample(hdr.sample_rate)
+            length_j = frames * spf * Jiffies.per_sample(rate)
         self._info = PcmStreamInfo(
-            sample_rate=hdr.sample_rate, bit_depth=16,
-            num_channels=hdr.channels, codec_name="AAC", lossless=False,
+            sample_rate=rate, bit_depth=16,
+            num_channels=hdr.channels,
+            codec_name="HE-AAC" if self._sbr else "AAC", lossless=False,
             seekable=False,
             bitrate=hdr.frame_bytes * 8 * hdr.sample_rate // 1024,
             track_length_jiffies=length_j)
@@ -333,6 +385,8 @@ class CodecAacAdts(CodecBase):
 
     def process(self, reader: StreamReader) -> DecodedBatch:
         self._fill(self._hdr.frame_bytes * (GROUP_FRAMES + 2))
+        if self._sbr is not None:
+            return self._process_sbr()
         if self._use_native:
             from ... import native
             n, pos, batch = native.aac_parse_group(
@@ -380,6 +434,58 @@ class CodecAacAdts(CodecBase):
             self._info,
             defer=lambda: decode_frames(frames, state),
             track_offset_samples=first)
+
+    def _parse_python_frames(self) -> list:
+        frames: list[BS.FrameData] = []
+        pos = 0
+        while len(frames) < GROUP_FRAMES:
+            hdr = BS.parse_adts_header(self._buf, pos)
+            if hdr is None:
+                nxt = self._buf.find(b"\xff", pos + 1)
+                if nxt == -1 or nxt + 7 > len(self._buf):
+                    break
+                pos = nxt
+                continue
+            if pos + hdr.frame_bytes > len(self._buf):
+                break
+            br = BitReader(self._buf, (pos + hdr.header_bytes) * 8)
+            try:
+                frame = BS.parse_raw_data_block(br, hdr.rate_index)
+                if len(frame.channels) == self._hdr.channels:
+                    frames.append(frame)
+            except (BS.AacError, ValueError, EOFError):
+                pass
+            pos += hdr.frame_bytes
+        self._buf = self._buf[pos:]
+        return frames
+
+    def _process_sbr(self) -> DecodedBatch:
+        from .sbr import SbrError
+        frames = self._parse_python_frames()
+        if not frames:
+            raise EndOfStream
+        nch = self._hdr.channels
+        outs = []
+        for fr in frames:
+            core = decode_frames_float([fr], self._state)
+            if fr.sbr is not None:
+                payload, nbits, crc = fr.sbr
+                try:
+                    chans, coupling = self._sbr.parse_payload(
+                        payload, nbits, stereo=(nch == 2), crc=crc)
+                    outs.append(self._sbr.process_frame(core, chans,
+                                                        coupling))
+                    continue
+                except SbrError:
+                    pass
+            # no/invalid payload: plain 2x hold upsample keeps timing
+            outs.append(np.repeat(core, 2, axis=1))
+        pcm = np.concatenate(outs, axis=1)
+        pcm = np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
+        first = self._sample_pos
+        self._sample_pos += pcm.shape[1]
+        return DecodedBatch(self._info, samples=pcm,
+                            track_offset_samples=first)
 
 
 class CodecAacMp4(CodecBase):

@@ -110,6 +110,10 @@ class FrameData:
     channels: list        # list of ChannelData (1 or 2)
     ms_mask: np.ndarray = None    # (groups, max_sfb) bool, CPE only
     rate_index: int = 0
+    # SBR extension payload from the FIL element following the channel
+    # element: (bytes, nbits, crc_flag) or None (ISO 14496-3 4.4.2.7,
+    # extension_type EXT_SBR_DATA / EXT_SBR_DATA_CRC)
+    sbr: tuple = None
 
 
 def _parse_ics_info(br: BitReader) -> IcsInfo:
@@ -300,6 +304,7 @@ def parse_individual_channel_stream(br: BitReader, rate_index: int,
 def parse_raw_data_block(br: BitReader, rate_index: int) -> FrameData:
     channels = []
     ms_mask = None
+    sbr_payload = None
     while True:
         el = br.read(3)
         if el == ID_END:
@@ -343,10 +348,20 @@ def parse_raw_data_block(br: BitReader, rate_index: int) -> FrameData:
             cnt = br.read(4)
             if cnt == 15:
                 cnt += br.read(8) - 1
-            for _ in range(cnt):
-                br.read(8)
+            if cnt > 0:
+                ext_type = br.read(4)
+                if ext_type in (13, 14):          # EXT_SBR_DATA(_CRC)
+                    nbits = cnt * 8 - 4
+                    payload = bytearray((nbits + 7) // 8)
+                    for i in range(nbits):
+                        if br.read(1):
+                            payload[i >> 3] |= 1 << (7 - (i & 7))
+                    sbr_payload = (bytes(payload), nbits, ext_type == 14)
+                else:
+                    for _ in range(cnt * 8 - 4):
+                        br.read(1)
         elif el == ID_PCE:
             raise AacError("PCE parsing not supported (use ADTS config)")
         else:
             raise AacError(f"unsupported syntactic element {el}")
-    return FrameData(channels, ms_mask, rate_index)
+    return FrameData(channels, ms_mask, rate_index, sbr_payload)

@@ -1,0 +1,945 @@
+"""SBR (Spectral Band Replication) decoder — HE-AAC v1 support.
+
+Parity target: the reference's fdk-aac adapter decodes HE-AAC
+(OpenHome/Media/Codec/AacFdkBase.cpp over thirdparty/fdk-aac/libSBRdec);
+this module implements the SBR payload decode from ISO/IEC 14496-3
+4.6.18 — bitstream (header, grids, envelopes, noise floors), frequency
+band derivation, LPC-based high-frequency transposition, envelope
+adjustment, and the 32-band analysis / 64-band synthesis QMF pair.
+
+TPU-first shape: both QMF stages and the HF generator are expressed as
+dense matmuls over (slots x bands) blocks (kernels measured from the
+normative filterbank, tools/extract_sbr_tables.py), so the whole
+reconstruction lifts onto the MXU; this module runs them in numpy for
+the codec's correctness path.
+
+SBR is parametric above the crossover, so output is conformance-bounded
+(not bit-exact) against libSBRdec; tests/test_sbr.py asserts SNR vs the
+fdk oracle decode of the same streams.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import pathlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_TABLES = None
+
+
+def tables():
+    global _TABLES
+    if _TABLES is None:
+        p = pathlib.Path(__file__).with_name("sbr_tables.npz")
+        _TABLES = dict(np.load(p))
+    return _TABLES
+
+
+# ---------------------------------------------------------------------------
+# bit reader over a FIL-extension payload
+# ---------------------------------------------------------------------------
+
+
+class Bits:
+    def __init__(self, data: bytes, bitpos: int = 0, nbits: int | None = None):
+        self.data = data
+        self.pos = bitpos
+        self.limit = nbits if nbits is not None else len(data) * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.pos >= self.limit:
+                raise SbrError("SBR payload overrun")
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def left(self) -> int:
+        return self.limit - self.pos
+
+
+class SbrError(Exception):
+    pass
+
+
+def _huff(bits: Bits, book: np.ndarray) -> int:
+    """Walk a (n, 2) binary-tree book; a negative entry is a leaf and
+    decodes as entry + 64 (libSBRdec huff_dec convention)."""
+    node = 0
+    while True:
+        node = int(book[node][bits.read(1)])
+        if node < 0:
+            return node + 64
+
+
+# ---------------------------------------------------------------------------
+# header & frequency tables (ISO 14496-3 4.6.18.3)
+# ---------------------------------------------------------------------------
+
+START_FREQ = {
+    16000: [16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31],
+    22050: [12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 26, 28, 30],
+    24000: [11, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 25, 27, 29, 32],
+    32000: [10, 12, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 25, 27, 29, 32],
+    44100: [8, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 21, 23, 25, 28, 32],
+    48000: [7, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 27, 31],
+    64000: [6, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 19, 21, 23, 26, 30],
+    88200: [5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 18, 20, 23, 27, 31],
+    96000: [5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 18, 20, 23, 27, 31],
+}
+
+
+@dataclass
+class SbrHeader:
+    amp_res: int = 1
+    start_freq: int = 5
+    stop_freq: int = 0
+    xover_band: int = 0
+    freq_scale: int = 2
+    alter_scale: int = 1
+    noise_bands: int = 2
+    limiter_bands: int = 2
+    limiter_gains: int = 2
+    interpol_freq: int = 1
+    smoothing_mode: int = 1
+
+
+def parse_sbr_header(b: Bits) -> SbrHeader:
+    h = SbrHeader()
+    h.amp_res = b.read(1)
+    h.start_freq = b.read(4)
+    h.stop_freq = b.read(4)
+    h.xover_band = b.read(3)
+    b.read(2)                               # bs_reserved
+    extra1 = b.read(1)
+    extra2 = b.read(1)
+    if extra1:
+        h.freq_scale = b.read(2)
+        h.alter_scale = b.read(1)
+        h.noise_bands = b.read(2)
+    if extra2:
+        h.limiter_bands = b.read(2)
+        h.limiter_gains = b.read(2)
+        h.interpol_freq = b.read(1)
+        h.smoothing_mode = b.read(1)
+    return h
+
+
+def _number_of_bands(bpo: float, start: int, stop: int, warp: bool) -> int:
+    octaves = math.log2(stop / start)
+    n = octaves * bpo
+    if warp:
+        n *= 25200.0 / 32768.0 * 2.0      # fdk's 1/1.3 approximation
+        n /= 2.0
+    return 2 * int(n / 2 + 0.5)
+
+
+def _calc_bands(start: int, stop: int, num: int) -> list:
+    """Band widths on a log scale (spec CalcBands)."""
+    widths = []
+    previous = stop
+    exact = float(stop)
+    factor = (start / stop) ** (1.0 / num)
+    for _ in range(num):
+        exact *= factor
+        current = int(exact + 0.5)
+        widths.append(previous - current)
+        previous = current
+    return widths[::-1]
+
+
+def master_freq_table(fs: int, h: SbrHeader) -> np.ndarray:
+    """v_k_master per 4.6.18.3.2.1 (fs = output rate)."""
+    try:
+        k0 = START_FREQ[fs][h.start_freq]
+    except KeyError:
+        raise SbrError(f"unsupported SBR rate {fs}")
+    if h.stop_freq < 14:
+        if fs < 32000:
+            stop_min = ((2 * 6000 * 2 * 64) // fs + 1) >> 1
+        elif fs < 64000:
+            stop_min = ((2 * 8000 * 2 * 64) // fs + 1) >> 1
+        else:
+            stop_min = ((2 * 10000 * 2 * 64) // fs + 1) >> 1
+        diffs = sorted(_calc_bands(stop_min, 64, 13))
+        borders = np.cumsum([stop_min] + diffs)
+        k2 = int(borders[h.stop_freq])
+    elif h.stop_freq == 14:
+        k2 = 2 * k0
+    else:
+        k2 = 3 * k0
+    k2 = min(k2, 64)
+    if k2 <= k0 or (k2 - k0) > 48:
+        raise SbrError("invalid SBR range")
+
+    if h.freq_scale > 0:
+        bpo = {1: 12.0, 2: 10.0, 3: 8.0}[h.freq_scale]
+        if 1000 * k2 > 2245 * k0:
+            k1 = 2 * k0
+            n0 = _number_of_bands(bpo, k0, k1, False)
+            n1 = _number_of_bands(bpo, k1, k2, bool(h.alter_scale))
+            d0 = sorted(_calc_bands(k0, k1, n0))
+            d1 = sorted(_calc_bands(k1, k2, n1))
+            if d0[-1] > d1[0]:
+                # modifyBands: increase the smallest of d1
+                change = d0[-1] - d1[0]
+                max_change = (d1[-1] - d1[0]) // 2
+                change = min(change, max_change)
+                d1[0] += change
+                d1[-1] -= change
+                d1 = sorted(d1)
+            master = np.cumsum([k0] + d0 + d1)
+        else:
+            n0 = _number_of_bands(bpo, k0, k2, False)
+            d0 = sorted(_calc_bands(k0, k2, n0))
+            master = np.cumsum([k0] + d0)
+    else:
+        if h.alter_scale == 0:
+            dk = 1
+            n0 = (k2 - k0) & 254
+        else:
+            dk = 2
+            n0 = (((k2 - k0) >> 1) + 1) & 254
+        if n0 < 1:
+            raise SbrError("invalid linear scale")
+        diffs = [dk] * n0
+        k2_diff = k2 - (k0 + n0 * dk)
+        i = 0 if k2_diff < 0 else n0 - 1
+        incr = 1 if k2_diff < 0 else -1
+        while k2_diff != 0:
+            diffs[i] -= incr
+            i += incr
+            k2_diff += incr
+        master = np.cumsum([k0] + diffs)
+    return master.astype(np.int32)
+
+
+@dataclass
+class FreqTables:
+    master: np.ndarray
+    f_high: np.ndarray
+    f_low: np.ndarray
+    f_noise: np.ndarray
+    f_lim: np.ndarray
+    kx: int
+    M: int
+    n_high: int
+    n_low: int
+    n_q: int
+    patches: list                      # (target_start, source_start, width)
+
+
+SHIFT_START_SB = 1
+
+
+def _closest_entry(goal: int, master: np.ndarray, up: bool) -> int:
+    """findClosestEntry: nearest master border (ties resolved by `up`)."""
+    arr = np.asarray(master, np.int64)
+    i = int(np.argmin(np.abs(arr - goal)))
+    lo = arr[np.searchsorted(arr, goal, side="right") - 1] \
+        if goal >= arr[0] else arr[0]
+    hi_idx = int(np.searchsorted(arr, goal, side="left"))
+    hi = arr[min(hi_idx, len(arr) - 1)]
+    if up:
+        return int(hi if hi >= goal else lo)
+    return int(lo if lo <= goal else hi)
+
+
+def _build_patches(master: np.ndarray, kx: int, usb: int,
+                   fs: int) -> list:
+    """Transposer patch construction (ISO 14496-3 figure 4.48; mirrors
+    libSBRdec lpp_tran.cpp resetLppTransposer behaviour)."""
+    lsb = int(master[0])
+    xover_offset = kx - lsb
+    desired = ((2048000 * 2) // fs + 1) >> 1
+    desired = _closest_entry(desired, master, True)
+    source_start = SHIFT_START_SB + xover_offset
+    target_stop = lsb + xover_offset
+    patches = []
+    while target_stop < usb:
+        if len(patches) > 6:
+            raise SbrError("too many patches")
+        target_start = target_stop
+        num = desired - target_stop
+        if num >= lsb - source_start:
+            dist = (target_stop - source_start) & ~1
+            num = lsb - (target_stop - dist)
+            num = _closest_entry(target_stop + num, master, False) \
+                - target_stop
+        dist = (num + target_stop - lsb + 1) & ~1
+        if num > 0:
+            patches.append((target_start, target_stop - dist, num))
+            target_stop += num
+        source_start = SHIFT_START_SB
+        if desired - target_stop < 3:
+            desired = usb
+    if len(patches) > 1 and patches[-1][2] < 3:
+        patches.pop()
+    if not patches:
+        raise SbrError("no patches")
+    return patches
+
+
+def _build_limiter(f_low: np.ndarray, patches: list, kx: int, M: int,
+                   limiter_bands: int) -> np.ndarray:
+    """Limiter band borders (mirrors env_calc.cpp ResetLimiterBands)."""
+    if limiter_bands == 0:
+        return np.asarray([0, M], np.int32)
+    per_octave = {1: 1.2, 2: 2.0, 3: 3.0}[limiter_bands]
+    patch_borders = [p[0] - kx for p in patches] + [M]
+    work = [int(k) - kx for k in f_low] + \
+        [patch_borders[k] for k in range(1, len(patches))]
+    work = sorted(work)
+    n = len(work) - 1
+    lo = 0
+    hi = 1
+    while hi <= n:
+        k2 = work[hi] + kx
+        kx_ = work[lo] + kx
+        octaves = math.log2(k2 / kx_) if kx_ > 0 else 1.0
+        if octaves * per_octave < 0.49:
+            if work[hi] == work[lo]:
+                work[hi] = kx + M - kx      # mark as removed (highSubband)
+                work[hi] = M
+                hi += 1
+                continue
+            if work[hi] not in patch_borders:
+                work[hi] = M
+                hi += 1
+                continue
+            if work[lo] not in patch_borders:
+                work[lo] = M
+        lo = hi
+        hi += 1
+    out = sorted(set(w for w in work if 0 <= w <= M))
+    if out[0] != 0:
+        out = [0] + out
+    if out[-1] != M:
+        out.append(M)
+    return np.asarray(out, np.int32)
+
+
+def derive_tables(fs: int, h: SbrHeader) -> FreqTables:
+    master = master_freq_table(fs, h)
+    n_master = len(master) - 1
+    if h.xover_band >= n_master:
+        raise SbrError("xover_band out of range")
+    f_high = master[h.xover_band:]
+    n_high = len(f_high) - 1
+    n_low = n_high - n_high // 2
+    if n_high & 1:
+        idx = [0] + list(range(1, n_high + 1, 2))
+    else:
+        idx = list(range(0, n_high + 1, 2))
+    f_low = f_high[idx]
+    kx = int(f_high[0])
+    M = int(f_high[-1]) - kx
+    n_q = max(1, round(h.noise_bands * math.log2(f_high[-1] / kx)))
+    n_q = min(n_q, 5)
+    i = 0
+    f_noise = [int(f_low[0])]
+    for k in range(1, n_q + 1):
+        i += (len(f_low) - 1 - i) // (n_q - k + 1)
+        f_noise.append(int(f_low[i]))
+    f_noise = np.asarray(f_noise, np.int32)
+    patches = _build_patches(master, kx, kx + M, fs)
+    f_lim = _build_limiter(f_low, patches, kx, M, h.limiter_bands)
+    return FreqTables(master, f_high, f_low, f_noise, f_lim, kx, M,
+                      n_high, n_low, n_q, patches)
+
+
+# ---------------------------------------------------------------------------
+# frame data (grid / dtdf / invf / envelopes / noise)
+# ---------------------------------------------------------------------------
+
+FIXFIX, FIXVAR, VARFIX, VARVAR = range(4)
+
+
+@dataclass
+class ChannelGrid:
+    n_env: int = 1
+    t_env: list = field(default_factory=lambda: [0, 16])
+    freq_res: list = field(default_factory=lambda: [1])
+    n_noise: int = 1
+    t_noise: list = field(default_factory=lambda: [0, 16])
+    pointer: int = 0
+    frame_class: int = FIXFIX
+
+
+@dataclass
+class ChannelData:
+    grid: ChannelGrid = None
+    df_env: list = None
+    df_noise: list = None
+    invf: list = None
+    env: np.ndarray = None             # (n_env, bands) ints
+    noise: np.ndarray = None           # (n_noise, n_q) ints
+    add_harmonic: np.ndarray = None
+
+
+def _ceil_log2(x: int) -> int:
+    return 0 if x <= 1 else int(math.ceil(math.log2(x)))
+
+
+def parse_grid(b: Bits) -> ChannelGrid:
+    g = ChannelGrid()
+    g.frame_class = b.read(2)
+    nts = 16
+    if g.frame_class == FIXFIX:
+        tmp = b.read(2)
+        g.n_env = min(4, 1 << tmp)
+        g.freq_res = [b.read(1)] * g.n_env
+        borders = [round(i * nts / g.n_env) for i in range(g.n_env + 1)]
+        g.t_env = borders
+        g.pointer = 0
+    elif g.frame_class == FIXVAR:
+        var_bord = b.read(2)
+        n_rel = b.read(2)
+        g.n_env = n_rel + 1
+        rel = [2 * b.read(2) + 2 for _ in range(n_rel)]
+        g.pointer = b.read(_ceil_log2(g.n_env + 1))
+        fr = [b.read(1) for _ in range(g.n_env)]
+        g.freq_res = fr[::-1]
+        borders = [nts + var_bord]
+        for r in rel:
+            borders.append(borders[-1] - r)
+        g.t_env = [0] + borders[::-1]
+    elif g.frame_class == VARFIX:
+        var_bord = b.read(2)
+        n_rel = b.read(2)
+        g.n_env = n_rel + 1
+        rel = [2 * b.read(2) + 2 for _ in range(n_rel)]
+        g.pointer = b.read(_ceil_log2(g.n_env + 1))
+        g.freq_res = [b.read(1) for _ in range(g.n_env)]
+        borders = [var_bord]
+        for r in rel:
+            borders.append(borders[-1] + r)
+        g.t_env = borders + [nts]
+    else:                               # VARVAR
+        bord0 = b.read(2)
+        bord1 = b.read(2)
+        nrel0 = b.read(2)
+        nrel1 = b.read(2)
+        g.n_env = min(5, nrel0 + nrel1 + 1)
+        rel0 = [2 * b.read(2) + 2 for _ in range(nrel0)]
+        rel1 = [2 * b.read(2) + 2 for _ in range(nrel1)]
+        g.pointer = b.read(_ceil_log2(g.n_env + 1))
+        g.freq_res = [b.read(1) for _ in range(g.n_env)]
+        lo = [bord0]
+        for r in rel0:
+            lo.append(lo[-1] + r)
+        hi = [nts + bord1]
+        for r in rel1:
+            hi.append(hi[-1] - r)
+        g.t_env = lo + hi[::-1][1:] if False else lo + list(reversed(hi))
+        g.t_env = sorted(set(lo + hi))
+    # noise grid
+    if g.n_env == 1:
+        g.n_noise = 1
+        g.t_noise = [g.t_env[0], g.t_env[-1]]
+    else:
+        g.n_noise = 2
+        if g.frame_class == FIXFIX:
+            middle = g.t_env[g.n_env // 2]
+        elif g.frame_class in (VARFIX,):
+            if g.pointer == 0:
+                middle = g.t_env[1]
+            elif g.pointer == 1:
+                middle = g.t_env[g.n_env - 1]
+            else:
+                middle = g.t_env[g.pointer - 1]
+        else:
+            if g.pointer > 1:
+                middle = g.t_env[g.n_env + 1 - g.pointer]
+            else:
+                middle = g.t_env[g.n_env - 1]
+        g.t_noise = [g.t_env[0], middle, g.t_env[-1]]
+    return g
+
+
+def parse_sbr_data(b: Bits, hdr: SbrHeader, ft: FreqTables,
+                   stereo: bool, prev_state: list = None) -> list:
+    """sbr_single_channel_element / sbr_channel_pair_element payload
+    (after the header).  Returns list of ChannelData.  ``prev_state``
+    carries (prev_env_row, prev_freq_res, prev_noise_row) per channel
+    across frames — delta-time coded envelopes reference the previous
+    frame's last envelope (ISO 14496-3 4.6.18.3.5)."""
+    T = tables()
+    chans = [ChannelData(), ChannelData()] if stereo else [ChannelData()]
+    coupling = False
+    if stereo:
+        if b.read(1):                   # bs_data_extra
+            b.read(4)
+            b.read(4)
+        coupling = bool(b.read(1))
+    else:
+        if b.read(1):
+            b.read(4)
+
+    if stereo and coupling:
+        g = parse_grid(b)
+        chans[0].grid = g
+        import copy
+        chans[1].grid = copy.deepcopy(g)
+    else:
+        chans[0].grid = parse_grid(b)
+        if stereo:
+            chans[1].grid = parse_grid(b)
+
+    for ch in chans:
+        g = ch.grid
+        ch.df_env = [b.read(1) for _ in range(g.n_env)]
+        ch.df_noise = [b.read(1) for _ in range(g.n_noise)]
+    if stereo and coupling:
+        chans[0].invf = [b.read(2) for _ in range(ft.n_q)]
+        chans[1].invf = list(chans[0].invf)
+    else:
+        chans[0].invf = [b.read(2) for _ in range(ft.n_q)]
+        if stereo:
+            # order in CPE without coupling: invf0, invf1 come after each
+            # channel's noise in fdk; spec reads both here
+            chans[1].invf = [b.read(2) for _ in range(ft.n_q)]
+
+    def read_env(ch: ChannelData, second: bool):
+        g = ch.grid
+        amp = hdr.amp_res
+        if g.frame_class == FIXFIX and g.n_env == 1:
+            amp = 0
+        bal = stereo and coupling and second
+        if amp:
+            t_book = T["huff_EnvBalance11T" if bal else "huff_EnvLevel11T"]
+            f_book = T["huff_EnvBalance11F" if bal else "huff_EnvLevel11F"]
+            start_bits = 5 if bal else 6
+        else:
+            t_book = T["huff_EnvBalance10T" if bal else "huff_EnvLevel10T"]
+            f_book = T["huff_EnvBalance10F" if bal else "huff_EnvLevel10F"]
+            start_bits = 6 if bal else 7
+        rows = []
+        for e in range(g.n_env):
+            nb = ft.n_high if g.freq_res[e] else ft.n_low
+            row = np.zeros(nb, np.int32)
+            if ch.df_env[e] == 0:
+                row[0] = b.read(start_bits)
+                if bal:
+                    row[0] *= 2
+                for k in range(1, nb):
+                    d = _huff(b, f_book)
+                    row[k] = row[k - 1] + (d * 2 if bal else d)
+            else:
+                prev = rows[e - 1] if e > 0 else ch.prev_env
+                prev_res = (g.freq_res[e - 1] if e > 0 else ch.prev_res)
+                for k in range(nb):
+                    d = _huff(b, t_book) * (2 if bal else 1)
+                    row[k] = _map_prev(prev, prev_res, k,
+                                       g.freq_res[e], ft) + d
+            rows.append(row)
+        ch.env = rows
+
+    def read_noise(ch: ChannelData, second: bool):
+        g = ch.grid
+        bal = stereo and coupling and second
+        t_book = T["huff_NoiseBalance11T" if bal else "huff_NoiseLevel11T"]
+        f_book = T["huff_EnvBalance11F" if bal else "huff_EnvLevel11F"]
+        rows = []
+        for e in range(g.n_noise):
+            row = np.zeros(ft.n_q, np.int32)
+            if ch.df_noise[e] == 0:
+                row[0] = b.read(5)
+                if bal:
+                    row[0] *= 2
+                for k in range(1, ft.n_q):
+                    d = _huff(b, f_book)
+                    row[k] = row[k - 1] + (d * 2 if bal else d)
+            else:
+                prev = rows[e - 1] if e > 0 else ch.prev_noise
+                for k in range(ft.n_q):
+                    d = _huff(b, t_book) * (2 if bal else 1)
+                    row[k] = (prev[k] if prev is not None else 0) + d
+            rows.append(row)
+        ch.noise = rows
+
+    def _map_prev(prev, prev_res, k, res, ft):
+        if prev is None:
+            return 0
+        if prev_res == res:
+            return int(prev[min(k, len(prev) - 1)])
+        if res == 1 and prev_res == 0:
+            # high-res band k -> covering low-res band
+            f = ft.f_high[k]
+            i = int(np.searchsorted(ft.f_low, f, side="right") - 1)
+            return int(prev[min(max(i, 0), len(prev) - 1)])
+        f = ft.f_low[k]
+        i = int(np.searchsorted(ft.f_high, f, side="right") - 1)
+        return int(prev[min(max(i, 0), len(prev) - 1)])
+
+    # envelope/noise interleaving per spec: SCE: env, noise.
+    # CPE coupled: env0, noise0, env1, noise1; uncoupled: env0, env1,
+    # noise0, noise1.
+    for i, ch in enumerate(chans):
+        if prev_state is not None and prev_state[i] is not None:
+            ch.prev_env, ch.prev_res, ch.prev_noise = prev_state[i]
+        else:
+            ch.prev_env = None
+            ch.prev_res = 1
+            ch.prev_noise = None
+    if stereo and not coupling:
+        read_env(chans[0], False)
+        read_env(chans[1], False)
+        read_noise(chans[0], False)
+        read_noise(chans[1], False)
+    else:
+        read_env(chans[0], False)
+        read_noise(chans[0], False)
+        if stereo:
+            read_env(chans[1], True)
+            read_noise(chans[1], True)
+
+    for i, ch in enumerate(chans):
+        ch.add_harmonic = np.zeros(ft.n_high, np.int32)
+        if b.read(1):
+            for k in range(ft.n_high):
+                ch.add_harmonic[k] = b.read(1)
+    # bs_extended_data
+    if b.read(1):
+        cnt = b.read(4)
+        if cnt == 15:
+            cnt += b.read(8)
+        for _ in range(cnt):
+            b.read(8)
+    if prev_state is not None:
+        for i, ch in enumerate(chans):
+            prev_state[i] = (ch.env[-1], ch.grid.freq_res[-1],
+                             ch.noise[-1])
+    return chans, coupling
+
+
+# ---------------------------------------------------------------------------
+# decoder state & DSP
+# ---------------------------------------------------------------------------
+
+BW_TABLE = [0.0, 0.6, 0.9, 0.98]
+
+#: global envelope-reference calibration: ratio between the encoder's
+#: envelope energy reference and this decoder's analysis-kernel scale,
+#: measured once against libSBRdec output (tests/test_sbr.py)
+ENERGY_CAL = 32768.0
+
+
+class SbrChannelState:
+    def __init__(self):
+        self.ana_hist = np.zeros(320, np.float64)
+        self.x_hist = np.zeros((6, 64), np.complex128)
+        self.syn_state = None
+        self.prev_env = None
+        self.prev_res = 1
+        self.prev_noise = None
+        self.bw = np.zeros(5, np.float64)
+        self.noise_index = 0
+        self.sine_index = 0
+
+
+class SbrDecoder:
+    """Per-stream SBR decoder: feed the core (low-rate) PCM frame plus the
+    frame's SBR payload, get 2x-rate output PCM.  The QMF stages run as
+    dense kernel matmuls (see module docstring)."""
+
+    #: envelope timing offset in QMF slots within the buffered frame
+    #: (tuned against libSBRdec output)
+    ENV_LAG = 2
+
+    def __init__(self, core_rate: int):
+        self.core_rate = core_rate
+        self.out_rate = core_rate * 2
+        self.header: SbrHeader | None = None
+        self.ft: FreqTables | None = None
+        self.state = [SbrChannelState(), SbrChannelState()]
+        T = tables()
+        self.K_ana = T["ana32"]                       # (32, 320) complex
+        S = T["syn64"]                                # (64, 2, 768)
+        # time response of +1 in band k = S[k,0]; of +1j = S[k,1]
+        self.syn_re = S[:, 0]
+        self.syn_im = S[:, 1]
+        self.noise_tab = (T["random_phase"][:, 0]
+                          + 1j * T["random_phase"][:, 1]) * 8.0
+
+    def set_header(self, h: SbrHeader) -> None:
+        self.header = h
+        self.ft = derive_tables(self.out_rate, h)
+
+    def parse_payload(self, payload: bytes, nbits: int, stereo: bool,
+                      crc: bool):
+        b = Bits(payload, 0, nbits)
+        if crc:
+            b.read(10)
+        if b.read(1):                     # bs_header_flag
+            self.set_header(parse_sbr_header(b))
+        if self.header is None or self.ft is None:
+            raise SbrError("SBR data before header")
+        if not hasattr(self, "_parse_prev"):
+            self._parse_prev = [None, None]
+        chans, coupling = parse_sbr_data(b, self.header, self.ft, stereo,
+                                         self._parse_prev)
+        return chans, coupling
+
+    # -- QMF analysis: one core frame (1024 samples) -> 32 slots x 32 ----
+    def analyze(self, ch: int, pcm: np.ndarray) -> np.ndarray:
+        st = self.state[ch]
+        x = np.concatenate([st.ana_hist, pcm.astype(np.float64)])
+        st.ana_hist = x[-320:].copy()
+        n_slots = len(pcm) // 32
+        win = np.lib.stride_tricks.sliding_window_view(x, 320)
+        # slot l consumes 32 new samples; its window ends at new sample
+        # 32(l+1), i.e. starts at x offset 32(l+1) - 320 + 320 = 32(l+1)
+        starts = 32 * (np.arange(n_slots) + 1)
+        X = win[starts] @ self.K_ana.T                # (slots, 32)
+        return X
+
+    def dequant(self, hdr, grid, env_rows, noise_rows):
+        amp = hdr.amp_res
+        if grid.frame_class == FIXFIX and grid.n_env == 1:
+            amp = 0
+        a = 2.0 if amp == 0 else 1.0
+        E = [np.exp2(np.asarray(r, np.float64) / a) * (64.0 * ENERGY_CAL)
+             for r in env_rows]
+        Q = [np.exp2(6.0 - np.asarray(r, np.float64)) for r in noise_rows]
+        return E, Q, a
+
+    @staticmethod
+    def unmap_coupled(E0, Q0, E1, Q1, a):
+        """Channel-pair unmapping (env_dec.cpp sbr_envelope_unmapping):
+        right = 2*L/(1+b), left = b*right with b from the balance
+        channel's raw values."""
+        outL_E, outR_E = [], []
+        for e0, e1 in zip(E0, E1):
+            b = np.exp2(np.asarray(e1, np.float64) / a - 12.0)
+            r = 2.0 * e0 / (1.0 + b)
+            outL_E.append(b * r)
+            outR_E.append(r)
+        outL_Q, outR_Q = [], []
+        for q0, q1 in zip(Q0, Q1):
+            b = np.exp2(np.asarray(q1, np.float64) - 12.0)
+            r = 2.0 * q0 / (1.0 + b)
+            outL_Q.append(b * r)
+            outR_Q.append(r)
+        return (outL_E, outL_Q), (outR_E, outR_Q)
+
+    # -- one frame ---------------------------------------------------------
+    def process_frame(self, core_pcm: np.ndarray, chans: list,
+                      coupling: bool) -> np.ndarray:
+        """core_pcm (C, 1024); returns (C, 2048) float64 at 2x rate."""
+        C = core_pcm.shape[0]
+        hdr, ft = self.header, self.ft
+        EQ = []
+        for i in range(C):
+            g = chans[i].grid
+            E, Q, a = self.dequant(hdr, g, chans[i].env, chans[i].noise)
+            EQ.append((E, Q, a))
+        if C == 2 and coupling:
+            a = EQ[0][2]
+            E1 = [np.asarray(r, np.float64) / 1.0 for r in chans[1].env]
+            Q1 = [np.asarray(r, np.float64) for r in chans[1].noise]
+            (EL, QL), (ER, QR) = self.unmap_coupled(
+                EQ[0][0], EQ[0][1], chans[1].env, chans[1].noise, a)
+            EQ = [(EL, QL, a), (ER, QR, a)]
+        out = np.zeros((C, len(core_pcm[0]) * 2), np.float64)
+        for i in range(C):
+            data = chans[i] if not (C == 2 and coupling) else chans[i]
+            grid = chans[i].grid
+            out[i] = self._process_channel(i, core_pcm[i], chans[i],
+                                           EQ[i][0], EQ[i][1])
+        return out
+
+    def _process_channel(self, ch, pcm, data, E, Q):
+        ft, hdr = self.ft, self.header
+        st = self.state[ch]
+        Xlow32 = self.analyze(ch, pcm)             # (32, 32)
+        nsl = Xlow32.shape[0]
+        X = np.zeros((nsl, 64), np.complex128)
+        X[:, :32] = Xlow32
+        Xbuf = np.concatenate([st.x_hist, X], axis=0)   # (6 + nsl, 64)
+        new_hist = Xbuf[-6:].copy()
+
+        g = data.grid
+        kx, M = ft.kx, ft.M
+        # chirp factors (one per noise band, smoothed across frames)
+        bw = np.empty(ft.n_q)
+        for i in range(ft.n_q):
+            nb = BW_TABLE[data.invf[i]]
+            prev = st.bw[i]
+            v = 0.75 * nb + 0.25 * prev if nb < prev \
+                else 0.90625 * nb + 0.09375 * prev
+            if v < 0.015625:
+                v = 0.0
+            bw[i] = min(v, 0.99609375)
+            st.bw[i] = bw[i]
+
+        # HF generation: per low band, 2nd-order LPC over the buffered
+        # slots, then patch with chirped inverse filtering
+        alphas = {}
+        for (t0, s0, width) in ft.patches:
+            for j in range(width):
+                k = t0 + j
+                p = s0 + j
+                if not (kx <= k < kx + M) or p < 0 or p >= kx:
+                    continue
+                if p not in alphas:
+                    x = Xbuf[:, p]
+                    x0, x1, x2 = x[2:], x[1:-1], x[:-2]
+                    phi01 = np.vdot(x1, x0)
+                    phi02 = np.vdot(x2, x0)
+                    phi11 = np.vdot(x1, x1).real
+                    phi12 = np.vdot(x2, x1)
+                    phi22 = np.vdot(x2, x2).real
+                    d = phi22 * phi11 - abs(phi12) ** 2 / 1.000001
+                    a1 = (phi01 * phi12 - phi02 * phi11) / d \
+                        if abs(d) > 1e-9 else 0.0
+                    a0 = -(phi01 + a1 * np.conj(phi12)) / phi11 \
+                        if phi11 > 1e-9 else 0.0
+                    if abs(a0) >= 4 or abs(a1) >= 4:
+                        a0 = a1 = 0.0
+                    alphas[p] = (a0, a1)
+                a0, a1 = alphas[p]
+                qi = min(max(int(np.searchsorted(
+                    ft.f_noise, k, side="right") - 1), 0), ft.n_q - 1)
+                bwk = bw[qi]
+                xs = Xbuf[:, p]
+                hf = np.zeros_like(xs)
+                hf[2:] = (xs[2:] + bwk * a0 * xs[1:-1]
+                          + bwk * bwk * a1 * xs[:-2])
+                Xbuf[:, k] = hf
+
+        Xadj = self._adjust(st, Xbuf, data, E, Q)
+        pcm_out = self._synthesize(st, Xadj[6:6 + nsl])
+        st.x_hist = new_hist
+        return pcm_out
+
+    def _adjust(self, st, Xbuf, data, E, Q):
+        ft, hdr = self.ft, self.header
+        g = data.grid
+        kx, M = ft.kx, ft.M
+        lag = self.ENV_LAG
+        limgain = {0: 10 ** 0.15, 1: 10 ** 0.3,
+                   2: 10 ** 0.45, 3: 1e10}[hdr.limiter_gains]
+        Xout = Xbuf
+        bins = np.arange(M)
+        for e in range(g.n_env):
+            t0 = g.t_env[e] * 2
+            t1 = g.t_env[e + 1] * 2
+            sl0 = lag + t0 - 2 * g.t_env[0]
+            sl1 = sl0 + (t1 - t0)
+            sl0 = max(0, min(sl0, Xbuf.shape[0]))
+            sl1 = max(sl0, min(sl1, Xbuf.shape[0]))
+            if sl1 <= sl0:
+                continue
+            fr = g.freq_res[e]
+            bands = ft.f_high if fr else ft.f_low
+            nb = len(bands) - 1
+            Erow = np.asarray(E[e], np.float64)
+            ne = 0
+            for q in range(g.n_noise):
+                if g.t_noise[q] <= g.t_env[e] < g.t_noise[q + 1]:
+                    ne = q
+            Qrow = np.asarray(Q[ne], np.float64)
+            Emap = np.zeros(M)
+            Qmap = np.zeros(M)
+            sine = np.zeros(M, bool)
+            for b_ in range(nb):
+                lo, hi = int(bands[b_]) - kx, int(bands[b_ + 1]) - kx
+                Emap[lo:hi] = Erow[min(b_, len(Erow) - 1)]
+            for q in range(ft.n_q):
+                lo = int(ft.f_noise[q]) - kx
+                hi = int(ft.f_noise[q + 1]) - kx
+                Qmap[lo:hi] = Qrow[min(q, len(Qrow) - 1)]
+            for b_ in range(ft.n_high):
+                if data.add_harmonic[b_]:
+                    mid = (int(ft.f_high[b_])
+                           + int(ft.f_high[b_ + 1])) // 2 - kx
+                    if 0 <= mid < M:
+                        sine[mid] = True
+            Xe = Xout[sl0:sl1, kx:kx + M]
+            Ecurr = (np.abs(Xe) ** 2).mean(axis=0)
+            if not hdr.interpol_freq:
+                for b_ in range(nb):
+                    lo = int(bands[b_]) - kx
+                    hi = int(bands[b_ + 1]) - kx
+                    if hi > lo:
+                        Ecurr[lo:hi] = Ecurr[lo:hi].mean()
+            # band has a sine anywhere -> different gain rule in band
+            sine_in_band = np.zeros(M, bool)
+            for b_ in range(nb):
+                lo, hi = int(bands[b_]) - kx, int(bands[b_ + 1]) - kx
+                if sine[lo:hi].any():
+                    sine_in_band[lo:hi] = True
+            qfac = Qmap / (1.0 + Qmap)
+            gain = np.where(
+                sine_in_band,
+                np.sqrt(Emap * qfac / np.maximum(Ecurr, 1e-12)),
+                np.sqrt(Emap / ((1.0 + Qmap)
+                                * np.maximum(Ecurr, 1e-12))))
+            noise_lvl = np.sqrt(Emap * qfac)
+            sine_lvl = np.where(sine, np.sqrt(Emap / (1.0 + Qmap)), 0.0)
+            # limiter + boost per limiter band
+            for li in range(len(ft.f_lim) - 1):
+                lo, hi = int(ft.f_lim[li]), int(ft.f_lim[li + 1])
+                if hi <= lo:
+                    continue
+                gmax = min(limgain * np.sqrt(
+                    (Emap[lo:hi].sum() + 1e-12)
+                    / (Ecurr[lo:hi].sum() + 1e-12)), 1e10)
+                gain[lo:hi] = np.minimum(gain[lo:hi], gmax)
+                noise_lvl[lo:hi] = np.minimum(noise_lvl[lo:hi],
+                                              gmax * np.sqrt(
+                                                  np.maximum(Ecurr[lo:hi],
+                                                             1e-12)))
+                target = Emap[lo:hi].sum()
+                achieved = (Ecurr[lo:hi] * gain[lo:hi] ** 2).sum() \
+                    + (noise_lvl[lo:hi] ** 2
+                       * ~sine_in_band[lo:hi]).sum() \
+                    + (sine_lvl[lo:hi] ** 2).sum()
+                boost = min(np.sqrt(target / max(achieved, 1e-12)),
+                            1.584893192)
+                gain[lo:hi] *= boost
+                noise_lvl[lo:hi] *= boost
+                sine_lvl[lo:hi] *= boost
+            # noise is suppressed only at bins that carry a sinusoid
+            # (env_calc adjustEnvelope: pSineLevel[0] != 0)
+            for sl in range(sl0, sl1):
+                row = Xout[sl, kx:kx + M] * gain
+                idx = (st.noise_index + 1 + bins) & 511
+                st.noise_index = int(idx[-1])
+                nv = self.noise_tab[idx]
+                row = row + nv * np.where(sine, 0.0, noise_lvl)
+                if sine.any():
+                    ph = st.sine_index & 3
+                    parity = np.where(((bins + kx) & 1) > 0, -1.0, 1.0)
+                    if ph == 0:
+                        s = sine_lvl + 0j
+                    elif ph == 1:
+                        s = 1j * sine_lvl * parity
+                    elif ph == 2:
+                        s = -sine_lvl + 0j
+                    else:
+                        s = -1j * sine_lvl * parity
+                    row = row + s
+                Xout[sl, kx:kx + M] = row
+                st.sine_index = (st.sine_index + 1) & 3
+        return Xout
+
+    def _synthesize(self, st, Xslots: np.ndarray) -> np.ndarray:
+        """64-band synthesis via the measured kernel: each slot's complex
+        bands contribute a 768-sample response, overlap-added at 64."""
+        nsl = Xslots.shape[0]
+        contrib = Xslots.real @ self.syn_re + Xslots.imag @ self.syn_im
+        out = np.zeros(nsl * 64 + 768, np.float64)
+        for l in range(nsl):
+            out[l * 64:l * 64 + 768] += contrib[l]
+        if st.syn_state is None:
+            st.syn_state = np.zeros(768 - 64, np.float64)
+        out[:768 - 64] += st.syn_state
+        st.syn_state = out[nsl * 64:nsl * 64 + 768 - 64].copy()
+        return out[:nsl * 64]

@@ -1,0 +1,189 @@
+"""HE-AAC (SBR) conformance vs the fdk-aac oracle.
+
+SBR is parametric above the crossover, so exact waveform match is not
+defined (ISO/IEC 14496-26 checks HE-AAC with energy criteria); these
+tests assert (a) high waveform SNR in the core band, (b) tight per-band
+energy-envelope agreement in the SBR band, (c) end-to-end codec
+integration (2x output rate).
+Reference: OpenHome/Media/Codec/AacFdkBase.cpp over
+thirdparty/fdk-aac/libSBRdec.
+"""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu.codecs.aac import (CodecAacAdts, _StreamState,
+                                       bitstream as BS,
+                                       decode_frames_float)
+from ohpipeline_tpu.codecs.aac.sbr import SbrDecoder
+from ohpipeline_tpu.codecs.base import EndOfStream, StreamReader
+
+ORACLE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".oracle_build", "aac_oracle")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                reason="aac oracle not built")
+
+
+def _content(kind: str, secs: float = 2.5) -> np.ndarray:
+    t = np.arange(int(44100 * secs)) / 44100.0
+    rng = np.random.default_rng(11)
+    if kind == "noise":
+        x = rng.standard_normal(len(t)) * 4000
+    else:
+        x = (np.sin(2 * np.pi * 900 * t) * 8000
+             * (0.6 + 0.4 * np.sin(2 * np.pi * 0.7 * t))
+             + np.sin(2 * np.pi * 6200 * t) * 5000
+             + rng.standard_normal(len(t)) * 800)
+    return np.clip(x, -32000, 32000).astype(np.int16)
+
+
+def _encode_he(x: np.ndarray, bitrate: int = 48000):
+    pcm = np.stack([x, x]).T.copy()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.aac")
+        fdec = os.path.join(td, "d.raw")
+        pcm.tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        str(bitrate), "2", "5"], check=True,
+                       capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fdec], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fdec, np.int16).reshape(-1, 2).T \
+            .astype(np.float64)
+    return data, ref
+
+
+class _MemReader(StreamReader):
+    def __init__(self, b: bytes):
+        self._b = b
+        self._p = 0
+
+    def read(self, n):
+        out = self._b[self._p:self._p + n]
+        self._p += len(out)
+        return out
+
+    def peek(self, n):
+        return self._b[self._p:self._p + n]
+
+    @property
+    def stream_bytes(self):
+        return len(self._b)
+
+
+def _decode_he(data: bytes) -> np.ndarray:
+    c = CodecAacAdts()
+    rdr = _MemReader(data)
+    info = c.stream_initialise(rdr)
+    assert info.codec_name == "HE-AAC"
+    assert info.sample_rate == 44100          # 22.05k core doubled
+    outs = []
+    try:
+        while True:
+            outs.append(c.process(rdr).resolve())
+    except EndOfStream:
+        pass
+    return np.concatenate(outs, axis=1).astype(np.float64), info
+
+
+def _aligned(ref, got, search=4096):
+    n = min(ref.shape[1], got.shape[1])
+    best = (-1e18, 0, None, None)
+    for off in range(-search, search + 1, 32):
+        a = ref[:, max(0, off):n + min(0, off)]
+        b = got[:, max(0, -off):n - max(0, off)]
+        m = min(a.shape[1], b.shape[1])
+        if m < 8192:
+            continue
+        a2, b2 = a[:, 2048:m - 2048], b[:, 2048:m - 2048]
+        s = (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)
+        if s > best[0]:
+            best = (s, off, a2, b2)
+    return best[2], best[3]
+
+
+def _band_profiles(a, b, nfft=2048, hop=1024):
+    w = np.hanning(nfft)
+    f = np.fft.rfftfreq(nfft, 1 / 44100.0)
+    edges = 300 * 2 ** (np.arange(0, 19) / 3.0)
+    Pa, Pb = [], []
+    for i in range(0, a.shape[1] - nfft, hop):
+        Pa.append(np.abs(np.fft.rfft(a[:, i:i + nfft] * w, axis=1)) ** 2)
+        Pb.append(np.abs(np.fft.rfft(b[:, i:i + nfft] * w, axis=1)) ** 2)
+    Pa, Pb = np.asarray(Pa), np.asarray(Pb)
+    out_a = np.stack([Pa[..., (f >= edges[i]) & (f < edges[i + 1])]
+                      .sum(axis=-1) for i in range(len(edges) - 1)], -1)
+    out_b = np.stack([Pb[..., (f >= edges[i]) & (f < edges[i + 1])]
+                      .sum(axis=-1) for i in range(len(edges) - 1)], -1)
+    return out_a, out_b, edges
+
+
+@pytest.mark.parametrize("kind,hf_rms_limit", [("noise", 6.0),
+                                               ("mix", 8.0)])
+def test_he_aac_conformance(kind, hf_rms_limit):
+    data, ref = _encode_he(_content(kind))
+    got, info = _decode_he(data)
+    a, b = _aligned(ref, got)
+    assert a is not None
+    # core-band waveform SNR (below the SBR crossover)
+    X = np.fft.rfft(a, axis=1)
+    Y = np.fft.rfft(b, axis=1)
+    f = np.fft.rfftfreq(a.shape[1], 1 / 44100.0)
+    lo = f < 5000
+    da = np.fft.irfft(np.where(lo, X, 0), axis=1)
+    db = np.fft.irfft(np.where(lo, Y, 0), axis=1)
+    snr_low = 10 * np.log10((da ** 2).sum()
+                            / max(((da - db) ** 2).sum(), 1e-9))
+    assert snr_low >= 40.0, f"core-band SNR {snr_low:.1f} dB"
+    # SBR-band energy envelopes
+    Pa, Pb, edges = _band_profiles(a, b)
+    r = (10 * np.log10((Pb + 1e-3) / (Pa + 1e-3)))[2:-2]
+    hf = r[..., edges[:-1] > 6000]
+    assert abs(hf.mean()) <= 3.0, f"HF energy bias {hf.mean():.2f} dB"
+    rms = float(np.sqrt((hf ** 2).mean()))
+    assert rms <= hf_rms_limit, f"HF energy rms {rms:.2f} dB"
+
+
+def test_sbr_payloads_parse():
+    data, _ref = _encode_he(_content("mix"))
+    pos, n, nsbr = 0, 0, 0
+    dec = SbrDecoder(22050)
+    while pos < len(data):
+        h = BS.parse_adts_header(data, pos)
+        if h is None:
+            break
+        br = BS.BitReader(data, (pos + h.header_bytes) * 8)
+        fr = BS.parse_raw_data_block(br, h.rate_index)
+        n += 1
+        if fr.sbr is not None:
+            payload, nbits, crc = fr.sbr
+            chans, coupling = dec.parse_payload(payload, nbits,
+                                                stereo=True, crc=crc)
+            assert 1 <= chans[0].grid.n_env <= 5
+            assert all(len(r) in (dec.ft.n_high, dec.ft.n_low)
+                       for r in chans[0].env)
+            nsbr += 1
+        pos += h.frame_bytes
+    assert n > 20 and nsbr == n
+
+
+def test_lc_streams_unaffected():
+    x = _content("mix")
+    pcm = np.stack([x, x]).T.copy()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.aac")
+        pcm.tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "128000"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+    c = CodecAacAdts()
+    info = c.stream_initialise(_MemReader(data))
+    assert info.codec_name == "AAC" and info.sample_rate == 44100

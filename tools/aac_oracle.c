@@ -26,11 +26,11 @@ static long fsize(FILE *f) {
 }
 
 static int do_encode(const char *in, const char *out, int rate, int ch,
-                     int bitrate, int tt)
+                     int bitrate, int tt, int aot)
 {
     HANDLE_AACENCODER enc = NULL;
     if (aacEncOpen(&enc, 0, ch) != AACENC_OK) return 3;
-    aacEncoder_SetParam(enc, AACENC_AOT, 2);           /* AAC-LC */
+    aacEncoder_SetParam(enc, AACENC_AOT, aot);     /* 2 = LC, 5 = HE-AAC */
     aacEncoder_SetParam(enc, AACENC_SAMPLERATE, rate);
     aacEncoder_SetParam(enc, AACENC_CHANNELMODE, ch == 1 ? MODE_1 : MODE_2);
     aacEncoder_SetParam(enc, AACENC_BITRATE, bitrate);
@@ -136,10 +136,11 @@ int main(int argc, char **argv)
 {
     if (argc >= 7 && !strcmp(argv[1], "encode"))
         return do_encode(argv[2], argv[3], atoi(argv[4]), atoi(argv[5]),
-                         atoi(argv[6]), argc > 7 ? atoi(argv[7]) : 2);
+                         atoi(argv[6]), argc > 7 ? atoi(argv[7]) : 2,
+                         argc > 8 ? atoi(argv[8]) : 2);
     if (argc >= 4 && !strcmp(argv[1], "decode"))
         return do_decode(argv[2], argv[3], argc > 4 ? atoi(argv[4]) : 2);
-    fprintf(stderr, "usage: %s encode <in.raw16> <out.aac> <rate> <ch> "
+    fprintf(stderr, "usage: %s encode <in.raw16> <out.aac> <rate> <ch> [tp [aot]] "
             "<bitrate> [tp] | decode <in.aac> <out.raw16> [tt]\n", argv[0]);
     return 1;
 }
