@@ -191,3 +191,76 @@ class PlaylistPinInvoker(PinInvoker):
             self._playlist.seek_id(int(pin.uri))
         else:
             self._playlist._pm.play()
+
+
+class ServiceCatalogPinInvoker(PinInvoker):
+    """Streaming-service catalogue pins (TidalPins.cpp / QobuzPins.cpp):
+    a pin like ``tidal://album/123`` or ``qobuz://playlist/9?shuffle=1``
+    resolves the container to tracks through the service's catalogue
+    client and loads them into the playlist source.
+
+    ``browse(kind, ident)`` is the injected catalogue callable returning
+    a list of ``TrackMetadata``; per-service invokers bind it to
+    TidalCatalogue / QobuzCatalogue methods."""
+
+    def __init__(self, mode: str, browse, source_playlist, product):
+        self.mode = mode
+        self._browse = browse
+        self._playlist = source_playlist
+        self._product = product
+
+    def invoke(self, pin: Pin) -> None:
+        from urllib.parse import urlparse
+        from .misc import didl_lite
+        u = urlparse(pin.uri)
+        kind = u.netloc            # album / playlist / artist / track ...
+        ident = u.path.lstrip("/")
+        tracks = self._browse(kind, ident)
+        if not tracks:
+            raise ValueError(f"{self.mode} pin found no tracks: {pin.uri}")
+        self._product.set_source_by_name(self._playlist.system_name)
+        db = self._playlist.db
+        db.delete_all()
+        after = 0
+        for md in tracks:
+            after = db.insert(after, md.uri, didl_lite(md))
+        self._playlist.provider.set_shuffle(pin.shuffle)
+        self._playlist.activate(auto_play=True)
+
+
+def tidal_pin_invoker(catalogue, token_id: str, source_playlist, product):
+    """TidalPins: map pin kinds onto TidalCatalogue requests."""
+
+    def browse(kind: str, ident: str):
+        if kind == "album":
+            return catalogue.album_tracks(ident, token_id)
+        if kind == "playlist":
+            return catalogue.playlist_tracks(ident, token_id)
+        if kind == "artist":
+            return catalogue.artist_top_tracks(ident, token_id)
+        if kind == "favorites":
+            return catalogue.favorite_tracks(ident, token_id)
+        if kind == "genre":
+            return catalogue.genre_tracks(ident, token_id)
+        if kind == "track":
+            return [catalogue.track(ident, token_id)]
+        raise ValueError(f"unknown tidal pin kind {kind!r}")
+    return ServiceCatalogPinInvoker("tidal", browse, source_playlist,
+                                    product)
+
+
+def qobuz_pin_invoker(catalogue, source_playlist, product):
+    """QobuzPins: map pin kinds onto QobuzCatalogue requests."""
+
+    def browse(kind: str, ident: str):
+        if kind == "album":
+            return catalogue.album_tracks(ident)
+        if kind == "playlist":
+            return catalogue.playlist_tracks(ident)
+        if kind == "favorites":
+            return catalogue.favorite_tracks()
+        if kind == "track":
+            return [catalogue.track(ident)]
+        raise ValueError(f"unknown qobuz pin kind {kind!r}")
+    return ServiceCatalogPinInvoker("qobuz", browse, source_playlist,
+                                    product)

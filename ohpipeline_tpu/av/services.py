@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
 import time
 import urllib.parse
 from typing import Callable, Optional
@@ -248,3 +249,216 @@ class ServiceProtocol(Protocol):
         except ServiceError:
             return ProtocolStreamResult.ERROR_UNRECOVERABLE
         return self._http.stream(real)
+
+
+# ---------------------------------------------------------------------------
+# catalogue / metadata layers (Av/Tidal/TidalMetadata.cpp + TidalPins.cpp,
+# Av/Qobuz/Qobuz.cpp catalogue requests)
+# ---------------------------------------------------------------------------
+
+from .misc import TrackMetadata, didl_lite  # noqa: E402
+
+
+class TidalCatalogue:
+    """Catalogue/metadata client over TidalService's token manager:
+    tracks, albums, playlists, artists, favourites and search, with the
+    reference's paged loading (TidalPins::LoadTracksById) and
+    refresh-on-401 token lifecycle."""
+
+    PAGE = 50
+    ART = "https://resources.tidal.com/images/{path}/320x320.jpg"
+
+    def __init__(self, service: TidalService, max_tracks: int = 1000):
+        self.svc = service
+        self.max_tracks = max_tracks
+
+    def _get(self, path: str, token_id: str, params: dict) -> dict:
+        access = self.svc.tokens.access_token(token_id)
+        if not access:
+            raise ServiceError("tidal: no valid token")
+        qs = urllib.parse.urlencode({"countryCode": "US", **params})
+        url = f"{self.svc.API}{path}?{qs}"
+        status, body = self.svc._http(
+            "GET", url, {"Authorization": f"Bearer {access}"})
+        if status == 401:
+            # expired access token: force one refresh and retry
+            access = self.svc.tokens.refresh_token_now(token_id) \
+                if hasattr(self.svc.tokens, "refresh_token_now") \
+                else self.svc.tokens.access_token(token_id)
+            status, body = self.svc._http(
+                "GET", url, {"Authorization": f"Bearer {access}"})
+        if status != 200:
+            raise ServiceError(f"tidal: {status} for {path}")
+        return json.loads(body)
+
+    def _meta(self, t: dict) -> TrackMetadata:
+        art = ""
+        album = t.get("album") or {}
+        cover = album.get("cover") or t.get("cover")
+        if cover:
+            art = self.ART.format(path=cover.replace("-", "/"))
+        artists = t.get("artists") or ([t["artist"]] if t.get("artist")
+                                       else [])
+        return TrackMetadata(
+            title=t.get("title", ""),
+            artist=artists[0].get("name", "") if artists else "",
+            album=album.get("title", ""),
+            duration_s=int(t.get("duration", 0)),
+            artwork_uri=art,
+            uri=f"tidal://track/{t.get('id')}")
+
+    def _paged(self, path: str, token_id: str,
+               params: dict = None) -> list[TrackMetadata]:
+        out: list[TrackMetadata] = []
+        offset = 0
+        while len(out) < self.max_tracks:
+            page = self._get(path, token_id,
+                             {"limit": self.PAGE, "offset": offset,
+                              **(params or {})})
+            items = page.get("items", [])
+            for it in items:
+                # favourites wrap the track in an "item" envelope
+                t = it.get("item", it)
+                if t.get("id") is not None:
+                    out.append(self._meta(t))
+            total = page.get("totalNumberOfItems", len(out))
+            offset += len(items)
+            if not items or offset >= total:
+                break
+        return out[:self.max_tracks]
+
+    def track(self, track_id: str, token_id: str) -> TrackMetadata:
+        return self._meta(self._get(f"/tracks/{track_id}", token_id, {}))
+
+    def album_tracks(self, album_id: str, token_id: str):
+        return self._paged(f"/albums/{album_id}/tracks", token_id)
+
+    def playlist_tracks(self, uuid: str, token_id: str):
+        return self._paged(f"/playlists/{uuid}/tracks", token_id)
+
+    def artist_top_tracks(self, artist_id: str, token_id: str):
+        return self._paged(f"/artists/{artist_id}/toptracks", token_id)
+
+    def favorite_tracks(self, user_id: str, token_id: str):
+        return self._paged(f"/users/{user_id}/favorites/tracks", token_id)
+
+    def genre_tracks(self, genre: str, token_id: str):
+        return self._paged(f"/genres/{genre}/tracks", token_id)
+
+    def search(self, query: str, token_id: str, kind: str = "tracks"):
+        page = self._get(f"/search/{kind}", token_id,
+                         {"query": query, "limit": self.PAGE})
+        return [self._meta(t) for t in page.get("items", [])]
+
+
+class QobuzCatalogue:
+    """Catalogue client over QobuzService: track/album/playlist metadata,
+    favourites and search, re-logging-in once on auth expiry
+    (Av/Qobuz/Qobuz.cpp TryGetResponse re-login ladder)."""
+
+    PAGE = 50
+
+    def __init__(self, service: QobuzService, max_tracks: int = 1000):
+        self.svc = service
+        self.max_tracks = max_tracks
+
+    def _get(self, path: str, params: dict) -> dict:
+        if not self.svc._auth_token and not self.svc.login():
+            raise ServiceError("qobuz: not logged in")
+        qs = urllib.parse.urlencode({"app_id": self.svc.app_id, **params})
+        url = f"{self.svc.API}{path}?{qs}"
+        status, body = self.svc._http(
+            "GET", url, {"X-User-Auth-Token": self.svc._auth_token})
+        if status == 401 and self.svc.login():
+            status, body = self.svc._http(
+                "GET", url, {"X-User-Auth-Token": self.svc._auth_token})
+        if status != 200:
+            raise ServiceError(f"qobuz: {status} for {path}")
+        return json.loads(body)
+
+    def _meta(self, t: dict, album: dict = None) -> TrackMetadata:
+        album = t.get("album") or album or {}
+        image = (album.get("image") or {})
+        return TrackMetadata(
+            title=t.get("title", ""),
+            artist=(t.get("performer") or {}).get("name", "")
+            or (album.get("artist") or {}).get("name", ""),
+            album=album.get("title", ""),
+            duration_s=int(t.get("duration", 0)),
+            artwork_uri=image.get("large", "") or image.get("small", ""),
+            uri=f"qobuz://track/{t.get('id')}")
+
+    def track(self, track_id: str) -> TrackMetadata:
+        return self._meta(self._get("/track/get", {"track_id": track_id}))
+
+    def album_tracks(self, album_id: str):
+        data = self._get("/album/get", {"album_id": album_id})
+        items = (data.get("tracks") or {}).get("items", [])
+        return [self._meta(t, data) for t in items][:self.max_tracks]
+
+    def playlist_tracks(self, playlist_id: str):
+        out = []
+        offset = 0
+        while len(out) < self.max_tracks:
+            data = self._get("/playlist/get",
+                             {"playlist_id": playlist_id,
+                              "extra": "tracks", "limit": self.PAGE,
+                              "offset": offset})
+            tracks = (data.get("tracks") or {})
+            items = tracks.get("items", [])
+            out.extend(self._meta(t) for t in items)
+            offset += len(items)
+            if not items or offset >= tracks.get("total", 0):
+                break
+        return out[:self.max_tracks]
+
+    def favorite_tracks(self):
+        out = []
+        offset = 0
+        while len(out) < self.max_tracks:
+            data = self._get("/favorite/getUserFavorites",
+                             {"type": "tracks", "limit": self.PAGE,
+                              "offset": offset})
+            tracks = (data.get("tracks") or {})
+            items = tracks.get("items", [])
+            out.extend(self._meta(t) for t in items)
+            offset += len(items)
+            if not items or offset >= tracks.get("total", 0):
+                break
+        return out[:self.max_tracks]
+
+    def search(self, query: str, kind: str = "tracks"):
+        data = self._get("/catalog/search", {"query": query,
+                                             "limit": self.PAGE})
+        items = (data.get(kind) or {}).get("items", [])
+        return [self._meta(t) for t in items]
+
+
+class TokenRefreshLoop:
+    """Background refresh of OAuth tokens before expiry (the reference's
+    TokenManager polling via ThreadPool, OAuth.h:349-625)."""
+
+    def __init__(self, token_manager, interval_s: float = 1800.0):
+        self._tm = token_manager
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="token-refresh")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                for token_id in list(getattr(self._tm, "_tokens", {})):
+                    self._tm.access_token(token_id)
+            except Exception:
+                pass                       # next cycle retries
+
