@@ -60,6 +60,9 @@ build_aac() {
   gcc -O2 $inc -w -c "$(dirname "$0")/aac_oracle.c" -o "$obj/aac_oracle.o"
   g++ -O2 "$obj/aac_oracle.o" "${objs[@]}" -lm -o "$OUT/aac_oracle"
   echo "built $OUT/aac_oracle"
+  g++ -O2 $inc -w -fno-exceptions "$(dirname "$0")/sbr_probe.cpp" \
+      "$obj"/libFDK_*.o "$obj"/libSYS_*.o -lm -o "$OUT/sbr_probe"
+  echo "built $OUT/sbr_probe"
 }
 
 build_mad() {
