@@ -369,6 +369,7 @@ class ChannelGrid:
     t_noise: list = field(default_factory=lambda: [0, 16])
     pointer: int = 0
     frame_class: int = FIXFIX
+    tran_env: int = -1          # transient envelope (env_extr frameInfo)
 
 
 @dataclass
@@ -409,6 +410,7 @@ def parse_grid(b: Bits) -> ChannelGrid:
         for r in rel:
             borders.append(borders[-1] - r)
         g.t_env = [0] + borders[::-1]
+        g.tran_env = (n_rel + 2 - g.pointer) if g.pointer else -1
     elif g.frame_class == VARFIX:
         var_bord = b.read(2)
         n_rel = b.read(2)
@@ -420,6 +422,7 @@ def parse_grid(b: Bits) -> ChannelGrid:
         for r in rel:
             borders.append(borders[-1] + r)
         g.t_env = borders + [nts]
+        g.tran_env = -1 if g.pointer < 2 else g.pointer - 1
     else:                               # VARVAR
         bord0 = b.read(2)
         bord1 = b.read(2)
@@ -436,8 +439,8 @@ def parse_grid(b: Bits) -> ChannelGrid:
         hi = [nts + bord1]
         for r in rel1:
             hi.append(hi[-1] - r)
-        g.t_env = lo + hi[::-1][1:] if False else lo + list(reversed(hi))
         g.t_env = sorted(set(lo + hi))
+        g.tran_env = ((nrel0 + nrel1 + 1) - g.pointer) if g.pointer else -1
     # noise grid
     if g.n_env == 1:
         g.n_noise = 1
@@ -641,6 +644,8 @@ class SbrChannelState:
         self.bw = np.zeros(5, np.float64)
         self.noise_index = 0
         self.sine_index = 0
+        self.prev_harm_bins: set = set()    # mid bins flagged last frame
+        self.prev_tran_env = -1
 
 
 class SbrDecoder:
@@ -650,7 +655,7 @@ class SbrDecoder:
 
     #: envelope timing offset in QMF slots within the buffered frame
     #: (tuned against libSBRdec output)
-    ENV_LAG = 2
+    ENV_LAG = 6
 
     def __init__(self, core_rate: int):
         self.core_rate = core_rate
@@ -823,6 +828,22 @@ class SbrDecoder:
         g = data.grid
         kx, M = ft.kx, ft.M
         lag = self.ENV_LAG
+        # sine start envelope per mid bin (env_calc mapSineFlags): a sine
+        # flagged last frame continues from envelope 0, a new one starts
+        # at the transient envelope
+        sine_start = {}
+        cur_bins = set()
+        for b_ in range(ft.n_high):
+            if data.add_harmonic[b_]:
+                mid = (int(ft.f_high[b_])
+                       + int(ft.f_high[b_ + 1])) // 2 - kx
+                if 0 <= mid < M:
+                    cur_bins.add(mid)
+                    sine_start[mid] = 0 if mid in st.prev_harm_bins \
+                        else max(g.tran_env, 0)
+        prev_tran = st.prev_tran_env
+        st.prev_harm_bins = cur_bins
+        st.prev_tran_env = g.tran_env
         limgain = {0: 10 ** 0.15, 1: 10 ** 0.3,
                    2: 10 ** 0.45, 3: 1e10}[hdr.limiter_gains]
         Xout = Xbuf
@@ -855,12 +876,10 @@ class SbrDecoder:
                 lo = int(ft.f_noise[q]) - kx
                 hi = int(ft.f_noise[q + 1]) - kx
                 Qmap[lo:hi] = Qrow[min(q, len(Qrow) - 1)]
-            for b_ in range(ft.n_high):
-                if data.add_harmonic[b_]:
-                    mid = (int(ft.f_high[b_])
-                           + int(ft.f_high[b_ + 1])) // 2 - kx
-                    if 0 <= mid < M:
-                        sine[mid] = True
+            for mid, start in sine_start.items():
+                if e >= start:
+                    sine[mid] = True
+            no_noise_env = (e == g.tran_env or e == prev_tran)
             Xe = Xout[sl0:sl1, kx:kx + M]
             Ecurr = (np.abs(Xe) ** 2).mean(axis=0)
             if not hdr.interpol_freq:
@@ -891,11 +910,12 @@ class SbrDecoder:
                 gmax = min(limgain * np.sqrt(
                     (Emap[lo:hi].sum() + 1e-12)
                     / (Ecurr[lo:hi].sum() + 1e-12)), 1e10)
+                # limited bins scale their noise by the same ratio
+                # (env_calc noise limiting)
+                ratio = np.minimum(1.0, gmax
+                                   / np.maximum(gain[lo:hi], 1e-12))
+                noise_lvl[lo:hi] *= ratio
                 gain[lo:hi] = np.minimum(gain[lo:hi], gmax)
-                noise_lvl[lo:hi] = np.minimum(noise_lvl[lo:hi],
-                                              gmax * np.sqrt(
-                                                  np.maximum(Ecurr[lo:hi],
-                                                             1e-12)))
                 target = Emap[lo:hi].sum()
                 achieved = (Ecurr[lo:hi] * gain[lo:hi] ** 2).sum() \
                     + (noise_lvl[lo:hi] ** 2
@@ -913,7 +933,8 @@ class SbrDecoder:
                 idx = (st.noise_index + 1 + bins) & 511
                 st.noise_index = int(idx[-1])
                 nv = self.noise_tab[idx]
-                row = row + nv * np.where(sine, 0.0, noise_lvl)
+                if not no_noise_env:
+                    row = row + nv * np.where(sine, 0.0, noise_lvl)
                 if sine.any():
                     ph = st.sine_index & 3
                     parity = np.where(((bins + kx) & 1) > 0, -1.0, 1.0)

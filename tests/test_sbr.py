@@ -187,3 +187,21 @@ def test_lc_streams_unaffected():
     c = CodecAacAdts()
     info = c.stream_initialise(_MemReader(data))
     assert info.codec_name == "AAC" and info.sample_rate == 44100
+
+
+def test_he_aac_tonal_hf():
+    """Isolated sinusoid in the SBR band (add_harmonic path): band
+    energies must track libSBRdec within bounds."""
+    t = np.arange(int(44100 * 2.5)) / 44100.0
+    x = np.clip(np.sin(2 * np.pi * 10200 * t) * 7000
+                + np.sin(2 * np.pi * 900 * t) * 9000,
+                -32000, 32000).astype(np.int16)
+    data, ref = _encode_he(x)
+    got, _info = _decode_he(data)
+    a, b = _aligned(ref, got)
+    assert a is not None
+    Pa, Pb, edges = _band_profiles(a, b)
+    r = (10 * np.log10((Pb + 1e-3) / (Pa + 1e-3)))[2:-2]
+    hf = r[..., edges[:-1] > 6000]
+    assert abs(hf.mean()) <= 4.0
+    assert float(np.sqrt((hf ** 2).mean())) <= 12.0
