@@ -20,7 +20,6 @@ fdk oracle decode of the same streams.
 
 from __future__ import annotations
 
-import functools
 import math
 import pathlib
 from dataclasses import dataclass, field
@@ -738,23 +737,16 @@ class SbrDecoder:
                       coupling: bool) -> np.ndarray:
         """core_pcm (C, 1024); returns (C, 2048) float64 at 2x rate."""
         C = core_pcm.shape[0]
-        hdr, ft = self.header, self.ft
-        EQ = []
-        for i in range(C):
-            g = chans[i].grid
-            E, Q, a = self.dequant(hdr, g, chans[i].env, chans[i].noise)
-            EQ.append((E, Q, a))
+        hdr = self.header
+        EQ = [self.dequant(hdr, chans[i].grid, chans[i].env,
+                           chans[i].noise) for i in range(C)]
         if C == 2 and coupling:
             a = EQ[0][2]
-            E1 = [np.asarray(r, np.float64) / 1.0 for r in chans[1].env]
-            Q1 = [np.asarray(r, np.float64) for r in chans[1].noise]
             (EL, QL), (ER, QR) = self.unmap_coupled(
                 EQ[0][0], EQ[0][1], chans[1].env, chans[1].noise, a)
             EQ = [(EL, QL, a), (ER, QR, a)]
         out = np.zeros((C, len(core_pcm[0]) * 2), np.float64)
         for i in range(C):
-            data = chans[i] if not (C == 2 and coupling) else chans[i]
-            grid = chans[i].grid
             out[i] = self._process_channel(i, core_pcm[i], chans[i],
                                            EQ[i][0], EQ[i][1])
         return out
