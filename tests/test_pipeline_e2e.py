@@ -117,3 +117,40 @@ def test_observers_receive_track_and_state():
     assert seen["tracks"] and seen["tracks"][0].startswith("tone://")
     assert seen["infos"] and seen["infos"][0].sample_rate == 44100
     assert 1 in seen["times"]
+
+
+def test_file_he_aac_end_to_end(tmp_path):
+    """HE-AAC ADTS through the full chain: codec detects SBR, the stream
+    plays at the doubled rate and the upper band carries energy."""
+    import os
+    import subprocess
+    oracle = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".oracle_build", "aac_oracle")
+    if not os.path.exists(oracle):
+        pytest.skip("aac oracle not built")
+    t = np.arange(int(44100 * 1.5)) / 44100
+    tone = np.clip(np.sin(2 * np.pi * 700 * t) * 9000
+                   + np.sin(2 * np.pi * 9000 * t) * 6000,
+                   -32000, 32767).astype(np.int16)
+    pcm_in = np.stack([tone, tone]).T.copy()
+    raw = tmp_path / "i.raw"
+    aac = tmp_path / "t.aac"
+    pcm_in.tofile(raw)
+    subprocess.run([oracle, "encode", str(raw), str(aac), "44100", "2",
+                    "48000", "2", "5"], check=True, capture_output=True)
+    mgr = make_manager()
+    col = Collector()
+    mgr.play_uri(f"file://{aac}")
+    run_until_halt(mgr, col)
+    mgr.quit()
+    assert col.infos and col.infos[0].codec_name == "HE-AAC"
+    assert col.infos[0].sample_rate == 44100
+    out = col.pcm.astype(np.float64)
+    assert out.shape[1] > 44100
+    # the 9 kHz component (above the ~7.9 kHz crossover) must be present
+    seg = out[0, 24000:24000 + 16384]
+    X = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1 / 44100.0)
+    hf_peak = X[(f > 8500) & (f < 9500)].max()
+    lo_peak = X[(f > 600) & (f < 800)].max()
+    assert hf_peak > 0.05 * lo_peak
