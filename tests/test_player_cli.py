@@ -22,7 +22,7 @@ def run_player(uri: str, out: pathlib.Path) -> str:
                XLA_FLAGS="--xla_force_host_platform_device_count=2")
     r = subprocess.run(
         [sys.executable, str(PLAYER), "--uri", uri, "--wav", str(out)],
-        capture_output=True, timeout=600, env=env, cwd=str(ROOT))
+        capture_output=True, timeout=1200, env=env, cwd=str(ROOT))
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     return r.stdout.decode()
 
