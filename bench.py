@@ -344,7 +344,7 @@ def main() -> int:
         fpos = [metas[s].header_bytes * 8 for s in range(S_f)]
         apos = [0] * S_a
         pshape = [np.zeros(nch, np.int32) for _ in range(S_a)]
-        aparse = np.zeros((Fc * nch, 1024), np.int32)  # reused parse scratch
+        abatch = None                      # reused aac parse buffers
         for c in range(NCH):
             v = f_views[c]
             esc = _View(v)
@@ -383,7 +383,9 @@ def main() -> int:
             n_side = 0
             for s in range(S_a):
                 n, apos[s], b = native.aac_parse_group(
-                    aac_streams[s], apos[s], channels=nch, max_frames=Fc)
+                    aac_streams[s], apos[s], channels=nch, max_frames=Fc,
+                    out=abatch)
+                abatch = b
                 counts["aac"] += n
                 special = native.aac_prepare_rows_zz(
                     b, n, Fc, nch, pshape[s], esc, ssfv,

@@ -178,27 +178,34 @@ SFB_SLOTS = 128  # must match aac_unpack.cc (8 groups x 15 stride + mask byte)
 
 
 def aac_parse_group(buf: bytes, byte_pos: int, *, channels: int,
-                    max_frames: int):
+                    max_frames: int, out: dict = None):
     """Parse up to max_frames ADTS AAC-LC frames starting at byte_pos.
 
     Returns (nframes, new_byte_pos, batch) with dense arrays (R = F*C):
     ics (R,4), cb (R,120) int8, sf (R,120) i32, quant (R,1024) i32,
     msmask (F,120) u8, tnsn (R,8), tnsp (R,24,3), tnsc (R,24,12) f32,
-    rate_index int.
+    rate_index int.  Pass a previous call's batch as ``out`` to reuse its
+    arrays (the quant buffer alone is ~1 MB per call — reuse matters on
+    the bench's hot parse path).
     """
     lib = _aac_lib()
     if lib is None:
         raise RuntimeError("native aac unpacker unavailable")
     F, C = max_frames, channels
     R = F * C
-    ics = np.zeros((R, 4), np.int32)
-    cb = np.zeros((R, SFB_SLOTS), np.int8)
-    sf = np.zeros((R, SFB_SLOTS), np.int32)
-    quant = np.zeros((R, 1024), np.int32)
-    msmask = np.zeros((F, SFB_SLOTS), np.uint8)
-    tnsn = np.zeros((R, 8), np.int32)
-    tnsp = np.zeros((R, 24, 3), np.int32)
-    tnsc = np.zeros((R, 24, 12), np.float32)
+    if out is not None and out["quant"].shape == (R, 1024):
+        ics, cb, sf, quant = out["ics"], out["cb"], out["sf"], out["quant"]
+        msmask, tnsn = out["msmask"], out["tnsn"]
+        tnsp, tnsc = out["tnsp"], out["tnsc"]
+    else:
+        ics = np.zeros((R, 4), np.int32)
+        cb = np.zeros((R, SFB_SLOTS), np.int8)
+        sf = np.zeros((R, SFB_SLOTS), np.int32)
+        quant = np.zeros((R, 1024), np.int32)
+        msmask = np.zeros((F, SFB_SLOTS), np.uint8)
+        tnsn = np.zeros((R, 8), np.int32)
+        tnsp = np.zeros((R, 24, 3), np.int32)
+        tnsc = np.zeros((R, 24, 12), np.float32)
     rate_index = np.zeros(1, np.int32)
     pos = ctypes.c_int64(byte_pos)
     n = lib.aac_parse_group(buf, len(buf), ctypes.byref(pos), F, C,
