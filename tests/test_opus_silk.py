@@ -1,0 +1,103 @@
+"""SILK LP-layer parse vs reference-encoded streams (opus-1.5.2 forced
+to MODE_SILK_ONLY via the oracle).  A single mis-decoded symbol
+desynchronises the range coder for the rest of the packet, so parsing
+hundreds of frames with coherent parameters and a plausible bit budget
+is a strong structural check of the symbol schedule
+(silk/decode_indices.c, decode_pulses.c, shell_coder.c, code_signs.c)."""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from ohpipeline_tpu.codecs.opus_headers import parse_toc
+from ohpipeline_tpu.codecs.opus.silk import parse_silk_packet
+from ohpipeline_tpu.containers.ogg import OggReader
+
+ORACLE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".oracle_build", "opus_oracle")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                reason="opus oracle not built")
+
+
+class _R:
+    def __init__(self, b):
+        self._b = b
+        self._p = 0
+
+    def read(self, n):
+        out = self._b[self._p:self._p + n]
+        self._p += len(out)
+        return out
+
+    def peek(self, n):
+        return self._b[self._p:self._p + n]
+
+
+def _silk_stream(kind: str) -> bytes:
+    t = np.arange(48000 * 2) / 48000.0
+    rng = np.random.default_rng(5)
+    if kind == "tone":
+        x = np.sin(2 * np.pi * 220 * t) \
+            * (0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)) * 12000
+    else:
+        x = rng.standard_normal(len(t)) * 2500 \
+            * (0.4 + 0.6 * (np.sin(2 * np.pi * 1.3 * t) > 0))
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "1", "24000", "silk"],
+                       check=True, capture_output=True)
+        return open(fout, "rb").read()
+
+
+@pytest.mark.parametrize("kind", ["tone", "pulsed_noise"])
+def test_silk_packets_parse(kind):
+    data = _silk_stream(kind)
+    rdr = OggReader(_R(data))
+    n = 0
+    types = {0: 0, 1: 0, 2: 0}
+    for i, p in enumerate(rdr.packets()):
+        if i < 2:                      # OpusHead/OpusTags
+            continue
+        toc = parse_toc(p)
+        assert toc.mode == "silk" and toc.frame_ms == 20
+        frames = parse_silk_packet(bytes(p[1:]), toc.bandwidth)
+        ix = frames[0].indices
+        types[ix.signal_type] += 1
+        assert len(ix.gain_indices) == 4
+        assert all(0 <= g <= 63 for g in ix.gain_indices[:1])
+        assert 0 <= ix.nlsf_stage1 < 32
+        assert len(ix.nlsf_residuals) in (10, 16)
+        assert all(-10 <= r <= 10 for r in ix.nlsf_residuals)
+        if ix.signal_type == 2:
+            assert len(ix.ltp_indices) == 4
+            assert ix.lag_index >= 0
+        assert 0 <= ix.seed < 4
+        assert ix.pulses is not None and abs(ix.pulses).max() <= 1 << 14
+        n += 1
+    assert n >= 90
+    # the content must have produced active frames
+    assert types[1] + types[2] > 0
+
+
+def test_silk_voiced_frames_have_pitch():
+    data = _silk_stream("tone")
+    rdr = OggReader(_R(data))
+    lags = []
+    for i, p in enumerate(rdr.packets()):
+        if i < 2:
+            continue
+        toc = parse_toc(p)
+        fr = parse_silk_packet(bytes(p[1:]), toc.bandwidth)[0]
+        if fr.indices.signal_type == 2:
+            lags.append(fr.indices.lag_index)
+    assert lags
+    # 220 Hz at 16 kHz internal rate -> lag ~73 samples; lagIndex is
+    # biased by the minimum lag (2 ms = 32 samples at 16 kHz)
+    med = sorted(lags)[len(lags) // 2]
+    assert 20 <= med + 32 <= 160

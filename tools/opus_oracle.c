@@ -8,6 +8,7 @@
 #include <string.h>
 #include <ogg/ogg.h>
 #include <opus.h>
+#include "opus_private.h"
 
 static void flush_pages(ogg_stream_state *os, FILE *out, int force) {
     ogg_page og;
@@ -19,7 +20,7 @@ static void flush_pages(ogg_stream_state *os, FILE *out, int force) {
 }
 
 static int do_encode(const char *inp, const char *outp, int channels,
-                     int bitrate) {
+                     int bitrate, int force_silk) {
     FILE *in = fopen(inp, "rb");
     FILE *out = fopen(outp, "wb");
     if (!in || !out) { perror("open"); return 1; }
@@ -28,6 +29,11 @@ static int do_encode(const char *inp, const char *outp, int channels,
                                            OPUS_APPLICATION_AUDIO, &err);
     if (err) { fprintf(stderr, "enc err %d\n", err); return 1; }
     opus_encoder_ctl(enc, OPUS_SET_BITRATE(bitrate));
+    if (force_silk) {
+        /* deterministic SILK-only packets for the LP-layer tests */
+        opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_SILK_ONLY));
+        opus_encoder_ctl(enc, OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_WIDEBAND));
+    }
     int preskip = 0;
     opus_encoder_ctl(enc, OPUS_GET_LOOKAHEAD(&preskip));
 
@@ -89,7 +95,8 @@ static int do_encode(const char *inp, const char *outp, int channels,
 int main(int argc, char **argv) {
     if (argc >= 5 && strcmp(argv[1], "encode") == 0)
         return do_encode(argv[2], argv[3], atoi(argv[4]),
-                         argc > 5 ? atoi(argv[5]) : 96000);
+                         argc > 5 ? atoi(argv[5]) : 96000,
+                         argc > 6 && strcmp(argv[6], "silk") == 0);
     if (argc < 4 || strcmp(argv[1], "decode") != 0) {
         fprintf(stderr, "usage: %s decode in.opus out.raw | "
                         "encode in.raw out.opus ch [bitrate]\n", argv[0]);
