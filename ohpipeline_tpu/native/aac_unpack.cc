@@ -356,8 +356,13 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
                     for (int d = 0; d < lut.dim; d++) {
                         if (vv[d] == 16 || vv[d] == -16) {
                             int e = 4;
-                            while (br.read(1)) e++;
-                            int mag = (1 << e) | br.read(e);
+                            while (br.read(1)) {
+                                // ISO 14496-3 caps the escape prefix; a
+                                // crafted run would otherwise drive the
+                                // shift below into UB
+                                if (++e > 21) return false;
+                            }
+                            int mag = (1 << e) | (int)br.read(e);
                             vv[d] = vv[d] > 0 ? mag : -mag;
                         }
                     }

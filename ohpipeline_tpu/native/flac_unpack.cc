@@ -532,7 +532,7 @@ int flac_parse_group_zz(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
             uint32_t z0 = 0, z1 = 0;
             if (i >= o) {
                 int32_t v = src[i];
-                z0 = (uint32_t)((v << 1) ^ (v >> 31));
+                z0 = ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
                 if (z0 >= 4095) {
                     if (*esc_count >= esc_cap) { *status = -9; return n; }
                     int j = (*esc_count)++;
@@ -544,7 +544,7 @@ int flac_parse_group_zz(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
             }
             if (i + 1 >= o && i + 1 < stride) {
                 int32_t v = src[i + 1];
-                z1 = (uint32_t)((v << 1) ^ (v >> 31));
+                z1 = ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
                 if (z1 >= 4095) {
                     if (*esc_count >= esc_cap) { *status = -9; return n; }
                     int j = (*esc_count)++;
