@@ -254,3 +254,142 @@ def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
     ix.pulses = decode_excitation(dec, ix.signal_type, ix.quant_offset,
                                   frame_length)
     return [SilkFrame(vad, ix)]
+
+
+# ---------------------------------------------------------------------------
+# NLSF dequantisation -> LPC coefficients (NLSF_decode.c, NLSF2A.c)
+# ---------------------------------------------------------------------------
+
+_QUANT_STEP_Q16 = {"nb": 11796, "mb": 11796, "wb": 9830}   # 0.18 / 0.15
+_NLSF_QUANT_LEVEL_ADJ_Q10 = 102                            # 0.1 in Q10
+_ORDERING = {
+    16: [0, 15, 8, 7, 4, 11, 12, 3, 2, 13, 10, 5, 6, 9, 14, 1],
+    10: [0, 9, 6, 3, 4, 5, 8, 1, 2, 7],
+}
+
+
+def _nlsf_pred(bw: str, stage1: int, order: int) -> np.ndarray:
+    """Backward predictor coefficients for each residual (NLSF_unpack)."""
+    T = tables()
+    sel = T["NLSF_CB2_SELECT_WB" if bw == "wb" else "NLSF_CB2_SELECT_NB_MB"]
+    pred_tab = T["NLSF_PRED_WB_Q8" if bw == "wb" else "NLSF_PRED_NB_MB_Q8"]
+    pred = np.zeros(order, np.int64)
+    entries = sel[stage1 * order // 2:(stage1 + 1) * order // 2]
+    for i in range(0, order, 2):
+        entry = int(entries[i // 2])
+        pred[i] = pred_tab[i + (entry & 1) * (order - 1)]
+        pred[i + 1] = pred_tab[i + ((entry >> 4) & 1) * (order - 1) + 1]
+    return pred
+
+
+def nlsf_decode(bw: str, stage1: int, residuals: list) -> np.ndarray:
+    """Dequantise NLSF indices to a stabilised Q15 NLSF vector
+    (silk_NLSF_decode: backward-predictive residual dequant, codebook
+    vector add with inverse-square-root weights, spacing stabilise)."""
+    T = tables()
+    order = len(residuals)
+    pred = _nlsf_pred(bw, stage1, order)
+    step = _QUANT_STEP_Q16[bw]
+    # residual dequant, backwards
+    res_q10 = np.zeros(order, np.int64)
+    out_q10 = 0
+    for i in range(order - 1, -1, -1):
+        pred_q10 = (out_q10 * pred[i]) >> 8
+        out_q10 = residuals[i] << 10
+        if out_q10 > 0:
+            out_q10 -= _NLSF_QUANT_LEVEL_ADJ_Q10
+        elif out_q10 < 0:
+            out_q10 += _NLSF_QUANT_LEVEL_ADJ_Q10
+        out_q10 = pred_q10 + ((out_q10 * step) >> 16)
+        res_q10[i] = out_q10
+    cb1 = T["NLSF_CB1_WB_Q8" if bw == "wb" else "NLSF_CB1_NB_MB_Q8"]
+    wght = T["NLSF_CB1_WB_Wght_Q9" if bw == "wb" else "NLSF_CB1_Wght_Q9"]
+    vec = cb1[stage1 * order:(stage1 + 1) * order]
+    w = wght[stage1 * order:(stage1 + 1) * order]
+    nlsf = np.clip((res_q10 << 14) // w + (vec << 7), 0, 32767)
+    # stabilise ordering/spacing (silk_NLSF_stabilize, 20-iteration cap
+    # then a hard sort+clamp pass like the reference fallback)
+    dmin = T["NLSF_DELTA_MIN_WB_Q15" if bw == "wb"
+             else "NLSF_DELTA_MIN_NB_MB_Q15"]
+    nlsf = nlsf.astype(np.int64)
+    for _ in range(20):
+        diffs = [nlsf[0] - dmin[0]]
+        diffs += [nlsf[i] - (nlsf[i - 1] + dmin[i]) for i in range(1, order)]
+        diffs.append((1 << 15) - (nlsf[order - 1] + dmin[order]))
+        I = int(np.argmin(diffs))
+        if diffs[I] >= 0:
+            return nlsf.astype(np.int16)
+        if I == 0:
+            nlsf[0] = dmin[0]
+        elif I == order:
+            nlsf[order - 1] = (1 << 15) - dmin[order]
+        else:
+            min_c = int(dmin[:I].sum() + (dmin[I] >> 1))
+            max_c = int((1 << 15) - dmin[I + 1:].sum() - (dmin[I] >> 1))
+            center = (int(nlsf[I - 1]) + int(nlsf[I]) + 1) >> 1
+            center = min(max(center, min_c), max_c)
+            nlsf[I - 1] = center - (dmin[I] >> 1)
+            nlsf[I] = nlsf[I - 1] + dmin[I]
+    # fallback: sort and force minimum spacing in both directions
+    nlsf = np.sort(nlsf)
+    for i in range(order):
+        lo = (nlsf[i - 1] + dmin[i]) if i else dmin[0]
+        nlsf[i] = max(nlsf[i], lo)
+    for i in range(order - 1, -1, -1):
+        hi = (nlsf[i + 1] - dmin[i + 1]) if i < order - 1 \
+            else (1 << 15) - dmin[order]
+        nlsf[i] = min(nlsf[i], hi)
+    return nlsf.astype(np.int16)
+
+
+def nlsf_to_lpc(nlsf_q15: np.ndarray) -> np.ndarray:
+    """Q15 NLSFs -> monic LPC coefficients in Q12 (silk_NLSF2A:
+    cosine-table interpolation, interleaved polynomial build, bandwidth
+    expansion until stable)."""
+    T = tables()
+    cos_tab = T["LSFCosTab_FIX_Q12"]
+    d = len(nlsf_q15)
+    QA = 16
+    order = _ORDERING[d]
+    clsf = np.zeros(d, np.int64)
+    for k in range(d):
+        f = int(nlsf_q15[k])
+        f_int = f >> 8
+        f_frac = f - (f_int << 8)
+        cos_val = int(cos_tab[f_int])
+        delta = int(cos_tab[f_int + 1]) - cos_val
+        clsf[order[k]] = ((cos_val << 8) + delta * f_frac + (1 << 3)) >> 4
+
+    def find_poly(cl, off):
+        dd = d // 2
+        out = np.zeros(dd + 1, np.int64)
+        out[0] = 1 << QA
+        out[1] = -cl[off]
+        for k in range(1, dd):
+            ftmp = int(cl[2 * k + off])
+            out[k + 1] = (out[k - 1] << 1) \
+                - ((ftmp * out[k] + (1 << (QA - 1))) >> QA)
+            for n in range(k, 1, -1):
+                out[n] += out[n - 2] \
+                    - ((ftmp * out[n - 1] + (1 << (QA - 1))) >> QA)
+            out[1] -= ftmp
+        return out
+
+    P = find_poly(clsf, 0)
+    Q = find_poly(clsf, 1)
+    a32 = np.zeros(d, np.int64)
+    for k in range(d // 2):
+        pt = P[k + 1] + P[k]
+        qt = Q[k + 1] - Q[k]
+        a32[k] = -qt - pt
+        a32[d - k - 1] = qt - pt
+    # QA+1 -> Q12 with bandwidth expansion until the filter is stable
+    for i in range(20):
+        a_q12 = np.round(a32 / (1 << (QA + 1 - 12))).astype(np.int64)
+        a = a_q12 / 4096.0
+        roots = np.roots(np.concatenate([[1.0], -a]))
+        if np.abs(a_q12).max() < 32768 and np.abs(roots).max() < 0.9999:
+            return a_q12.astype(np.int16)
+        chirp = 1.0 - (2 << i) / 65536.0
+        a32 = np.round(a32 * chirp ** np.arange(1, d + 1)).astype(np.int64)
+    return np.round(a32 / (1 << (QA + 1 - 12))).astype(np.int16)

@@ -101,3 +101,34 @@ def test_silk_voiced_frames_have_pitch():
     # biased by the minimum lag (2 ms = 32 samples at 16 kHz)
     med = sorted(lags)[len(lags) // 2]
     assert 20 <= med + 32 <= 160
+
+
+def test_nlsf_decode_to_stable_lpc():
+    """NLSF dequantisation + NLSF2A over a whole reference-encoded
+    stream: the spacing constraints must hold and every LPC filter must
+    be stable (silk/NLSF_decode.c, NLSF_stabilize.c, NLSF2A.c)."""
+    from ohpipeline_tpu.codecs.opus.silk import (nlsf_decode, nlsf_to_lpc,
+                                                 tables)
+    data = _silk_stream("tone")
+    rdr = OggReader(_R(data))
+    T = tables()
+    n = 0
+    for i, p in enumerate(rdr.packets()):
+        if i < 2:
+            continue
+        toc = parse_toc(p)
+        fr = parse_silk_packet(bytes(p[1:]), toc.bandwidth)[0]
+        ix = fr.indices
+        nlsf = nlsf_decode(toc.bandwidth, ix.nlsf_stage1,
+                           ix.nlsf_residuals)
+        dmin = T["NLSF_DELTA_MIN_WB_Q15" if toc.bandwidth == "wb"
+                 else "NLSF_DELTA_MIN_NB_MB_Q15"]
+        assert nlsf[0] >= dmin[0]
+        assert all(int(nlsf[k]) - int(nlsf[k - 1]) >= dmin[k]
+                   for k in range(1, len(nlsf)))
+        assert int(nlsf[-1]) <= (1 << 15) - dmin[len(nlsf)]
+        a = nlsf_to_lpc(nlsf)
+        roots = np.roots(np.concatenate([[1.0], -a / 4096.0]))
+        assert np.abs(roots).max() < 1.0
+        n += 1
+    assert n >= 90

@@ -22,7 +22,7 @@ OUT = (pathlib.Path(__file__).resolve().parent.parent
 FILES = [
     "tables_gain.c", "tables_LTP.c", "tables_NLSF_CB_NB_MB.c",
     "tables_NLSF_CB_WB.c", "tables_other.c", "tables_pitch_lag.c",
-    "tables_pulses_per_block.c",
+    "tables_pulses_per_block.c", "table_LSF_cos.c",
 ]
 
 ARRAY_RE = re.compile(
