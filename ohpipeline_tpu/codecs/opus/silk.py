@@ -393,3 +393,213 @@ def nlsf_to_lpc(nlsf_q15: np.ndarray) -> np.ndarray:
         chirp = 1.0 - (2 << i) / 65536.0
         a32 = np.round(a32 * chirp ** np.arange(1, d + 1)).astype(np.int64)
     return np.round(a32 / (1 << (QA + 1 - 12))).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# parameter dequantisation: gains, pitch lags, LTP taps (gain_quant.c,
+# decode_pitch.c, decode_parameters.c)
+# ---------------------------------------------------------------------------
+
+_N_LEVELS_QGAIN = 64
+_MIN_DELTA_GAIN = -4
+_MAX_DELTA_GAIN = 36
+_GAIN_OFFSET = (2 * 128) // 6 + 16 * 128
+_INV_SCALE_Q16 = (65536 * (((88 - 2) * 128) // 6)) // (_N_LEVELS_QGAIN - 1)
+
+
+def _log2lin(x_q7: int) -> int:
+    """silk_log2lin: 2**(x/128) with the reference's parabolic frac."""
+    if x_q7 < 0:
+        return 0
+    x_q7 = min(x_q7, 3967)
+    out = 1 << (x_q7 >> 7)
+    frac = x_q7 & 0x7F
+    para = frac + ((frac * (128 - frac) * -174) >> 16)
+    if x_q7 < 2048:
+        out = out + ((out * para) >> 7)
+    else:
+        out = out + ((out >> 7) * para)
+    return out
+
+
+def gains_dequant(indices: list, prev_ind: int,
+                  conditional: bool = False) -> tuple[list, int]:
+    """Gain indices -> linear Q16 gains (silk_gains_dequant);
+    returns (gains_q16, new_prev_ind)."""
+    out = []
+    for k, ind in enumerate(indices):
+        if k == 0 and not conditional:
+            prev_ind = max(ind, prev_ind - 16)
+        else:
+            ind_tmp = ind + _MIN_DELTA_GAIN
+            thr = 2 * _MAX_DELTA_GAIN - _N_LEVELS_QGAIN + prev_ind
+            if ind_tmp > thr:
+                prev_ind += (ind_tmp << 1) - thr
+            else:
+                prev_ind += ind_tmp
+        prev_ind = min(max(prev_ind, 0), _N_LEVELS_QGAIN - 1)
+        log_q7 = min(((_INV_SCALE_Q16 * prev_ind) >> 16) + _GAIN_OFFSET,
+                     3967)
+        out.append(_log2lin(log_q7))
+    return out, prev_ind
+
+
+def decode_pitch(lag_index: int, contour_index: int, fs_khz: int,
+                 n_subfr: int = 4) -> list:
+    """Per-subframe pitch lags (silk_decode_pitch)."""
+    T = tables()
+    if fs_khz == 8:
+        cb = T["CB_lags_stage2"].reshape(n_subfr, -1)
+    else:
+        cb = T["CB_lags_stage3"].reshape(n_subfr, -1)
+    min_lag, max_lag = 2 * fs_khz, 18 * fs_khz
+    lag = min_lag + lag_index
+    return [int(np.clip(lag + cb[k, contour_index], min_lag, max_lag))
+            for k in range(n_subfr)]
+
+
+def ltp_taps_q14(per_index: int, ltp_indices: list) -> np.ndarray:
+    """Per-subframe 5-tap LTP filters in Q14 (decode_parameters.c)."""
+    T = tables()
+    cb = T[f"LTP_gain_vq_{per_index}"].reshape(-1, 5)
+    return np.stack([cb[i] << 7 for i in ltp_indices])
+
+
+# ---------------------------------------------------------------------------
+# core synthesis (decode_core.c / decode_frame.c, float formulation)
+# ---------------------------------------------------------------------------
+
+_QUANT_LEVEL_ADJUST = 80 / 1024.0          # QUANT_LEVEL_ADJUST_Q10
+_LTP_ORDER = 5
+
+
+def _lcg(seed: int) -> int:
+    return (907633515 + seed * 196314165) & 0xFFFFFFFF
+
+
+class SilkStreamDecoder:
+    """Stateful SILK-only mono decoder at the internal rate (float
+    formulation of silk/decode_core.c with the reference's exact symbol
+    and parameter dequantisation; output conformance is SNR-bounded, not
+    bit-exact, against the fixed-point reference)."""
+
+    def __init__(self, bw: str):
+        self.bw = bw
+        p = BW[bw]
+        self.fs_khz = p.fs_khz
+        self.order = p.lpc_order
+        self.frame_len = 20 * p.fs_khz
+        self.subfr_len = self.frame_len // 4
+        self.ltp_mem = 20 * p.fs_khz
+        self.out_buf = np.zeros(self.ltp_mem + self.frame_len)
+        self.s_lpc = np.zeros(self.order)
+        self.prev_gain = 1.0
+        self.prev_gain_ind = 0
+        self.prev_nlsf = None
+        self.first = True
+
+    def decode_frame(self, data: bytes) -> np.ndarray:
+        """One SILK-only packet -> (frame_len,) float PCM (int16 range)
+        at the internal rate."""
+        frames = parse_silk_packet(data, self.bw)
+        ix = frames[0].indices
+        T = tables()
+        gains_q16, self.prev_gain_ind = gains_dequant(
+            ix.gain_indices, self.prev_gain_ind)
+        gains = [g / 65536.0 for g in gains_q16]
+        nlsf = nlsf_decode(self.bw, ix.nlsf_stage1, ix.nlsf_residuals)
+        a1 = nlsf_to_lpc(nlsf) / 4096.0
+        if ix.nlsf_interp_q2 < 4 and self.prev_nlsf is not None:
+            nlsf0 = (self.prev_nlsf.astype(np.int64)
+                     + ((ix.nlsf_interp_q2
+                         * (nlsf.astype(np.int64)
+                            - self.prev_nlsf.astype(np.int64))) >> 2))
+            a0 = nlsf_to_lpc(nlsf0.astype(np.int16)) / 4096.0
+            interp = True
+        else:
+            a0 = a1
+            interp = False
+        self.prev_nlsf = nlsf
+        voiced = ix.signal_type == 2
+        if voiced:
+            lags = decode_pitch(ix.lag_index, ix.contour_index,
+                                self.fs_khz)
+            b_taps = ltp_taps_q14(ix.per_index, ix.ltp_indices) / 16384.0
+            ltp_scale = int(T["LTPScales_table_Q14"][ix.ltp_scale_index]) \
+                / 16384.0
+        # excitation with LCG pseudo-random sign inversion
+        offset = int(T["Quantization_Offsets_Q10"].reshape(2, 2)[
+            ix.signal_type >> 1, ix.quant_offset]) / 1024.0
+        seed = ix.seed
+        exc = np.zeros(self.frame_len)
+        for i in range(self.frame_len):
+            seed = _lcg(seed)
+            v = float(ix.pulses[i])
+            if v > 0:
+                v -= _QUANT_LEVEL_ADJUST
+            elif v < 0:
+                v += _QUANT_LEVEL_ADJUST
+            v += offset
+            if seed & 0x80000000:      # rand_seed < 0 as int32
+                v = -v
+            seed = (seed + int(ix.pulses[i])) & 0xFFFFFFFF
+            exc[i] = v
+
+        xq = np.zeros(self.frame_len)
+        s_ltp = np.zeros(self.ltp_mem + self.frame_len)
+        s_ltp_idx = self.ltp_mem
+        s_lpc = np.concatenate([self.s_lpc, np.zeros(self.subfr_len)])
+        for k in range(4):
+            a = a0 if k < 2 else a1
+            g = gains[k]
+            gain_adj = self.prev_gain / g if g != self.prev_gain else 1.0
+            if gain_adj != 1.0:
+                s_lpc[:self.order] *= gain_adj
+            self.prev_gain = g
+            res = exc[k * self.subfr_len:(k + 1) * self.subfr_len].copy()
+            if voiced:
+                lag = lags[k]
+                if k == 0 or (k == 2 and interp):
+                    # rewhiten past output into the LTP state
+                    start = self.ltp_mem - lag - self.order \
+                        - _LTP_ORDER // 2 + k * self.subfr_len
+                    seg = self.out_buf[start:self.ltp_mem
+                                       + k * self.subfr_len]
+                    white = seg.copy()
+                    for j in range(self.order, len(seg)):
+                        white[j] = seg[j] - np.dot(
+                            a, seg[j - self.order:j][::-1])
+                    inv_gain = 1.0 / g
+                    if k == 0:
+                        inv_gain *= ltp_scale
+                    n = lag + _LTP_ORDER // 2
+                    s_ltp[s_ltp_idx - n:s_ltp_idx] = \
+                        white[-n:] * inv_gain
+                elif gain_adj != 1.0:
+                    n = lag + _LTP_ORDER // 2
+                    s_ltp[s_ltp_idx - n:s_ltp_idx] *= gain_adj
+                b = b_taps[k]
+                for i in range(self.subfr_len):
+                    p0 = s_ltp_idx + i - lag + _LTP_ORDER // 2
+                    pred = float(np.dot(b, s_ltp[p0 - 4:p0 + 1][::-1]))
+                    res[i] = res[i] + pred
+                    s_ltp[s_ltp_idx + i] = res[i]
+                s_ltp_idx += self.subfr_len
+            # short-term synthesis
+            for i in range(self.subfr_len):
+                pred = float(np.dot(a, s_lpc[i:i + self.order][::-1]))
+                s_lpc[self.order + i] = res[i] + pred
+            xq[k * self.subfr_len:(k + 1) * self.subfr_len] = \
+                np.clip(s_lpc[self.order:self.order + self.subfr_len] * g,
+                        -32768, 32767)
+            self.out_buf[self.ltp_mem + k * self.subfr_len:
+                         self.ltp_mem + (k + 1) * self.subfr_len] = \
+                xq[k * self.subfr_len:(k + 1) * self.subfr_len]
+            s_lpc[:self.order] = s_lpc[self.subfr_len:
+                                       self.subfr_len + self.order]
+        self.s_lpc = s_lpc[:self.order].copy()
+        self.out_buf[:self.ltp_mem] = self.out_buf[self.frame_len:
+                                                   self.frame_len
+                                                   + self.ltp_mem]
+        self.first = False
+        return xq

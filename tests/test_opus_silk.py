@@ -132,3 +132,50 @@ def test_nlsf_decode_to_stable_lpc():
         assert np.abs(roots).max() < 1.0
         n += 1
     assert n >= 90
+
+
+def test_silk_core_decode_snr():
+    """End-to-end SILK-only decode at the internal rate: gains, NLSF,
+    LTP, LCG-signed excitation and synthesis filters together must track
+    the reference decoder's output (compared against the oracle's 48 kHz
+    output band-limited and decimated to the internal rate).  The float
+    reformulation is SNR-bounded, not bit-exact."""
+    from ohpipeline_tpu.codecs.opus.silk import SilkStreamDecoder
+    data = _silk_stream("tone")
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "s.opus")
+        fo = os.path.join(td, "o.raw")
+        open(fin, "wb").write(data)
+        subprocess.run([ORACLE, "decode", fin, fo], check=True,
+                       capture_output=True)
+        ref48 = np.fromfile(fo, np.int16).astype(np.float64)
+    rdr = OggReader(_R(data))
+    dec = None
+    outs = []
+    for i, p in enumerate(rdr.packets()):
+        if i < 2:
+            continue
+        toc = parse_toc(p)
+        if dec is None:
+            dec = SilkStreamDecoder(toc.bandwidth)
+        outs.append(dec.decode_frame(bytes(p[1:])))
+    mine = np.concatenate(outs)
+    n = len(ref48) - (len(ref48) % 3)
+    X = np.fft.rfft(ref48[:n])
+    f = np.fft.rfftfreq(n, 1 / 48000.0)
+    X[f > 7600] = 0
+    ref = np.fft.irfft(X, n)[::3]
+    assert abs(np.sqrt((mine ** 2).mean())
+               / max(np.sqrt((ref ** 2).mean()), 1e-9) - 1.0) < 0.05
+    best = -1e9
+    m = min(len(mine), len(ref))
+    for off in range(-400, 200, 2):
+        a = ref[max(0, off):m + min(0, off)]
+        b = mine[max(0, -off):m - max(0, off)]
+        mm = min(len(a), len(b))
+        if mm < 5000:
+            continue
+        a2, b2 = a[2000:mm - 2000], b[2000:mm - 2000]
+        best = max(best, 10 * np.log10(
+            (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
+    assert best >= 18.0, f"SILK decode SNR {best:.1f} dB"

@@ -23,6 +23,7 @@ FILES = [
     "tables_gain.c", "tables_LTP.c", "tables_NLSF_CB_NB_MB.c",
     "tables_NLSF_CB_WB.c", "tables_other.c", "tables_pitch_lag.c",
     "tables_pulses_per_block.c", "table_LSF_cos.c",
+    "pitch_est_tables.c", "resampler_rom.c",
 ]
 
 ARRAY_RE = re.compile(
