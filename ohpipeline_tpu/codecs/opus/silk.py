@@ -477,6 +477,73 @@ def _lcg(seed: int) -> int:
     return (907633515 + seed * 196314165) & 0xFFFFFFFF
 
 
+# ---------------------------------------------------------------------------
+# Output resampler: internal rate (8/12/16 kHz) -> 48 kHz
+
+_UP2_HQ = (
+    # Q16 allpass coefficients, resampler_rom.h:48-50 (even/odd phase);
+    # the third section's table entry stores coef-65536, folded back here.
+    (1746 / 65536.0, 14986 / 65536.0, 39083 / 65536.0),
+    (6854 / 65536.0, 25769 / 65536.0, 55542 / 65536.0),
+)
+
+
+class SilkResampler:
+    """SILK output upsampler to 48 kHz: 2x upsampling through two
+    cascades of three first-order allpass sections (one cascade per
+    output phase, silk/resampler_private_up2_HQ.c:57-103) followed by
+    12-phase 8-tap FIR fractional interpolation over the 2x grid
+    (silk/resampler_private_IIR_FIR.c:45-66, table
+    silk_resampler_frac_FIR_12).  Float reformulation of the Q10/Q15
+    fixed-point pipeline; the index schedule (10 ms batch restart,
+    rounded-up invRatio_Q16 — silk/resampler.c:111-167) is kept exact
+    so output sample counts match the reference decoder's."""
+
+    def __init__(self, fs_in_hz: int):
+        if fs_in_hz not in (8000, 12000, 16000):
+            raise ValueError(fs_in_hz)
+        self._batch = (fs_in_hz // 1000) * 10
+        inv = ((fs_in_hz << 15) // 48000) << 2
+        while (inv * 48000) >> 16 < (fs_in_hz << 1):
+            inv += 1
+        self._incr = inv
+        self._zi = [[np.zeros(1) for _ in range(3)] for _ in range(2)]
+        self._fir_state = np.zeros(8)
+        self._f12 = (tables()["resampler_frac_FIR_12"]
+                     .reshape(12, 4).astype(np.float64) / 32768.0)
+
+    def _up2(self, x: np.ndarray) -> np.ndarray:
+        from scipy.signal import lfilter
+        out = np.empty(2 * len(x))
+        for ph in range(2):
+            y = x
+            for s, a in enumerate(_UP2_HQ[ph]):
+                y, self._zi[ph][s] = lfilter(
+                    [a, 1.0], [1.0, a], y, zi=self._zi[ph][s])
+            out[ph::2] = y
+        return out
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        outs = []
+        pos = 0
+        taps = np.arange(8)
+        while pos < len(x):
+            n = min(self._batch, len(x) - pos)
+            buf = np.concatenate(
+                [self._fir_state, self._up2(x[pos:pos + n])])
+            idx = np.arange(0, n << 17, self._incr, dtype=np.int64)
+            ti = ((idx & 0xFFFF) * 12) >> 16
+            win = buf[(idx >> 16)[:, None] + taps]
+            coef = np.concatenate(
+                [self._f12[ti], self._f12[11 - ti][:, ::-1]], axis=1)
+            outs.append((win * coef).sum(axis=1))
+            self._fir_state = buf[2 * n:2 * n + 8]
+            pos += n
+        if not outs:
+            return np.zeros(0)
+        return np.concatenate(outs)
+
+
 class SilkStreamDecoder:
     """Stateful SILK-only mono decoder at the internal rate (float
     formulation of silk/decode_core.c with the reference's exact symbol
@@ -497,6 +564,15 @@ class SilkStreamDecoder:
         self.prev_gain_ind = 0
         self.prev_nlsf = None
         self.first = True
+        self._rs = None
+
+    def decode_frame_48k(self, data: bytes) -> np.ndarray:
+        """One SILK-only packet -> float PCM at 48 kHz (int16 range),
+        through the reference's output resampler chain
+        (silk/resampler.c USE_silk_resampler_private_IIR_FIR)."""
+        if self._rs is None:
+            self._rs = SilkResampler(self.fs_khz * 1000)
+        return self._rs.process(self.decode_frame(data))
 
     def decode_frame(self, data: bytes) -> np.ndarray:
         """One SILK-only packet -> (frame_len,) float PCM (int16 range)

@@ -179,3 +179,45 @@ def test_silk_core_decode_snr():
         best = max(best, 10 * np.log10(
             (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
     assert best >= 18.0, f"SILK decode SNR {best:.1f} dB"
+
+
+def test_silk_decode_48k_snr():
+    """Full-rate decode: core decode at the internal rate plus the
+    up2_HQ allpass + 12-phase FIR output resampler must track the
+    oracle's 48 kHz output directly (silk/resampler.c decode path)."""
+    from ohpipeline_tpu.codecs.opus.silk import SilkStreamDecoder
+    data = _silk_stream("tone")
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "s.opus")
+        fo = os.path.join(td, "o.raw")
+        open(fin, "wb").write(data)
+        subprocess.run([ORACLE, "decode", fin, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).astype(np.float64)
+    rdr = OggReader(_R(data))
+    dec = None
+    outs = []
+    for i, p in enumerate(rdr.packets()):
+        if i < 2:
+            continue
+        toc = parse_toc(p)
+        if dec is None:
+            dec = SilkStreamDecoder(toc.bandwidth)
+        outs.append(dec.decode_frame_48k(bytes(p[1:])))
+    mine = np.concatenate(outs)
+    # every 20 ms packet must yield exactly 960 samples at 48 kHz
+    assert all(len(o) == 960 for o in outs)
+    assert abs(np.sqrt((mine ** 2).mean())
+               / max(np.sqrt((ref ** 2).mean()), 1e-9) - 1.0) < 0.05
+    m = min(len(mine), len(ref))
+    best = -1e9
+    for off in range(-1200, 600, 1):
+        a = ref[max(0, off):m + min(0, off)]
+        b = mine[max(0, -off):m - max(0, off)]
+        mm = min(len(a), len(b))
+        if mm < 20000:
+            continue
+        a2, b2 = a[6000:mm - 6000], b[6000:mm - 6000]
+        best = max(best, 10 * np.log10(
+            (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
+    assert best >= 16.0, f"SILK 48 kHz decode SNR {best:.1f} dB"
