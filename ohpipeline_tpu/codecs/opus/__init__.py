@@ -4,9 +4,11 @@ decoder (RFC 6716 s4.3).
 Parity target: OpenHome/Media/Codec/Opus.cpp (adapter over vendored
 opus-1.5.2 + libogg).  CELT-only streams (music; all frame sizes
 120..960 @48 kHz, mono/stereo) decode conformantly vs the compiled
-reference (tests/test_opus_celt.py, tests/test_opus.py).  SILK and
-hybrid packets (speech modes) are gated with a clear error, matching
-NEXT.md's staged plan.
+reference (tests/test_opus_celt.py, tests/test_opus.py).  Mono 20 ms
+SILK-only streams (speech) decode through the SILK LP decoder +
+48 kHz resampler (codecs/opus/silk.py, SNR-conformant vs the
+reference); stereo/10-60 ms SILK, LBRR and hybrid packets remain
+gated with a clear error, matching NEXT.md's staged plan.
 """
 
 from __future__ import annotations
@@ -96,15 +98,33 @@ class _OpusStream:
     def __init__(self, head: OpusHead):
         self.head = head
         self.celt: Optional[CeltDecoderState] = None
+        self.silk = None
         self.stream_channels = 0
         self.gain = 10.0 ** (head.output_gain_q8 / (20.0 * 256.0))
 
+    def _decode_silk(self, toc: OpusToc, frames: list) -> np.ndarray:
+        from .silk import SilkStreamDecoder
+        if toc.stereo or toc.frame_ms != 20:
+            raise CodecStreamCorrupt(
+                f"opus SILK variant unsupported yet (stereo={toc.stereo}, "
+                f"{toc.frame_ms} ms frames): mono 20 ms streams decode")
+        if self.silk is None or self.silk.bw != toc.bandwidth:
+            self.silk = SilkStreamDecoder(toc.bandwidth)
+        outs = [self.silk.decode_frame_48k(f) for f in frames]
+        return np.concatenate(outs)[None, :] * (1.0 / 32768.0)
+
     def decode_packet(self, packet: bytes) -> np.ndarray:
         toc, frames = split_packet_frames(packet)
+        if toc.mode == "silk":
+            pcm = self._decode_silk(toc, frames) * self.gain
+            C = self.head.channels
+            if C == 2:
+                pcm = np.repeat(pcm, 2, axis=0)
+            return pcm
         if toc.mode != "celt":
             raise CodecStreamCorrupt(
-                f"opus {toc.mode} (speech) mode not supported yet: "
-                "CELT-only streams (music) decode; see NEXT.md")
+                "opus hybrid (SWB speech) mode not supported yet: "
+                "CELT and mono SILK streams decode; see NEXT.md")
         sc = 2 if toc.stereo else 1
         if self.celt is None or sc != self.stream_channels:
             # stream channel switches reset the CELT state (the reference
