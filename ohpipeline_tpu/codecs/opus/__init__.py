@@ -103,23 +103,41 @@ class _OpusStream:
         self.gain = 10.0 ** (head.output_gain_q8 / (20.0 * 256.0))
 
     def _decode_silk(self, toc: OpusToc, frames: list) -> np.ndarray:
-        from .silk import SilkStreamDecoder
-        if toc.stereo or toc.frame_ms != 20:
+        from .silk import SilkStereoDecoder, SilkStreamDecoder
+        if toc.frame_ms != 20:
             raise CodecStreamCorrupt(
-                f"opus SILK variant unsupported yet (stereo={toc.stereo}, "
-                f"{toc.frame_ms} ms frames): mono 20 ms streams decode")
-        if self.silk is None or self.silk.bw != toc.bandwidth:
-            self.silk = SilkStreamDecoder(toc.bandwidth)
-        outs = [self.silk.decode_frame_48k(f) for f in frames]
-        return np.concatenate(outs)[None, :] * (1.0 / 32768.0)
+                f"opus SILK {toc.frame_ms} ms frames unsupported yet: "
+                "20 ms streams decode")
+        if toc.stereo or self.head.channels == 2 \
+                or isinstance(self.silk, SilkStereoDecoder):
+            # mid/side layer (also carries mono packets of a switching
+            # stream through its mid history buffer, like silk_Decode)
+            if not isinstance(self.silk, SilkStereoDecoder) \
+                    or self.silk.bw != toc.bandwidth:
+                self.silk = SilkStereoDecoder(toc.bandwidth)
+            outs = [self.silk.decode_packet_48k(f, toc.stereo)
+                    for f in frames]
+            pcm = np.concatenate(outs, axis=1) * (1.0 / 32768.0)
+        else:
+            if self.silk is None or not isinstance(
+                    self.silk, SilkStreamDecoder) \
+                    or self.silk.bw != toc.bandwidth:
+                self.silk = SilkStreamDecoder(toc.bandwidth)
+            pcm = np.concatenate(
+                [self.silk.decode_frame_48k(f)
+                 for f in frames])[None, :] * (1.0 / 32768.0)
+        return pcm
 
     def decode_packet(self, packet: bytes) -> np.ndarray:
         toc, frames = split_packet_frames(packet)
         if toc.mode == "silk":
             pcm = self._decode_silk(toc, frames) * self.gain
             C = self.head.channels
-            if C == 2:
+            if pcm.shape[0] == 1 and C == 2:
                 pcm = np.repeat(pcm, 2, axis=0)
+            elif pcm.shape[0] == 2 and C == 1:
+                # (L+R)/2 equals the mid channel exactly
+                pcm = 0.5 * (pcm[:1] + pcm[1:])
             return pcm
         if toc.mode != "celt":
             raise CodecStreamCorrupt(

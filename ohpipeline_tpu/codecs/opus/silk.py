@@ -578,7 +578,11 @@ class SilkStreamDecoder:
         """One SILK-only packet -> (frame_len,) float PCM (int16 range)
         at the internal rate."""
         frames = parse_silk_packet(data, self.bw)
-        ix = frames[0].indices
+        return self.synthesise(frames[0].indices)
+
+    def synthesise(self, ix) -> np.ndarray:
+        """Parsed frame indices -> (frame_len,) float PCM at the
+        internal rate (silk_decode_frame over silk_decode_core)."""
         T = tables()
         gains_q16, self.prev_gain_ind = gains_dequant(
             ix.gain_indices, self.prev_gain_ind)
@@ -679,3 +683,141 @@ class SilkStreamDecoder:
                                                    + self.ltp_mem]
         self.first = False
         return xq
+
+
+# ---------------------------------------------------------------------------
+# Stereo (mid/side) layer: silk/stereo_decode_pred.c, stereo_MS_to_LR.c
+# and the silk_Decode packet flow (dec_API.c:229-440)
+# ---------------------------------------------------------------------------
+
+
+def stereo_decode_pred(dec: RangeDecoder) -> list:
+    """Mid/side predictor indices -> pred_Q13[2]
+    (silk_stereo_decode_pred; 0.5/STEREO_QUANT_SUB_STEPS in Q16 =
+    6554)."""
+    T = tables()
+    quant = T["stereo_pred_quant_Q13"]
+    n = dec.dec_icdf(_icdf(T["stereo_pred_joint_iCDF"]), 8)
+    ix2 = [n // 5, n % 5]
+    pred = []
+    for ch in range(2):
+        i0 = dec.dec_icdf(_icdf(T["uniform3_iCDF"]), 8)
+        i1 = dec.dec_icdf(_icdf(T["uniform5_iCDF"]), 8)
+        i0 += 3 * ix2[ch]
+        low = int(quant[i0])
+        step = ((int(quant[i0 + 1]) - low) * 6554) >> 16
+        pred.append(low + step * (2 * i1 + 1))
+    # second predictor is subtracted from the first at encode time
+    pred[0] -= pred[1]
+    return pred
+
+
+def parse_silk_packet_stereo(data: bytes, bw: str):
+    """Stereo SILK-only 20 ms packet -> (mid SilkFrame, side SilkFrame
+    or None, pred_Q13[2], mid_only).  Symbol order per silk_Decode:
+    per-channel VAD+LBRR flags, stereo predictors, mid-only flag (only
+    when the side channel's VAD flag is 0), then mid and side frames
+    back to back in the same range coder."""
+    p = BW[bw]
+    frame_length = 20 * p.fs_khz
+    dec = RangeDecoder(data)
+    vad = []
+    for _ch in range(2):
+        vad.append(bool(dec.dec_bit_logp(1)))
+        if dec.dec_bit_logp(1):
+            raise NotImplementedError("LBRR frames: next round")
+    pred_q13 = stereo_decode_pred(dec)
+    mid_only = 0
+    if not vad[1]:
+        mid_only = dec.dec_icdf(
+            _icdf(tables()["stereo_only_code_mid_iCDF"]), 8)
+    ix_m = decode_frame_indices(dec, bw, vad[0])
+    ix_m.pulses = decode_excitation(dec, ix_m.signal_type,
+                                    ix_m.quant_offset, frame_length)
+    side = None
+    if not mid_only:
+        ix_s = decode_frame_indices(dec, bw, vad[1])
+        ix_s.pulses = decode_excitation(dec, ix_s.signal_type,
+                                        ix_s.quant_offset, frame_length)
+        side = SilkFrame(vad[1], ix_s)
+    return SilkFrame(vad[0], ix_m), side, pred_q13, mid_only
+
+
+class SilkStereoDecoder:
+    """Stereo SILK-only decoder -> 48 kHz L/R (float reformulation of
+    silk_Decode + silk_stereo_MS_to_LR).  Handles per-packet
+    mono<->stereo switching the way the reference does: mono packets
+    pass through the mid history buffer (keeping the one-sample
+    buffering delay continuous), side/predictor state resets on the
+    transition back to stereo, and the side core resets after
+    mid-only frames (dec_API.c:303-311)."""
+
+    def __init__(self, bw: str):
+        self.bw = bw
+        self.fs_khz = BW[bw].fs_khz
+        self.mid = SilkStreamDecoder(bw)
+        self.side = SilkStreamDecoder(bw)
+        self._smid = np.zeros(2)
+        self._sside = np.zeros(2)
+        self._pred_prev = [0, 0]
+        self._prev_mid_only = 0
+        self._prev_stereo = False
+        self._rs = [SilkResampler(self.fs_khz * 1000) for _ in range(2)]
+
+    def decode_packet_48k(self, data: bytes, stereo: bool) -> np.ndarray:
+        """One packet frame -> (2, n) float PCM at 48 kHz (int16
+        range; for mono packets both rows are the mid channel)."""
+        import copy
+        L = self.mid.frame_len
+        if not stereo:
+            x = self.mid.decode_frame(data)
+            x1 = np.concatenate([self._smid, x])
+            self._smid = x1[L:L + 2].copy()
+            out = self._rs[0].process(x1[1:L + 1])
+            self._prev_stereo = False
+            return np.stack([out, out])
+        if not self._prev_stereo:
+            # mono -> stereo: reset predictors/side history, clone the
+            # resampler state into the right channel (dec_API.c:215-219)
+            self._pred_prev = [0, 0]
+            self._sside = np.zeros(2)
+            self._rs[1] = copy.deepcopy(self._rs[0])
+        self._prev_stereo = True
+        fm, fs_, pred, mid_only = parse_silk_packet_stereo(data, self.bw)
+        if not mid_only and self._prev_mid_only:
+            self.side = SilkStreamDecoder(self.bw)
+            self.side.prev_gain_ind = 10     # LastGainIndex after reset
+        xm = self.mid.synthesise(fm.indices)
+        xs = (self.side.synthesise(fs_.indices) if fs_ is not None
+              else np.zeros(L))
+        self._prev_mid_only = mid_only
+        left, right = self._ms_to_lr(xm, xs, pred)
+        return np.stack([self._rs[0].process(left),
+                         self._rs[1].process(right)])
+
+    def _ms_to_lr(self, mid: np.ndarray, side: np.ndarray,
+                  pred_q13: list) -> tuple[np.ndarray, np.ndarray]:
+        fs = self.fs_khz
+        L = len(mid)
+        x1 = np.concatenate([self._smid, mid])
+        x2 = np.concatenate([self._sside, side])
+        # history holds the RAW mid/side tails (buffered before the
+        # prediction is applied, stereo_MS_to_LR.c:48-52)
+        self._smid = x1[L:L + 2].copy()
+        self._sside = x2[L:L + 2].copy()
+        interp = 8 * fs                      # STEREO_INTERP_LEN_MS
+        w0n, w1n = pred_q13[0] / 8192.0, pred_q13[1] / 8192.0
+        w0 = np.full(L, w0n)
+        w1 = np.full(L, w1n)
+        ramp = np.arange(1, interp + 1) / interp
+        w0[:interp] = self._pred_prev[0] / 8192.0 \
+            + (w0n - self._pred_prev[0] / 8192.0) * ramp
+        w1[:interp] = self._pred_prev[1] / 8192.0 \
+            + (w1n - self._pred_prev[1] / 8192.0) * ramp
+        self._pred_prev = list(pred_q13)
+        # side + w0 * 3-tap-lowpassed mid + w1 * mid, one-sample delay
+        lp = (x1[:L] + 2.0 * x1[1:L + 1] + x1[2:L + 2]) * 0.25
+        s = x2[1:L + 1] + w0 * lp + w1 * x1[1:L + 1]
+        m = x1[1:L + 1]
+        return (np.clip(m + s, -32768, 32767),
+                np.clip(m - s, -32768, 32767))

@@ -254,3 +254,55 @@ def test_silk_stream_plays_through_codec():
         best = max(best, 10 * np.log10(
             (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
     assert best >= 16.0, f"SILK playback SNR {best:.1f} dB"
+
+
+def _silk_stereo_stream() -> bytes:
+    t = np.arange(48000 * 2) / 48000.0
+    am = 0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)
+    left = np.sin(2 * np.pi * 220 * t) * am * 11000
+    right = np.sin(2 * np.pi * 330 * t + 0.7) * am * 9000
+    x = np.stack([left, right], axis=1).ravel()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "2", "48000", "silk"],
+                       check=True, capture_output=True)
+        return open(fout, "rb").read()
+
+
+def test_silk_stereo_decode_snr():
+    """Stereo SILK: mid/side cores in one range coder, predictor
+    weights + MS_to_LR reconstruction, per-channel resampling — vs the
+    oracle's 48 kHz stereo decode (dec_API.c, stereo_MS_to_LR.c)."""
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    data = _silk_stereo_stream()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "s.opus")
+        fo = os.path.join(td, "o.raw")
+        open(fin, "wb").write(data)
+        subprocess.run([ORACLE, "decode", fin, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).reshape(-1, 2).astype(np.float64)
+    # the stream must actually contain stereo-coded SILK packets
+    rdr = OggReader(_R(data))
+    stereo_pk = sum(1 for i, p in enumerate(rdr.packets())
+                    if i >= 2 and parse_toc(p).stereo)
+    assert stereo_pk >= 50, f"encoder produced {stereo_pk} stereo packets"
+    info, pcm = decode_opus(data)
+    assert info.num_channels == 2
+    mine = pcm.astype(np.float64)
+    for ch in range(2):
+        a_full, b_full = ref[:, ch], mine[ch]
+        m = min(len(a_full), len(b_full))
+        best = -1e9
+        for off in range(-1400, 600, 2):
+            a = a_full[max(0, off):m + min(0, off)]
+            b = b_full[max(0, -off):m - max(0, off)]
+            mm = min(len(a), len(b))
+            if mm < 20000:
+                continue
+            a2, b2 = a[6000:mm - 6000], b[6000:mm - 6000]
+            best = max(best, 10 * np.log10(
+                (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
+        assert best >= 14.0, f"stereo SILK ch{ch} SNR {best:.1f} dB"
