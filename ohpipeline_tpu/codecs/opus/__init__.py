@@ -104,10 +104,11 @@ class _OpusStream:
 
     def _decode_silk(self, toc: OpusToc, frames: list) -> np.ndarray:
         from .silk import SilkStereoDecoder, SilkStreamDecoder
-        if toc.frame_ms != 20:
+        dur = int(toc.frame_ms)
+        if dur not in (20, 40, 60):
             raise CodecStreamCorrupt(
                 f"opus SILK {toc.frame_ms} ms frames unsupported yet: "
-                "20 ms streams decode")
+                "20/40/60 ms streams decode")
         if toc.stereo or self.head.channels == 2 \
                 or isinstance(self.silk, SilkStereoDecoder):
             # mid/side layer (also carries mono packets of a switching
@@ -115,7 +116,7 @@ class _OpusStream:
             if not isinstance(self.silk, SilkStereoDecoder) \
                     or self.silk.bw != toc.bandwidth:
                 self.silk = SilkStereoDecoder(toc.bandwidth)
-            outs = [self.silk.decode_packet_48k(f, toc.stereo)
+            outs = [self.silk.decode_packet_48k(f, toc.stereo, dur)
                     for f in frames]
             pcm = np.concatenate(outs, axis=1) * (1.0 / 32768.0)
         else:
@@ -124,7 +125,7 @@ class _OpusStream:
                     or self.silk.bw != toc.bandwidth:
                 self.silk = SilkStreamDecoder(toc.bandwidth)
             pcm = np.concatenate(
-                [self.silk.decode_frame_48k(f)
+                [self.silk.decode_frame_48k(f, dur)
                  for f in frames])[None, :] * (1.0 / 32768.0)
         return pcm
 

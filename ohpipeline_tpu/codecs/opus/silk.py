@@ -74,6 +74,7 @@ class SilkFrameIndices:
     ltp_scale_index: int = 0
     seed: int = 0
     pulses: np.ndarray = None          # (frame_length,) signed excitation
+    cond_coding: bool = False          # CODE_CONDITIONALLY frame
 
 
 def _nlsf_unpack(bw: str, stage1: int, order: int):
@@ -92,11 +93,20 @@ def _nlsf_unpack(bw: str, stage1: int, order: int):
 
 def decode_frame_indices(dec: RangeDecoder, bw: str, vad: bool,
                          n_subfr: int = 4,
-                         cond_coding: bool = False) -> SilkFrameIndices:
-    """decode_indices.c for one 20 ms frame (independent coding)."""
+                         cond_coding: bool = False,
+                         prev: dict | None = None,
+                         ltp_scale_decoded: bool | None = None
+                         ) -> SilkFrameIndices:
+    """decode_indices.c for one 20 ms frame.  `cond_coding` selects
+    CODE_CONDITIONALLY (delta gains + delta pitch vs `prev`, no LTP
+    scale index); `prev` threads ec_prevSignalType/ec_prevLagIndex
+    across the frames of a packet.  `ltp_scale_decoded=False` with
+    cond_coding=False models CODE_INDEPENDENTLY_NO_LTP_SCALING."""
     T = tables()
     p = BW[bw]
-    ix = SilkFrameIndices()
+    ix = SilkFrameIndices(cond_coding=cond_coding)
+    if ltp_scale_decoded is None:
+        ltp_scale_decoded = not cond_coding
     if vad:
         v = dec.dec_icdf(_icdf(T["type_offset_VAD_iCDF"]), 8) + 2
     else:
@@ -133,9 +143,18 @@ def decode_frame_indices(dec: RangeDecoder, bw: str, vad: bool,
         ix.nlsf_interp_q2 = dec.dec_icdf(
             _icdf(T["NLSF_interpolation_factor_iCDF"]), 8)
     if ix.signal_type == 2:            # voiced
-        high = dec.dec_icdf(_icdf(T["pitch_lag_iCDF"]), 8)
-        low = dec.dec_icdf(_icdf(T[p.low_bits_table]), 8)
-        ix.lag_index = high * (p.fs_khz // 2) + low
+        decode_absolute = True
+        if cond_coding and prev is not None and prev.get("sig") == 2:
+            delta = dec.dec_icdf(_icdf(T["pitch_delta_iCDF"]), 8)
+            if delta > 0:
+                ix.lag_index = prev["lag"] + (delta - 9)
+                decode_absolute = False
+        if decode_absolute:
+            high = dec.dec_icdf(_icdf(T["pitch_lag_iCDF"]), 8)
+            low = dec.dec_icdf(_icdf(T[p.low_bits_table]), 8)
+            ix.lag_index = high * (p.fs_khz // 2) + low
+        if prev is not None:
+            prev["lag"] = ix.lag_index
         contour = T["pitch_contour_NB_iCDF" if bw == "nb"
                     else "pitch_contour_iCDF"]
         ix.contour_index = dec.dec_icdf(_icdf(contour), 8)
@@ -143,8 +162,10 @@ def decode_frame_indices(dec: RangeDecoder, bw: str, vad: bool,
         ltp_cb = T[f"LTP_gain_iCDF_{ix.per_index}"]
         for _ in range(n_subfr):
             ix.ltp_indices.append(dec.dec_icdf(_icdf(ltp_cb), 8))
-        if not cond_coding:
+        if ltp_scale_decoded:
             ix.ltp_scale_index = dec.dec_icdf(_icdf(T["LTPscale_iCDF"]), 8)
+    if prev is not None:
+        prev["sig"] = ix.signal_type
     ix.seed = dec.dec_icdf(_icdf(T["uniform4_iCDF"]), 8)
     return ix
 
@@ -234,26 +255,53 @@ class SilkFrame:
     indices: SilkFrameIndices
 
 
+def _decode_lbrr_flags(dec: RangeDecoder, n_frames: int) -> list:
+    """Per-frame LBRR flags after the channel's LBRR bit
+    (dec_API.c:238-250)."""
+    if not dec.dec_bit_logp(1):
+        return [0] * n_frames
+    if n_frames == 1:
+        return [1]
+    sym = dec.dec_icdf(
+        _icdf(tables()[f"LBRR_flags_{n_frames}_iCDF"]), 8) + 1
+    return [(sym >> i) & 1 for i in range(n_frames)]
+
+
 def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
                       duration_ms: int = 20) -> list[SilkFrame]:
-    """Parse a SILK-only packet's LP layer (mono, one 20 ms frame per
-    channel stream; the common streaming case the bench/tests craft).
-    Returns the decoded frames; raises on malformed data."""
+    """Parse a mono SILK-only packet's LP layer: 20/40/60 ms packets
+    (1-3 regular frames with conditional coding between them,
+    dec_API.c:322-341) with LBRR frames decoded and discarded
+    (dec_API.c:253-279).  Returns the regular frames; raises on
+    malformed data."""
     if stereo:
-        raise NotImplementedError("stereo SILK parse: next round")
-    if duration_ms != 20:
-        raise NotImplementedError("only 20 ms SILK frames handled")
+        raise NotImplementedError("use parse_silk_packet_stereo")
+    if duration_ms not in (20, 40, 60):
+        raise NotImplementedError("only 20/40/60 ms SILK packets")
+    n_frames = duration_ms // 20
     p = BW[bw]
     frame_length = 20 * p.fs_khz
     dec = RangeDecoder(data)
-    vad = bool(dec.dec_bit_logp(1))
-    lbrr = bool(dec.dec_bit_logp(1))
-    if lbrr:
-        raise NotImplementedError("LBRR frames: next round")
-    ix = decode_frame_indices(dec, bw, vad)
-    ix.pulses = decode_excitation(dec, ix.signal_type, ix.quant_offset,
-                                  frame_length)
-    return [SilkFrame(vad, ix)]
+    vad = [bool(dec.dec_bit_logp(1)) for _ in range(n_frames)]
+    lbrr = _decode_lbrr_flags(dec, n_frames)
+    prev_lbrr: dict = {}
+    for i in range(n_frames):
+        if lbrr[i]:
+            # regular decode skips LBRR data by decoding it
+            jx = decode_frame_indices(
+                dec, bw, True, cond_coding=bool(i > 0 and lbrr[i - 1]),
+                prev=prev_lbrr)
+            decode_excitation(dec, jx.signal_type, jx.quant_offset,
+                              frame_length)
+    prev: dict = {}
+    frames = []
+    for i in range(n_frames):
+        ix = decode_frame_indices(dec, bw, vad[i], cond_coding=i > 0,
+                                  prev=prev)
+        ix.pulses = decode_excitation(dec, ix.signal_type,
+                                      ix.quant_offset, frame_length)
+        frames.append(SilkFrame(vad[i], ix))
+    return frames
 
 
 # ---------------------------------------------------------------------------
@@ -566,26 +614,31 @@ class SilkStreamDecoder:
         self.first = True
         self._rs = None
 
-    def decode_frame_48k(self, data: bytes) -> np.ndarray:
+    def decode_frame_48k(self, data: bytes,
+                         duration_ms: int = 20) -> np.ndarray:
         """One SILK-only packet -> float PCM at 48 kHz (int16 range),
         through the reference's output resampler chain
         (silk/resampler.c USE_silk_resampler_private_IIR_FIR)."""
         if self._rs is None:
             self._rs = SilkResampler(self.fs_khz * 1000)
-        return self._rs.process(self.decode_frame(data))
+        return self._rs.process(self.decode_frame(data, duration_ms))
 
-    def decode_frame(self, data: bytes) -> np.ndarray:
-        """One SILK-only packet -> (frame_len,) float PCM (int16 range)
-        at the internal rate."""
-        frames = parse_silk_packet(data, self.bw)
-        return self.synthesise(frames[0].indices)
+    def decode_frame(self, data: bytes,
+                     duration_ms: int = 20) -> np.ndarray:
+        """One SILK-only packet (20/40/60 ms) -> float PCM (int16
+        range) at the internal rate."""
+        frames = parse_silk_packet(data, self.bw,
+                                   duration_ms=duration_ms)
+        return np.concatenate(
+            [self.synthesise(f.indices) for f in frames])
 
     def synthesise(self, ix) -> np.ndarray:
         """Parsed frame indices -> (frame_len,) float PCM at the
         internal rate (silk_decode_frame over silk_decode_core)."""
         T = tables()
         gains_q16, self.prev_gain_ind = gains_dequant(
-            ix.gain_indices, self.prev_gain_ind)
+            ix.gain_indices, self.prev_gain_ind,
+            conditional=ix.cond_coding)
         gains = [g / 65536.0 for g in gains_q16]
         nlsf = nlsf_decode(self.bw, ix.nlsf_stage1, ix.nlsf_residuals)
         a1 = nlsf_to_lpc(nlsf) / 4096.0
@@ -712,35 +765,89 @@ def stereo_decode_pred(dec: RangeDecoder) -> list:
     return pred
 
 
-def parse_silk_packet_stereo(data: bytes, bw: str):
-    """Stereo SILK-only 20 ms packet -> (mid SilkFrame, side SilkFrame
-    or None, pred_Q13[2], mid_only).  Symbol order per silk_Decode:
-    per-channel VAD+LBRR flags, stereo predictors, mid-only flag (only
-    when the side channel's VAD flag is 0), then mid and side frames
-    back to back in the same range coder."""
+def parse_silk_packet_stereo(data: bytes, bw: str,
+                             duration_ms: int = 20) -> list:
+    """Stereo SILK-only packet (20/40/60 ms) -> list of per-20 ms
+    tuples (mid SilkFrame, side SilkFrame or None, pred_Q13[2],
+    mid_only).  Symbol order per silk_Decode: per-channel VAD+LBRR
+    header flags, both channels' LBRR flag symbols, LBRR data
+    (decoded and discarded), then per frame: stereo predictors,
+    mid-only flag (only when the side channel's VAD flag is 0), the
+    mid frame, and the side frame back to back in one range coder."""
+    if duration_ms not in (20, 40, 60):
+        raise NotImplementedError("only 20/40/60 ms SILK packets")
+    n_frames = duration_ms // 20
     p = BW[bw]
     frame_length = 20 * p.fs_khz
     dec = RangeDecoder(data)
+    T = tables()
     vad = []
+    lbrr_bit = []
     for _ch in range(2):
-        vad.append(bool(dec.dec_bit_logp(1)))
-        if dec.dec_bit_logp(1):
-            raise NotImplementedError("LBRR frames: next round")
-    pred_q13 = stereo_decode_pred(dec)
-    mid_only = 0
-    if not vad[1]:
-        mid_only = dec.dec_icdf(
-            _icdf(tables()["stereo_only_code_mid_iCDF"]), 8)
-    ix_m = decode_frame_indices(dec, bw, vad[0])
-    ix_m.pulses = decode_excitation(dec, ix_m.signal_type,
-                                    ix_m.quant_offset, frame_length)
-    side = None
-    if not mid_only:
-        ix_s = decode_frame_indices(dec, bw, vad[1])
-        ix_s.pulses = decode_excitation(dec, ix_s.signal_type,
-                                        ix_s.quant_offset, frame_length)
-        side = SilkFrame(vad[1], ix_s)
-    return SilkFrame(vad[0], ix_m), side, pred_q13, mid_only
+        vad.append([bool(dec.dec_bit_logp(1)) for _ in range(n_frames)])
+        lbrr_bit.append(dec.dec_bit_logp(1))
+    lbrr = []
+    for ch in range(2):
+        if not lbrr_bit[ch]:
+            lbrr.append([0] * n_frames)
+        elif n_frames == 1:
+            lbrr.append([1])
+        else:
+            sym = dec.dec_icdf(
+                _icdf(T[f"LBRR_flags_{n_frames}_iCDF"]), 8) + 1
+            lbrr.append([(sym >> i) & 1 for i in range(n_frames)])
+    prev_lbrr = [{}, {}]
+    for i in range(n_frames):
+        for ch in range(2):
+            if lbrr[ch][i]:
+                if ch == 0:
+                    stereo_decode_pred(dec)
+                    if lbrr[1][i] == 0:
+                        dec.dec_icdf(
+                            _icdf(T["stereo_only_code_mid_iCDF"]), 8)
+                jx = decode_frame_indices(
+                    dec, bw, True,
+                    cond_coding=bool(i > 0 and lbrr[ch][i - 1]),
+                    prev=prev_lbrr[ch])
+                decode_excitation(dec, jx.signal_type, jx.quant_offset,
+                                  frame_length)
+    prev = [{}, {}]
+    out = []
+    prev_mid_only = None
+    for i in range(n_frames):
+        pred_q13 = stereo_decode_pred(dec)
+        mid_only = 0
+        if not vad[1][i]:
+            mid_only = dec.dec_icdf(
+                _icdf(T["stereo_only_code_mid_iCDF"]), 8)
+        ix_m = decode_frame_indices(dec, bw, vad[0][i],
+                                    cond_coding=i > 0, prev=prev[0])
+        ix_m.pulses = decode_excitation(dec, ix_m.signal_type,
+                                        ix_m.quant_offset, frame_length)
+        side = None
+        if not mid_only:
+            # side FrameIndex equals i (the mid channel's frame counter
+            # increments before the side decode, dec_API.c:344-372):
+            # frame 0 independent; later frames conditional unless the
+            # previous frame was mid-only (then independent without an
+            # LTP scale index)
+            if i == 0:
+                cond, ltp_dec = False, True
+            elif prev_mid_only:
+                cond, ltp_dec = False, False
+            else:
+                cond, ltp_dec = True, False
+            ix_s = decode_frame_indices(dec, bw, vad[1][i],
+                                        cond_coding=cond, prev=prev[1],
+                                        ltp_scale_decoded=ltp_dec)
+            ix_s.pulses = decode_excitation(dec, ix_s.signal_type,
+                                            ix_s.quant_offset,
+                                            frame_length)
+            side = SilkFrame(vad[1][i], ix_s)
+        prev_mid_only = mid_only
+        out.append((SilkFrame(vad[0][i], ix_m), side, pred_q13,
+                    mid_only))
+    return out
 
 
 class SilkStereoDecoder:
@@ -764,17 +871,22 @@ class SilkStereoDecoder:
         self._prev_stereo = False
         self._rs = [SilkResampler(self.fs_khz * 1000) for _ in range(2)]
 
-    def decode_packet_48k(self, data: bytes, stereo: bool) -> np.ndarray:
-        """One packet frame -> (2, n) float PCM at 48 kHz (int16
-        range; for mono packets both rows are the mid channel)."""
+    def decode_packet_48k(self, data: bytes, stereo: bool,
+                          duration_ms: int = 20) -> np.ndarray:
+        """One packet frame (20/40/60 ms) -> (2, n) float PCM at
+        48 kHz (int16 range; for mono packets both rows are the mid
+        channel)."""
         import copy
         L = self.mid.frame_len
         if not stereo:
-            x = self.mid.decode_frame(data)
-            x1 = np.concatenate([self._smid, x])
-            self._smid = x1[L:L + 2].copy()
-            out = self._rs[0].process(x1[1:L + 1])
+            x = self.mid.decode_frame(data, duration_ms)
+            outs = []
+            for off in range(0, len(x), L):
+                x1 = np.concatenate([self._smid, x[off:off + L]])
+                self._smid = x1[L:L + 2].copy()
+                outs.append(self._rs[0].process(x1[1:L + 1]))
             self._prev_stereo = False
+            out = np.concatenate(outs)
             return np.stack([out, out])
         if not self._prev_stereo:
             # mono -> stereo: reset predictors/side history, clone the
@@ -783,17 +895,20 @@ class SilkStereoDecoder:
             self._sside = np.zeros(2)
             self._rs[1] = copy.deepcopy(self._rs[0])
         self._prev_stereo = True
-        fm, fs_, pred, mid_only = parse_silk_packet_stereo(data, self.bw)
-        if not mid_only and self._prev_mid_only:
-            self.side = SilkStreamDecoder(self.bw)
-            self.side.prev_gain_ind = 10     # LastGainIndex after reset
-        xm = self.mid.synthesise(fm.indices)
-        xs = (self.side.synthesise(fs_.indices) if fs_ is not None
-              else np.zeros(L))
-        self._prev_mid_only = mid_only
-        left, right = self._ms_to_lr(xm, xs, pred)
-        return np.stack([self._rs[0].process(left),
-                         self._rs[1].process(right)])
+        lefts, rights = [], []
+        for fm, fs_, pred, mid_only in parse_silk_packet_stereo(
+                data, self.bw, duration_ms):
+            if not mid_only and self._prev_mid_only:
+                self.side = SilkStreamDecoder(self.bw)
+                self.side.prev_gain_ind = 10    # LastGainIndex on reset
+            xm = self.mid.synthesise(fm.indices)
+            xs = (self.side.synthesise(fs_.indices) if fs_ is not None
+                  else np.zeros(L))
+            self._prev_mid_only = mid_only
+            left, right = self._ms_to_lr(xm, xs, pred)
+            lefts.append(self._rs[0].process(left))
+            rights.append(self._rs[1].process(right))
+        return np.stack([np.concatenate(lefts), np.concatenate(rights)])
 
     def _ms_to_lr(self, mid: np.ndarray, side: np.ndarray,
                   pred_q13: list) -> tuple[np.ndarray, np.ndarray]:

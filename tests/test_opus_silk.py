@@ -306,3 +306,83 @@ def test_silk_stereo_decode_snr():
             best = max(best, 10 * np.log10(
                 (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
         assert best >= 14.0, f"stereo SILK ch{ch} SNR {best:.1f} dB"
+
+
+def test_silk_60ms_packets_decode():
+    """60 ms SILK packets: three 20 ms frames share one range coder
+    with conditional coding between them (delta gains, delta pitch,
+    no per-frame LTP scale — dec_API.c:322-341, decode_indices.c).
+    Compared against the oracle's 48 kHz decode."""
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    t = np.arange(48000 * 3) / 48000.0
+    x = np.sin(2 * np.pi * 220 * t) \
+        * (0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)) * 12000
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        fo = os.path.join(td, "o.raw")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "1", "24000",
+                        "silk", "60"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).astype(np.float64)
+    rdr = OggReader(_R(data))
+    durs = {parse_toc(p).frame_ms for i, p in enumerate(rdr.packets())
+            if i >= 2}
+    assert 60 in durs, durs
+    info, pcm = decode_opus(data)
+    mine = pcm[0].astype(np.float64)
+    assert abs(len(mine) - len(ref)) < 4000
+    m = min(len(mine), len(ref))
+    best = -1e9
+    for off in range(-1400, 600, 2):
+        a = ref[max(0, off):m + min(0, off)]
+        b = mine[max(0, -off):m - max(0, off)]
+        mm = min(len(a), len(b))
+        if mm < 20000:
+            continue
+        a2, b2 = a[6000:mm - 6000], b[6000:mm - 6000]
+        best = max(best, 10 * np.log10(
+            (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
+    assert best >= 14.0, f"60 ms SILK SNR {best:.1f} dB"
+
+
+def test_silk_stereo_60ms_packets_decode():
+    """Stereo 60 ms SILK: per-frame stereo predictors + mid-only flags
+    interleaved with conditionally-coded mid/side frames (the side
+    channel's frame counter equals the mid's, dec_API.c:344-372)."""
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    t = np.arange(48000 * 3) / 48000.0
+    am = 0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)
+    x = np.stack([np.sin(2 * np.pi * 220 * t) * am * 11000,
+                  np.sin(2 * np.pi * 330 * t + 0.7) * am * 9000],
+                 axis=1).ravel()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        fo = os.path.join(td, "o.raw")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "2", "48000",
+                        "silk", "60"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).reshape(-1, 2).astype(np.float64)
+    info, pcm = decode_opus(data)
+    assert info.num_channels == 2
+    for ch in range(2):
+        a_full, b_full = ref[:, ch], pcm[ch].astype(np.float64)
+        m = min(len(a_full), len(b_full))
+        best = -1e9
+        for off in range(-1400, 600, 2):
+            a = a_full[max(0, off):m + min(0, off)]
+            b = b_full[max(0, -off):m - max(0, off)]
+            mm = min(len(a), len(b))
+            if mm < 20000:
+                continue
+            a2, b2 = a[6000:mm - 6000], b[6000:mm - 6000]
+            best = max(best, 10 * np.log10(
+                (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
+        assert best >= 14.0, f"stereo 60 ms ch{ch} SNR {best:.1f} dB"

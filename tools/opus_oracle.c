@@ -20,7 +20,7 @@ static void flush_pages(ogg_stream_state *os, FILE *out, int force) {
 }
 
 static int do_encode(const char *inp, const char *outp, int channels,
-                     int bitrate, int force_silk) {
+                     int bitrate, int force_silk, int frame_ms) {
     FILE *in = fopen(inp, "rb");
     FILE *out = fopen(outp, "wb");
     if (!in || !out) { perror("open"); return 1; }
@@ -63,7 +63,7 @@ static int do_encode(const char *inp, const char *outp, int channels,
     ogg_stream_packetin(&os, &op);
     flush_pages(&os, out, 1);
 
-    const int frame = 960;            /* 20 ms at 48 kHz */
+    const int frame = frame_ms * 48;  /* per-packet duration */
     opus_int16 *pcm = malloc(sizeof(opus_int16) * (size_t)frame * channels);
     unsigned char packet[4000];
     long long granule = preskip;
@@ -96,7 +96,8 @@ int main(int argc, char **argv) {
     if (argc >= 5 && strcmp(argv[1], "encode") == 0)
         return do_encode(argv[2], argv[3], atoi(argv[4]),
                          argc > 5 ? atoi(argv[5]) : 96000,
-                         argc > 6 && strcmp(argv[6], "silk") == 0);
+                         argc > 6 && strcmp(argv[6], "silk") == 0,
+                         argc > 7 ? atoi(argv[7]) : 20);
     if (argc < 4 || strcmp(argv[1], "decode") != 0) {
         fprintf(stderr, "usage: %s decode in.opus out.raw | "
                         "encode in.raw out.opus ch [bitrate]\n", argv[0]);
