@@ -129,10 +129,58 @@ class _OpusStream:
                  for f in frames])[None, :] * (1.0 / 32768.0)
         return pcm
 
+    def _decode_hybrid(self, toc: OpusToc, frames: list) -> np.ndarray:
+        """Hybrid (SWB/FB speech) frame: a WB SILK core and CELT bands
+        17+ share one range coder (src/opus_decoder.c:380-612); the
+        outputs are summed.  A redundant CELT band for mode switching
+        is parsed and dropped (reconstruction crossfade not applied)."""
+        from .range_dec import RangeDecoder
+        from .silk import SilkStereoDecoder, SilkStreamDecoder
+        if toc.frame_ms != 20:
+            raise CodecStreamCorrupt(
+                "opus hybrid 10 ms frames unsupported yet: 20 ms "
+                "streams decode")
+        sc = 2 if toc.stereo else 1
+        if self.celt is None or sc != self.stream_channels:
+            self.celt = CeltDecoderState(sc)
+            self.stream_channels = sc
+        outs = []
+        for f in frames:
+            dec = RangeDecoder(f)
+            if toc.stereo or isinstance(self.silk, SilkStereoDecoder):
+                if not isinstance(self.silk, SilkStereoDecoder) \
+                        or self.silk.bw != "wb":
+                    self.silk = SilkStereoDecoder("wb")
+                silk48 = self.silk.decode_packet_48k(f, toc.stereo, 20,
+                                                     dec=dec)
+            else:
+                if not isinstance(self.silk, SilkStreamDecoder) \
+                        or self.silk.bw != "wb":
+                    self.silk = SilkStreamDecoder("wb")
+                silk48 = self.silk.decode_frame_48k(f, 20,
+                                                    dec=dec)[None, :]
+            eff = len(f)
+            if dec.tell() + 37 <= 8 * len(f):
+                if dec.dec_bit_logp(12):          # redundancy present
+                    dec.dec_bit_logp(1)           # celt_to_silk
+                    rb = dec.dec_uint(256) + 2
+                    eff -= rb
+                    dec.storage -= rb             # shrink raw-bit window
+            celt_out = decode_frame(
+                self.celt, f[:eff], int(toc.frame_ms * 48), dec=dec,
+                start_band=17, end_band=_END_BAND[toc.bandwidth])
+            if silk48.shape[0] != celt_out.shape[0]:
+                silk48 = np.repeat(silk48, celt_out.shape[0], axis=0)
+            outs.append(silk48 * (1.0 / 32768.0) + celt_out)
+        return np.concatenate(outs, axis=1)
+
     def decode_packet(self, packet: bytes) -> np.ndarray:
         toc, frames = split_packet_frames(packet)
-        if toc.mode == "silk":
-            pcm = self._decode_silk(toc, frames) * self.gain
+        if toc.mode in ("silk", "hybrid"):
+            if toc.mode == "silk":
+                pcm = self._decode_silk(toc, frames) * self.gain
+            else:
+                pcm = self._decode_hybrid(toc, frames) * self.gain
             C = self.head.channels
             if pcm.shape[0] == 1 and C == 2:
                 pcm = np.repeat(pcm, 2, axis=0)
@@ -140,10 +188,6 @@ class _OpusStream:
                 # (L+R)/2 equals the mid channel exactly
                 pcm = 0.5 * (pcm[:1] + pcm[1:])
             return pcm
-        if toc.mode != "celt":
-            raise CodecStreamCorrupt(
-                "opus hybrid (SWB speech) mode not supported yet: "
-                "CELT and mono SILK streams decode; see NEXT.md")
         sc = 2 if toc.stereo else 1
         if self.celt is None or sc != self.stream_channels:
             # stream channel switches reset the CELT state (the reference

@@ -268,7 +268,8 @@ def _decode_lbrr_flags(dec: RangeDecoder, n_frames: int) -> list:
 
 
 def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
-                      duration_ms: int = 20) -> list[SilkFrame]:
+                      duration_ms: int = 20,
+                      dec: RangeDecoder | None = None) -> list[SilkFrame]:
     """Parse a mono SILK-only packet's LP layer: 20/40/60 ms packets
     (1-3 regular frames with conditional coding between them,
     dec_API.c:322-341) with LBRR frames decoded and discarded
@@ -281,7 +282,8 @@ def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
     n_frames = duration_ms // 20
     p = BW[bw]
     frame_length = 20 * p.fs_khz
-    dec = RangeDecoder(data)
+    if dec is None:
+        dec = RangeDecoder(data)
     vad = [bool(dec.dec_bit_logp(1)) for _ in range(n_frames)]
     lbrr = _decode_lbrr_flags(dec, n_frames)
     prev_lbrr: dict = {}
@@ -547,7 +549,12 @@ class SilkResampler:
     rounded-up invRatio_Q16 — silk/resampler.c:111-167) is kept exact
     so output sample counts match the reference decoder's."""
 
-    def __init__(self, fs_in_hz: int):
+    #: decoder-side input delay, silk/resampler.c delay_matrix_dec
+    #: (in -> 48 kHz).  Callers without the one-sample silk_Decode
+    #: output buffering (dec_API.c:379-381) add 1 on top.
+    DELAY_48 = {8000: 0, 12000: 4, 16000: 7}
+
+    def __init__(self, fs_in_hz: int, input_delay: int | None = None):
         if fs_in_hz not in (8000, 12000, 16000):
             raise ValueError(fs_in_hz)
         self._batch = (fs_in_hz // 1000) * 10
@@ -559,6 +566,9 @@ class SilkResampler:
         self._fir_state = np.zeros(8)
         self._f12 = (tables()["resampler_frac_FIR_12"]
                      .reshape(12, 4).astype(np.float64) / 32768.0)
+        self._d = (self.DELAY_48[fs_in_hz] if input_delay is None
+                   else input_delay)
+        self._dline = np.zeros(self._d)
 
     def _up2(self, x: np.ndarray) -> np.ndarray:
         from scipy.signal import lfilter
@@ -572,6 +582,10 @@ class SilkResampler:
         return out
 
     def process(self, x: np.ndarray) -> np.ndarray:
+        if self._d > 0 and len(x):
+            buf = np.concatenate([self._dline, x])
+            self._dline = buf[len(x):]
+            x = buf[:len(x)]
         outs = []
         pos = 0
         taps = np.arange(8)
@@ -615,20 +629,28 @@ class SilkStreamDecoder:
         self._rs = None
 
     def decode_frame_48k(self, data: bytes,
-                         duration_ms: int = 20) -> np.ndarray:
-        """One SILK-only packet -> float PCM at 48 kHz (int16 range),
+                         duration_ms: int = 20,
+                         dec: RangeDecoder | None = None) -> np.ndarray:
+        """One SILK packet -> float PCM at 48 kHz (int16 range),
         through the reference's output resampler chain
-        (silk/resampler.c USE_silk_resampler_private_IIR_FIR)."""
+        (silk/resampler.c USE_silk_resampler_private_IIR_FIR with the
+        delay_matrix_dec input delay + one-sample output buffering)."""
         if self._rs is None:
-            self._rs = SilkResampler(self.fs_khz * 1000)
-        return self._rs.process(self.decode_frame(data, duration_ms))
+            self._rs = SilkResampler(
+                self.fs_khz * 1000,
+                input_delay=SilkResampler.DELAY_48[self.fs_khz * 1000]
+                + 1)
+        return self._rs.process(self.decode_frame(data, duration_ms,
+                                                  dec=dec))
 
     def decode_frame(self, data: bytes,
-                     duration_ms: int = 20) -> np.ndarray:
-        """One SILK-only packet (20/40/60 ms) -> float PCM (int16
-        range) at the internal rate."""
+                     duration_ms: int = 20,
+                     dec: RangeDecoder | None = None) -> np.ndarray:
+        """One SILK packet (20/40/60 ms) -> float PCM (int16 range)
+        at the internal rate.  Pass `dec` to continue from a shared
+        range decoder (hybrid mode)."""
         frames = parse_silk_packet(data, self.bw,
-                                   duration_ms=duration_ms)
+                                   duration_ms=duration_ms, dec=dec)
         return np.concatenate(
             [self.synthesise(f.indices) for f in frames])
 
@@ -766,7 +788,8 @@ def stereo_decode_pred(dec: RangeDecoder) -> list:
 
 
 def parse_silk_packet_stereo(data: bytes, bw: str,
-                             duration_ms: int = 20) -> list:
+                             duration_ms: int = 20,
+                             dec: RangeDecoder | None = None) -> list:
     """Stereo SILK-only packet (20/40/60 ms) -> list of per-20 ms
     tuples (mid SilkFrame, side SilkFrame or None, pred_Q13[2],
     mid_only).  Symbol order per silk_Decode: per-channel VAD+LBRR
@@ -779,7 +802,8 @@ def parse_silk_packet_stereo(data: bytes, bw: str,
     n_frames = duration_ms // 20
     p = BW[bw]
     frame_length = 20 * p.fs_khz
-    dec = RangeDecoder(data)
+    if dec is None:
+        dec = RangeDecoder(data)
     T = tables()
     vad = []
     lbrr_bit = []
@@ -872,14 +896,15 @@ class SilkStereoDecoder:
         self._rs = [SilkResampler(self.fs_khz * 1000) for _ in range(2)]
 
     def decode_packet_48k(self, data: bytes, stereo: bool,
-                          duration_ms: int = 20) -> np.ndarray:
+                          duration_ms: int = 20,
+                          dec: RangeDecoder | None = None) -> np.ndarray:
         """One packet frame (20/40/60 ms) -> (2, n) float PCM at
         48 kHz (int16 range; for mono packets both rows are the mid
         channel)."""
         import copy
         L = self.mid.frame_len
         if not stereo:
-            x = self.mid.decode_frame(data, duration_ms)
+            x = self.mid.decode_frame(data, duration_ms, dec=dec)
             outs = []
             for off in range(0, len(x), L):
                 x1 = np.concatenate([self._smid, x[off:off + L]])
@@ -897,7 +922,7 @@ class SilkStereoDecoder:
         self._prev_stereo = True
         lefts, rights = [], []
         for fm, fs_, pred, mid_only in parse_silk_packet_stereo(
-                data, self.bw, duration_ms):
+                data, self.bw, duration_ms, dec=dec):
             if not mid_only and self._prev_mid_only:
                 self.side = SilkStreamDecoder(self.bw)
                 self.side.prev_gain_ind = 10    # LastGainIndex on reset

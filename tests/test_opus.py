@@ -84,9 +84,9 @@ def test_unsupported_modes_gated_with_clear_error():
     st = _OpusStream(OpusHead(1, 1, 0, 48000, 0, 0))
     with pytest.raises(CodecStreamCorrupt, match="unsupported"):
         st.decode_packet(bytes([0x00]) + b"\x00" * 10)
-    # hybrid swb 10 ms (config 12)
+    # hybrid swb 10 ms (config 12): 20 ms hybrid decodes, 10 ms gated
     st = _OpusStream(OpusHead(1, 1, 0, 48000, 0, 0))
-    with pytest.raises(CodecStreamCorrupt, match="not supported"):
+    with pytest.raises(CodecStreamCorrupt, match="unsupported"):
         st.decode_packet(bytes([12 << 3]) + b"\x00" * 10)
 
 

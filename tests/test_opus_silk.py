@@ -386,3 +386,78 @@ def test_silk_stereo_60ms_packets_decode():
             best = max(best, 10 * np.log10(
                 (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
         assert best >= 14.0, f"stereo 60 ms ch{ch} SNR {best:.1f} dB"
+
+
+def _band_snr(ref, mine, lo, hi):
+    n = min(len(ref), len(mine))
+    n -= n % 2
+    R = np.fft.rfft(ref[:n])
+    M = np.fft.rfft(mine[:n])
+    f = np.fft.rfftfreq(n, 1 / 48000.0)
+    sel = (f >= lo) & (f < hi)
+    return 10 * np.log10(np.abs(R[sel] ** 2).sum()
+                         / max((np.abs(R[sel] - M[sel]) ** 2).sum(), 1e-9))
+
+
+def test_hybrid_mode_decodes():
+    """Hybrid (SWB speech): WB SILK core + CELT bands 17+ in one range
+    coder (src/opus_decoder.c:380-612).  The CELT band must be
+    near-exact (it's the conformance-tested CELT decoder continuing
+    from the SILK-advanced coder at the right bit position with the
+    right raw-bit window); the low band carries the SILK float-decode
+    tolerance."""
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    t = np.arange(48000 * 3) / 48000.0
+    x = np.sin(2 * np.pi * 220 * t) \
+        * (0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)) * 9000 \
+        + np.sin(2 * np.pi * 11000 * t) * 2500
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        fo = os.path.join(td, "o.raw")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "1", "48000",
+                        "hybrid"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).astype(np.float64)
+    rdr = OggReader(_R(data))
+    modes = {parse_toc(p).mode for i, p in enumerate(rdr.packets())
+             if i >= 2}
+    assert modes == {"hybrid"}, modes
+    info, pcm = decode_opus(data)
+    mine = pcm[0].astype(np.float64)
+    m = min(len(ref), len(mine))
+    assert _band_snr(ref[:m], mine[:m], 0, 6000) >= 14.0
+    assert _band_snr(ref[:m], mine[:m], 10000, 20000) >= 30.0
+
+
+def test_hybrid_stereo_decodes():
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    t = np.arange(48000 * 3) / 48000.0
+    am = 0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)
+    x = np.stack([np.sin(2 * np.pi * 220 * t) * am * 9000
+                  + np.sin(2 * np.pi * 11000 * t) * 2000,
+                  np.sin(2 * np.pi * 330 * t + 0.7) * am * 8000
+                  + np.sin(2 * np.pi * 12000 * t) * 2000],
+                 axis=1).ravel()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        fo = os.path.join(td, "o.raw")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "2", "96000",
+                        "hybrid"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).reshape(-1, 2).astype(np.float64)
+    info, pcm = decode_opus(data)
+    assert info.num_channels == 2
+    for ch in range(2):
+        m = min(len(ref), pcm.shape[1])
+        assert _band_snr(ref[:m, ch], pcm[ch, :m].astype(np.float64),
+                         0, 6000) >= 10.0, f"ch{ch} low band"
+        assert _band_snr(ref[:m, ch], pcm[ch, :m].astype(np.float64),
+                         10000, 20000) >= 25.0, f"ch{ch} celt band"

@@ -20,7 +20,7 @@ static void flush_pages(ogg_stream_state *os, FILE *out, int force) {
 }
 
 static int do_encode(const char *inp, const char *outp, int channels,
-                     int bitrate, int force_silk, int frame_ms) {
+                     int bitrate, int force_mode, int frame_ms) {
     FILE *in = fopen(inp, "rb");
     FILE *out = fopen(outp, "wb");
     if (!in || !out) { perror("open"); return 1; }
@@ -29,10 +29,14 @@ static int do_encode(const char *inp, const char *outp, int channels,
                                            OPUS_APPLICATION_AUDIO, &err);
     if (err) { fprintf(stderr, "enc err %d\n", err); return 1; }
     opus_encoder_ctl(enc, OPUS_SET_BITRATE(bitrate));
-    if (force_silk) {
+    if (force_mode == 1) {
         /* deterministic SILK-only packets for the LP-layer tests */
         opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_SILK_ONLY));
         opus_encoder_ctl(enc, OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_WIDEBAND));
+    } else if (force_mode == 2) {
+        /* deterministic hybrid (SILK WB core + CELT 17+) packets */
+        opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_HYBRID));
+        opus_encoder_ctl(enc, OPUS_SET_BANDWIDTH(OPUS_BANDWIDTH_SUPERWIDEBAND));
     }
     int preskip = 0;
     opus_encoder_ctl(enc, OPUS_GET_LOOKAHEAD(&preskip));
@@ -96,7 +100,9 @@ int main(int argc, char **argv) {
     if (argc >= 5 && strcmp(argv[1], "encode") == 0)
         return do_encode(argv[2], argv[3], atoi(argv[4]),
                          argc > 5 ? atoi(argv[5]) : 96000,
-                         argc > 6 && strcmp(argv[6], "silk") == 0,
+                         argc > 6 ? (strcmp(argv[6], "silk") == 0 ? 1 :
+                                     strcmp(argv[6], "hybrid") == 0 ? 2 : 0)
+                                  : 0,
                          argc > 7 ? atoi(argv[7]) : 20);
     if (argc < 4 || strcmp(argv[1], "decode") != 0) {
         fprintf(stderr, "usage: %s decode in.opus out.raw | "
