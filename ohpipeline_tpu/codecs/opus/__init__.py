@@ -2,13 +2,16 @@
 decoder (RFC 6716 s4.3).
 
 Parity target: OpenHome/Media/Codec/Opus.cpp (adapter over vendored
-opus-1.5.2 + libogg).  CELT-only streams (music; all frame sizes
-120..960 @48 kHz, mono/stereo) decode conformantly vs the compiled
-reference (tests/test_opus_celt.py, tests/test_opus.py).  Mono 20 ms
-SILK-only streams (speech) decode through the SILK LP decoder +
-48 kHz resampler (codecs/opus/silk.py, SNR-conformant vs the
-reference); stereo/10-60 ms SILK, LBRR and hybrid packets remain
-gated with a clear error, matching NEXT.md's staged plan.
+opus-1.5.2 + libogg).  The full mode matrix decodes: CELT-only
+streams (music; all frame sizes 120..960 @48 kHz, mono/stereo)
+bit-conformant vs the compiled reference (tests/test_opus_celt.py,
+tests/test_opus.py); SILK-only streams (speech; NB/MB/WB,
+mono/stereo, 10-60 ms packets, LBRR skipped) through the SILK LP
+decoder + 48 kHz resampler chain, SNR-conformant vs the reference
+(tests/test_opus_silk.py); and hybrid SWB/FB speech (WB SILK core +
+CELT bands 17+ sharing one range coder).  Packet-loss concealment
+and in-band FEC reconstruction are not implemented (lost packets
+produce silence rather than PLC extrapolation).
 """
 
 from __future__ import annotations
@@ -105,10 +108,8 @@ class _OpusStream:
     def _decode_silk(self, toc: OpusToc, frames: list) -> np.ndarray:
         from .silk import SilkStereoDecoder, SilkStreamDecoder
         dur = int(toc.frame_ms)
-        if dur not in (20, 40, 60):
-            raise CodecStreamCorrupt(
-                f"opus SILK {toc.frame_ms} ms frames unsupported yet: "
-                "20/40/60 ms streams decode")
+        if dur not in (10, 20, 40, 60):
+            raise CodecStreamCorrupt(f"bad SILK duration {toc.frame_ms}")
         if toc.stereo or self.head.channels == 2 \
                 or isinstance(self.silk, SilkStereoDecoder):
             # mid/side layer (also carries mono packets of a switching
@@ -136,10 +137,9 @@ class _OpusStream:
         is parsed and dropped (reconstruction crossfade not applied)."""
         from .range_dec import RangeDecoder
         from .silk import SilkStereoDecoder, SilkStreamDecoder
-        if toc.frame_ms != 20:
-            raise CodecStreamCorrupt(
-                "opus hybrid 10 ms frames unsupported yet: 20 ms "
-                "streams decode")
+        dur = int(toc.frame_ms)
+        if dur not in (10, 20):
+            raise CodecStreamCorrupt(f"bad hybrid duration {toc.frame_ms}")
         sc = 2 if toc.stereo else 1
         if self.celt is None or sc != self.stream_channels:
             self.celt = CeltDecoderState(sc)
@@ -151,13 +151,13 @@ class _OpusStream:
                 if not isinstance(self.silk, SilkStereoDecoder) \
                         or self.silk.bw != "wb":
                     self.silk = SilkStereoDecoder("wb")
-                silk48 = self.silk.decode_packet_48k(f, toc.stereo, 20,
+                silk48 = self.silk.decode_packet_48k(f, toc.stereo, dur,
                                                      dec=dec)
             else:
                 if not isinstance(self.silk, SilkStreamDecoder) \
                         or self.silk.bw != "wb":
                     self.silk = SilkStreamDecoder("wb")
-                silk48 = self.silk.decode_frame_48k(f, 20,
+                silk48 = self.silk.decode_frame_48k(f, dur,
                                                     dec=dec)[None, :]
             eff = len(f)
             if dec.tell() + 37 <= 8 * len(f):

@@ -155,8 +155,12 @@ def decode_frame_indices(dec: RangeDecoder, bw: str, vad: bool,
             ix.lag_index = high * (p.fs_khz // 2) + low
         if prev is not None:
             prev["lag"] = ix.lag_index
-        contour = T["pitch_contour_NB_iCDF" if bw == "nb"
-                    else "pitch_contour_iCDF"]
+        if n_subfr == 4:
+            contour = T["pitch_contour_NB_iCDF" if bw == "nb"
+                        else "pitch_contour_iCDF"]
+        else:
+            contour = T["pitch_contour_10_ms_NB_iCDF" if bw == "nb"
+                        else "pitch_contour_10_ms_iCDF"]
         ix.contour_index = dec.dec_icdf(_icdf(contour), 8)
         ix.per_index = dec.dec_icdf(_icdf(T["LTP_per_index_iCDF"]), 8)
         ltp_cb = T[f"LTP_gain_iCDF_{ix.per_index}"]
@@ -277,11 +281,12 @@ def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
     malformed data."""
     if stereo:
         raise NotImplementedError("use parse_silk_packet_stereo")
-    if duration_ms not in (20, 40, 60):
-        raise NotImplementedError("only 20/40/60 ms SILK packets")
-    n_frames = duration_ms // 20
+    if duration_ms not in (10, 20, 40, 60):
+        raise NotImplementedError("only 10-60 ms SILK packets")
+    n_frames = max(1, duration_ms // 20)
+    n_subfr = 2 if duration_ms == 10 else 4
     p = BW[bw]
-    frame_length = 20 * p.fs_khz
+    frame_length = (duration_ms // n_frames) * p.fs_khz
     if dec is None:
         dec = RangeDecoder(data)
     vad = [bool(dec.dec_bit_logp(1)) for _ in range(n_frames)]
@@ -291,15 +296,16 @@ def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
         if lbrr[i]:
             # regular decode skips LBRR data by decoding it
             jx = decode_frame_indices(
-                dec, bw, True, cond_coding=bool(i > 0 and lbrr[i - 1]),
+                dec, bw, True, n_subfr,
+                cond_coding=bool(i > 0 and lbrr[i - 1]),
                 prev=prev_lbrr)
             decode_excitation(dec, jx.signal_type, jx.quant_offset,
                               frame_length)
     prev: dict = {}
     frames = []
     for i in range(n_frames):
-        ix = decode_frame_indices(dec, bw, vad[i], cond_coding=i > 0,
-                                  prev=prev)
+        ix = decode_frame_indices(dec, bw, vad[i], n_subfr,
+                                  cond_coding=i > 0, prev=prev)
         ix.pulses = decode_excitation(dec, ix.signal_type,
                                       ix.quant_offset, frame_length)
         frames.append(SilkFrame(vad[i], ix))
@@ -496,12 +502,15 @@ def gains_dequant(indices: list, prev_ind: int,
 
 def decode_pitch(lag_index: int, contour_index: int, fs_khz: int,
                  n_subfr: int = 4) -> list:
-    """Per-subframe pitch lags (silk_decode_pitch)."""
+    """Per-subframe pitch lags (silk_decode_pitch; the 10 ms frame
+    codebooks have 2 rows)."""
     T = tables()
     if fs_khz == 8:
-        cb = T["CB_lags_stage2"].reshape(n_subfr, -1)
+        cb = T["CB_lags_stage2" if n_subfr == 4
+               else "CB_lags_stage2_10_ms"].reshape(n_subfr, -1)
     else:
-        cb = T["CB_lags_stage3"].reshape(n_subfr, -1)
+        cb = T["CB_lags_stage3" if n_subfr == 4
+               else "CB_lags_stage3_10_ms"].reshape(n_subfr, -1)
     min_lag, max_lag = 2 * fs_khz, 18 * fs_khz
     lag = min_lag + lag_index
     return [int(np.clip(lag + cb[k, contour_index], min_lag, max_lag))
@@ -655,9 +664,12 @@ class SilkStreamDecoder:
             [self.synthesise(f.indices) for f in frames])
 
     def synthesise(self, ix) -> np.ndarray:
-        """Parsed frame indices -> (frame_len,) float PCM at the
-        internal rate (silk_decode_frame over silk_decode_core)."""
+        """Parsed frame indices -> float PCM at the internal rate
+        (silk_decode_frame over silk_decode_core; 4 subframes for
+        20 ms frames, 2 for 10 ms)."""
         T = tables()
+        n_subfr = len(ix.gain_indices)
+        frame_len = n_subfr * self.subfr_len
         gains_q16, self.prev_gain_ind = gains_dequant(
             ix.gain_indices, self.prev_gain_ind,
             conditional=ix.cond_coding)
@@ -678,7 +690,7 @@ class SilkStreamDecoder:
         voiced = ix.signal_type == 2
         if voiced:
             lags = decode_pitch(ix.lag_index, ix.contour_index,
-                                self.fs_khz)
+                                self.fs_khz, n_subfr)
             b_taps = ltp_taps_q14(ix.per_index, ix.ltp_indices) / 16384.0
             ltp_scale = int(T["LTPScales_table_Q14"][ix.ltp_scale_index]) \
                 / 16384.0
@@ -686,8 +698,8 @@ class SilkStreamDecoder:
         offset = int(T["Quantization_Offsets_Q10"].reshape(2, 2)[
             ix.signal_type >> 1, ix.quant_offset]) / 1024.0
         seed = ix.seed
-        exc = np.zeros(self.frame_len)
-        for i in range(self.frame_len):
+        exc = np.zeros(frame_len)
+        for i in range(frame_len):
             seed = _lcg(seed)
             v = float(ix.pulses[i])
             if v > 0:
@@ -700,11 +712,11 @@ class SilkStreamDecoder:
             seed = (seed + int(ix.pulses[i])) & 0xFFFFFFFF
             exc[i] = v
 
-        xq = np.zeros(self.frame_len)
-        s_ltp = np.zeros(self.ltp_mem + self.frame_len)
+        xq = np.zeros(frame_len)
+        s_ltp = np.zeros(self.ltp_mem + frame_len)
         s_ltp_idx = self.ltp_mem
         s_lpc = np.concatenate([self.s_lpc, np.zeros(self.subfr_len)])
-        for k in range(4):
+        for k in range(n_subfr):
             a = a0 if k < 2 else a1
             g = gains[k]
             gain_adj = self.prev_gain / g if g != self.prev_gain else 1.0
@@ -753,9 +765,8 @@ class SilkStreamDecoder:
             s_lpc[:self.order] = s_lpc[self.subfr_len:
                                        self.subfr_len + self.order]
         self.s_lpc = s_lpc[:self.order].copy()
-        self.out_buf[:self.ltp_mem] = self.out_buf[self.frame_len:
-                                                   self.frame_len
-                                                   + self.ltp_mem]
+        self.out_buf[:self.ltp_mem] = self.out_buf[
+            frame_len:frame_len + self.ltp_mem].copy()
         self.first = False
         return xq
 
@@ -797,11 +808,12 @@ def parse_silk_packet_stereo(data: bytes, bw: str,
     (decoded and discarded), then per frame: stereo predictors,
     mid-only flag (only when the side channel's VAD flag is 0), the
     mid frame, and the side frame back to back in one range coder."""
-    if duration_ms not in (20, 40, 60):
-        raise NotImplementedError("only 20/40/60 ms SILK packets")
-    n_frames = duration_ms // 20
+    if duration_ms not in (10, 20, 40, 60):
+        raise NotImplementedError("only 10-60 ms SILK packets")
+    n_frames = max(1, duration_ms // 20)
+    n_subfr = 2 if duration_ms == 10 else 4
     p = BW[bw]
-    frame_length = 20 * p.fs_khz
+    frame_length = (duration_ms // n_frames) * p.fs_khz
     if dec is None:
         dec = RangeDecoder(data)
     T = tables()
@@ -830,7 +842,7 @@ def parse_silk_packet_stereo(data: bytes, bw: str,
                         dec.dec_icdf(
                             _icdf(T["stereo_only_code_mid_iCDF"]), 8)
                 jx = decode_frame_indices(
-                    dec, bw, True,
+                    dec, bw, True, n_subfr,
                     cond_coding=bool(i > 0 and lbrr[ch][i - 1]),
                     prev=prev_lbrr[ch])
                 decode_excitation(dec, jx.signal_type, jx.quant_offset,
@@ -844,7 +856,7 @@ def parse_silk_packet_stereo(data: bytes, bw: str,
         if not vad[1][i]:
             mid_only = dec.dec_icdf(
                 _icdf(T["stereo_only_code_mid_iCDF"]), 8)
-        ix_m = decode_frame_indices(dec, bw, vad[0][i],
+        ix_m = decode_frame_indices(dec, bw, vad[0][i], n_subfr,
                                     cond_coding=i > 0, prev=prev[0])
         ix_m.pulses = decode_excitation(dec, ix_m.signal_type,
                                         ix_m.quant_offset, frame_length)
@@ -861,7 +873,7 @@ def parse_silk_packet_stereo(data: bytes, bw: str,
                 cond, ltp_dec = False, False
             else:
                 cond, ltp_dec = True, False
-            ix_s = decode_frame_indices(dec, bw, vad[1][i],
+            ix_s = decode_frame_indices(dec, bw, vad[1][i], n_subfr,
                                         cond_coding=cond, prev=prev[1],
                                         ltp_scale_decoded=ltp_dec)
             ix_s.pulses = decode_excitation(dec, ix_s.signal_type,
@@ -902,7 +914,7 @@ class SilkStereoDecoder:
         48 kHz (int16 range; for mono packets both rows are the mid
         channel)."""
         import copy
-        L = self.mid.frame_len
+        L = (10 if duration_ms == 10 else 20) * self.fs_khz
         if not stereo:
             x = self.mid.decode_frame(data, duration_ms, dec=dec)
             outs = []
@@ -928,7 +940,7 @@ class SilkStereoDecoder:
                 self.side.prev_gain_ind = 10    # LastGainIndex on reset
             xm = self.mid.synthesise(fm.indices)
             xs = (self.side.synthesise(fs_.indices) if fs_ is not None
-                  else np.zeros(L))
+                  else np.zeros(len(xm)))
             self._prev_mid_only = mid_only
             left, right = self._ms_to_lr(xm, xs, pred)
             lefts.append(self._rs[0].process(left))

@@ -77,17 +77,14 @@ def test_packet_frame_splitting():
     assert f == [b"ab", b"cd", b"ef"]
 
 
-def test_unsupported_modes_gated_with_clear_error():
+def test_malformed_packets_raise():
     from ohpipeline_tpu.codecs.opus import _OpusStream
     from ohpipeline_tpu.codecs.opus_headers import OpusHead
-    # silk nb 10 ms (config 0): mono 20 ms decodes, 10 ms still gated
     st = _OpusStream(OpusHead(1, 1, 0, 48000, 0, 0))
-    with pytest.raises(CodecStreamCorrupt, match="unsupported"):
-        st.decode_packet(bytes([0x00]) + b"\x00" * 10)
-    # hybrid swb 10 ms (config 12): 20 ms hybrid decodes, 10 ms gated
-    st = _OpusStream(OpusHead(1, 1, 0, 48000, 0, 0))
-    with pytest.raises(CodecStreamCorrupt, match="unsupported"):
-        st.decode_packet(bytes([12 << 3]) + b"\x00" * 10)
+    with pytest.raises(CodecStreamCorrupt):
+        st.decode_packet(b"")
+    with pytest.raises(CodecStreamCorrupt):          # odd code-1 body
+        st.decode_packet(bytes([0xF8 | 1]) + b"abc")
 
 
 def test_plays_through_pipeline(tmp_path):
