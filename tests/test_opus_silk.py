@@ -500,3 +500,46 @@ def test_silk_10ms_packets_decode():
         best = max(best, 10 * np.log10(
             (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
     assert best >= 13.0, f"10 ms SILK SNR {best:.1f} dB"
+
+
+@pytest.mark.parametrize("enc_args,want_bw,min_snr", [
+    (("1", "6000", "silk"), "nb", 9.0),       # 8 kHz internal rate
+    (("1", "20000", "silkmb"), "mb", 14.0),   # 12 kHz internal rate
+])
+def test_silk_internal_rates(enc_args, want_bw, min_snr):
+    """NB and MB SILK streams: 10-order NLSF codebooks, the 8/12 kHz
+    pitch-lag tables and low-bits iCDFs, and the 8/12 -> 48 kHz
+    resampler increments (silk/decoder_set_fs.c, resampler.c)."""
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    t = np.arange(48000 * 3) / 48000.0
+    x = np.sin(2 * np.pi * 220 * t) \
+        * (0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)) * 12000
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        fo = os.path.join(td, "o.raw")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, *enc_args],
+                       check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).astype(np.float64)
+    rdr = OggReader(_R(data))
+    bws = {parse_toc(p).bandwidth for i, p in enumerate(rdr.packets())
+           if i >= 2}
+    assert want_bw in bws, bws
+    info, pcm = decode_opus(data)
+    mine = pcm[0].astype(np.float64)
+    m = min(len(mine), len(ref))
+    best = -1e9
+    for off in range(-1400, 600, 2):
+        a = ref[max(0, off):m + min(0, off)]
+        b = mine[max(0, -off):m - max(0, off)]
+        mm = min(len(a), len(b))
+        if mm < 20000:
+            continue
+        a2, b2 = a[6000:mm - 6000], b[6000:mm - 6000]
+        best = max(best, 10 * np.log10(
+            (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
+    assert best >= min_snr, f"{want_bw} SILK SNR {best:.1f} dB"

@@ -37,6 +37,10 @@ static int do_encode(const char *inp, const char *outp, int channels,
         /* deterministic hybrid (SILK WB core + CELT 17+) packets */
         opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_HYBRID));
         opus_encoder_ctl(enc, OPUS_SET_BANDWIDTH(OPUS_BANDWIDTH_SUPERWIDEBAND));
+    } else if (force_mode == 3) {
+        /* SILK-only capped at mediumband (12 kHz internal rate) */
+        opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_SILK_ONLY));
+        opus_encoder_ctl(enc, OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_MEDIUMBAND));
     }
     int preskip = 0;
     opus_encoder_ctl(enc, OPUS_GET_LOOKAHEAD(&preskip));
@@ -101,7 +105,8 @@ int main(int argc, char **argv) {
         return do_encode(argv[2], argv[3], atoi(argv[4]),
                          argc > 5 ? atoi(argv[5]) : 96000,
                          argc > 6 ? (strcmp(argv[6], "silk") == 0 ? 1 :
-                                     strcmp(argv[6], "hybrid") == 0 ? 2 : 0)
+                                     strcmp(argv[6], "hybrid") == 0 ? 2 :
+                                     strcmp(argv[6], "silkmb") == 0 ? 3 : 0)
                                   : 0,
                          argc > 7 ? atoi(argv[7]) : 20);
     if (argc < 4 || strcmp(argv[1], "decode") != 0) {
