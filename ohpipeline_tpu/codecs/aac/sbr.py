@@ -632,6 +632,12 @@ BW_TABLE = [0.0, 0.6, 0.9, 0.98]
 ENERGY_CAL = 32768.0
 
 
+#: ratio of the previous envelope's gains/noise for the first 4 slots
+#: of an envelope (libSBRdec sbr_rom.cpp FDK_sbrDecoder_sbr_smoothFilter)
+_SMOOTH_FILTER = (0.66666666666666, 0.36516383427084,
+                  0.14699433520835, 0.03183050093751)
+
+
 class SbrChannelState:
     def __init__(self):
         self.ana_hist = np.zeros(320, np.float64)
@@ -645,6 +651,8 @@ class SbrChannelState:
         self.sine_index = 0
         self.prev_harm_bins: set = set()    # mid bins flagged last frame
         self.prev_tran_env = -1
+        self.filt_gain = None       # previous envelope's gains (M,)
+        self.filt_noise = None      # previous envelope's noise levels
 
 
 class SbrDecoder:
@@ -835,7 +843,9 @@ class SbrDecoder:
                         else max(g.tran_env, 0)
         prev_tran = st.prev_tran_env
         st.prev_harm_bins = cur_bins
-        st.prev_tran_env = g.tran_env
+        # an attack pointing past this frame's envelopes lands in the
+        # next frame's first envelope (env_calc.cpp:1108-1113)
+        st.prev_tran_env = 0 if g.tran_env == g.n_env else -1
         limgain = {0: 10 ** 0.15, 1: 10 ** 0.3,
                    2: 10 ** 0.45, 3: 1e10}[hdr.limiter_gains]
         Xout = Xbuf
@@ -918,15 +928,28 @@ class SbrDecoder:
                 gain[lo:hi] *= boost
                 noise_lvl[lo:hi] *= boost
                 sine_lvl[lo:hi] *= boost
+            # time smoothing: the first 4 slots of a non-attack envelope
+            # blend the previous envelope's gains/noise levels in
+            # (env_calc.cpp:642-647, 999-1003, sbr_smoothFilter)
+            smooth_len = 0 if no_noise_env or hdr.smoothing_mode else 4
+            if st.filt_gain is None:
+                st.filt_gain = gain.copy()
+                st.filt_noise = noise_lvl.copy()
             # noise is suppressed only at bins that carry a sinusoid
             # (env_calc adjustEnvelope: pSineLevel[0] != 0)
             for sl in range(sl0, sl1):
-                row = Xout[sl, kx:kx + M] * gain
+                if sl - sl0 < smooth_len:
+                    r = _SMOOTH_FILTER[sl - sl0]
+                    g_sl = r * st.filt_gain + (1.0 - r) * gain
+                    n_sl = r * st.filt_noise + (1.0 - r) * noise_lvl
+                else:
+                    g_sl, n_sl = gain, noise_lvl
+                row = Xout[sl, kx:kx + M] * g_sl
                 idx = (st.noise_index + 1 + bins) & 511
                 st.noise_index = int(idx[-1])
                 nv = self.noise_tab[idx]
                 if not no_noise_env:
-                    row = row + nv * np.where(sine, 0.0, noise_lvl)
+                    row = row + nv * np.where(sine, 0.0, n_sl)
                 if sine.any():
                     ph = st.sine_index & 3
                     parity = np.where(((bins + kx) & 1) > 0, -1.0, 1.0)
@@ -941,6 +964,8 @@ class SbrDecoder:
                     row = row + s
                 Xout[sl, kx:kx + M] = row
                 st.sine_index = (st.sine_index + 1) & 3
+            st.filt_gain = gain.copy()
+            st.filt_noise = noise_lvl.copy()
         return Xout
 
     def _synthesize(self, st, Xslots: np.ndarray) -> np.ndarray:

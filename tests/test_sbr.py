@@ -125,8 +125,8 @@ def _band_profiles(a, b, nfft=2048, hop=1024):
     return out_a, out_b, edges
 
 
-@pytest.mark.parametrize("kind,hf_rms_limit", [("noise", 6.0),
-                                               ("mix", 8.0)])
+@pytest.mark.parametrize("kind,hf_rms_limit", [("noise", 3.0),
+                                               ("mix", 3.0)])
 def test_he_aac_conformance(kind, hf_rms_limit):
     data, ref = _encode_he(_content(kind))
     got, info = _decode_he(data)
@@ -204,4 +204,4 @@ def test_he_aac_tonal_hf():
     r = (10 * np.log10((Pb + 1e-3) / (Pa + 1e-3)))[2:-2]
     hf = r[..., edges[:-1] > 6000]
     assert abs(hf.mean()) <= 4.0
-    assert float(np.sqrt((hf ** 2).mean())) <= 12.0
+    assert float(np.sqrt((hf ** 2).mean())) <= 9.0
