@@ -460,37 +460,72 @@ class CodecAacAdts(CodecBase):
         return frames
 
     def _process_sbr(self) -> DecodedBatch:
-        from .sbr import SbrError
         frames = self._parse_python_frames()
         if not frames:
             raise EndOfStream
-        nch = self._hdr.channels
-        outs = []
-        for fr in frames:
-            core = decode_frames_float([fr], self._state)
-            if fr.sbr is not None:
-                payload, nbits, crc = fr.sbr
-                try:
-                    chans, coupling = self._sbr.parse_payload(
-                        payload, nbits, stereo=(nch == 2), crc=crc)
-                    outs.append(self._sbr.process_frame(core, chans,
-                                                        coupling))
-                    continue
-                except SbrError:
-                    pass
-            # no/invalid payload: plain 2x hold upsample keeps timing
-            outs.append(np.repeat(core, 2, axis=1))
-        pcm = np.concatenate(outs, axis=1)
-        pcm = np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
+        pcm = _sbr_decode_frames(frames, self._state, self._sbr,
+                                 self._hdr.channels)
         first = self._sample_pos
         self._sample_pos += pcm.shape[1]
         return DecodedBatch(self._info, samples=pcm,
                             track_offset_samples=first)
 
 
+def _sbr_decode_frames(frames, state, sbr, nch) -> np.ndarray:
+    """Core decode + SBR reconstruction for a group of parsed frames
+    (shared by the ADTS and MP4 codecs; AacFdkBase.cpp feeds both
+    transports through the same libSBRdec instance)."""
+    from .sbr import SbrError
+    outs = []
+    for fr in frames:
+        core = decode_frames_float([fr], state)
+        if fr.sbr is not None:
+            payload, nbits, crc = fr.sbr
+            try:
+                chans, coupling = sbr.parse_payload(
+                    payload, nbits, stereo=(nch == 2), crc=crc)
+                outs.append(sbr.process_frame(core, chans, coupling))
+                continue
+            except SbrError:
+                pass
+        # no/invalid payload: plain 2x hold upsample keeps timing
+        outs.append(np.repeat(core, 2, axis=1))
+    pcm = np.concatenate(outs, axis=1)
+    return np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
+
+
+def parse_audio_specific_config(asc: bytes) -> tuple:
+    """AudioSpecificConfig -> (rate_index, channels, sbr_explicit).
+    Accepts AOT 2 (LC) and the AOT 5/29 explicit-SBR hierarchy whose
+    core is LC (tpdec_asc.cpp AudioSpecificConfig_Parse: aot,
+    samplingFrequencyIndex, channelConfiguration, then for 5/29 the
+    extension rate and the core AOT)."""
+    br = BitReader(asc)
+    aot = br.read(5)
+    rate_idx = br.read(4)
+    if rate_idx == 0xF:
+        br.read(24)
+        raise CodecStreamCorrupt("explicit AAC sample rate unsupported")
+    channels = br.read(4)
+    sbr_explicit = False
+    if aot in (5, 29):
+        # AOT 29 (HE-AAC v2) decodes as v1: PS reconstruction is not
+        # implemented, the mono core + SBR plays
+        ext_idx = br.read(4)
+        if ext_idx == 0xF:
+            br.read(24)
+        aot = br.read(5)
+        sbr_explicit = True
+    if aot != 2:
+        raise CodecStreamCorrupt(f"not AAC-LC (AOT {aot})")
+    return rate_idx, channels, sbr_explicit
+
+
 class CodecAacMp4(CodecBase):
-    """AAC-LC in MP4 (reference CodecAacFdkMp4): drives the ISO-BMFF
-    sample tables from containers.mpeg4."""
+    """AAC-LC / HE-AAC in MP4 (reference CodecAacFdkMp4): drives the
+    ISO-BMFF sample tables from containers.mpeg4.  SBR is detected
+    both explicitly (AOT 5/29 AudioSpecificConfig) and implicitly
+    (low-rate LC with SBR FIL payloads in the first sample)."""
 
     name = "AAC-MP4"
     recognition_cost = 25
@@ -521,14 +556,10 @@ class CodecAacMp4(CodecBase):
         if track is None or track.codec != "mp4a":
             raise CodecStreamCorrupt("no mp4a track")
         asc = track.codec_config
-        if len(asc) >= 2:
-            aot = asc[0] >> 3
-            rate_idx = ((asc[0] & 7) << 1) | (asc[1] >> 7)
-            channels = (asc[1] >> 3) & 0xF
-            if aot != 2:
-                raise CodecStreamCorrupt(f"not AAC-LC (AOT {aot})")
-        else:
+        if len(asc) < 2:
             raise CodecStreamCorrupt("missing AudioSpecificConfig")
+        rate_idx, channels, sbr_explicit = \
+            parse_audio_specific_config(asc)
         self._track = track
         self._rate_index = rate_idx
         self._samples = list(track.sample_offsets())
@@ -536,11 +567,25 @@ class CodecAacMp4(CodecBase):
         self._sample_pos = 0
         self._state = _StreamState(channels)
         rate = T.SAMPLE_RATES[rate_idx]
+        self._sbr = None
+        if sbr_explicit or rate <= 24000:
+            try:
+                off, size = self._samples[0]
+                br = BitReader(self._data[off:off + size])
+                fr = BS.parse_raw_data_block(br, rate_idx)
+                if fr.sbr is not None:
+                    from .sbr import SbrDecoder
+                    self._sbr = SbrDecoder(rate)
+            except Exception:                             # noqa: BLE001
+                self._sbr = None
+        spf = 1024 * (2 if self._sbr else 1)
+        out_rate = rate * (2 if self._sbr else 1)
         self._info = PcmStreamInfo(
-            sample_rate=rate, bit_depth=16, num_channels=channels,
-            codec_name="AAC", lossless=False, seekable=True,
-            track_length_jiffies=track.total_samples * 1024
-            * Jiffies.per_sample(rate) if track.stts else 0)
+            sample_rate=out_rate, bit_depth=16, num_channels=channels,
+            codec_name="HE-AAC" if self._sbr else "AAC",
+            lossless=False, seekable=self._sbr is None,
+            track_length_jiffies=track.total_samples * spf
+            * Jiffies.per_sample(out_rate) if track.stts else 0)
         return self._info
 
     def process(self, reader: StreamReader) -> DecodedBatch:
@@ -559,6 +604,12 @@ class CodecAacMp4(CodecBase):
         if not frames:
             raise EndOfStream
         first = self._sample_pos
+        if self._sbr is not None:
+            pcm = _sbr_decode_frames(frames, self._state, self._sbr,
+                                     self._info.num_channels)
+            self._sample_pos += pcm.shape[1]
+            return DecodedBatch(self._info, samples=pcm,
+                                track_offset_samples=first)
         self._sample_pos += len(frames) * 1024
         state = self._state
         return DecodedBatch(

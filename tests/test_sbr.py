@@ -205,3 +205,55 @@ def test_he_aac_tonal_hf():
     hf = r[..., edges[:-1] > 6000]
     assert abs(hf.mean()) <= 4.0
     assert float(np.sqrt((hf ** 2).mean())) <= 9.0
+
+
+@pytest.mark.parametrize("explicit", [False, True])
+def test_he_aac_in_mp4(explicit):
+    """HE-AAC inside an M4A container: implicit (low-rate LC + SBR
+    payload probe) and explicit (AOT-5 AudioSpecificConfig hierarchy,
+    tpdec_asc.cpp) signalling must both decode — identically to the
+    ADTS path, which shares the SBR decoder."""
+    from ohpipeline_tpu.codecs.aac import (CodecAacMp4, bitstream as BS2,
+                                           decode_adts)
+    from ohpipeline_tpu.codecs.base import BufferReader, EndOfStream
+    from ohpipeline_tpu.containers.mpeg4 import write_m4a
+    data, _ref = _encode_he(_content("mix", secs=1.5))
+    frames = []
+    pos = 0
+    core_rate_idx = None
+    while True:
+        hdr = BS2.parse_adts_header(data, pos)
+        if hdr is None:
+            break
+        core_rate_idx = hdr.rate_index
+        frames.append(data[pos + hdr.header_bytes:pos + hdr.frame_bytes])
+        pos += hdr.frame_bytes
+    assert core_rate_idx is not None
+    if explicit:
+        # AOT 5, core rate, stereo, extension rate = 2x, inner AOT 2
+        bits = f"00101{core_rate_idx:04b}0010{core_rate_idx - 3:04b}00010000"
+        bits += "0" * (-len(bits) % 8)
+        asc = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    else:
+        bits = f"00010{core_rate_idx:04b}0010000"
+        bits += "0" * (-len(bits) % 8)
+        asc = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    core_rate = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                 16000, 12000, 11025, 8000][core_rate_idx]
+    m4a = write_m4a(frames, asc, core_rate, 2)
+    codec = CodecAacMp4()
+    r = BufferReader(m4a)
+    info = codec.stream_initialise(r)
+    assert info.codec_name == "HE-AAC"
+    assert info.sample_rate == core_rate * 2
+    parts = []
+    while True:
+        try:
+            parts.append(codec.process(r).resolve())
+        except EndOfStream:
+            break
+    out = np.concatenate(parts, axis=1)
+    _info_adts, ref = decode_adts(data)
+    n = min(out.shape[1], ref.shape[1])
+    assert n > 40000
+    assert np.array_equal(out[:, :n], ref[:, :n])
