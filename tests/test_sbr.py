@@ -257,3 +257,47 @@ def test_he_aac_in_mp4(explicit):
     n = min(out.shape[1], ref.shape[1])
     assert n > 40000
     assert np.array_equal(out[:, :n], ref[:, :n])
+
+
+def test_he_aac_v2_decodes_as_v1():
+    """HE-AAC v2 (AOT 29, mono core + SBR + PS): the PS extension data
+    inside the SBR payload is skipped gracefully and the stream decodes
+    as v1 — the mono core with full SBR reconstruction, tracking the
+    oracle's stereo downmix.  PS stereo reconstruction itself is not
+    implemented (documented gap)."""
+    x = _content("mix", 2.0)
+    pcm = np.stack([x, x]).T.copy()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.aac")
+        fo = os.path.join(td, "o.raw")
+        pcm.tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "64000", "2", "29"], check=True,
+                       capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo, "2"], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).reshape(-1, 2).T
+    c = CodecAacAdts()
+    info = c.stream_initialise(_MemReader(data))
+    assert info.codec_name == "HE-AAC" and info.sample_rate == 44100
+    outs = []
+    rd = _MemReader(data)
+    c2 = CodecAacAdts()
+    c2.stream_initialise(rd)
+    from ohpipeline_tpu.codecs.base import EndOfStream as EOS
+    while True:
+        try:
+            outs.append(c2.process(rd).resolve())
+        except EOS:
+            break
+    got = np.concatenate(outs, axis=1)
+    mono_ref = ref.astype(np.float64).mean(axis=0, keepdims=True)
+    a, b = _aligned(mono_ref, got.astype(np.float64))
+    assert a is not None
+    Pa, Pb, edges = _band_profiles(a, b)
+    r = (10 * np.log10((Pb + 1e-3) / (Pa + 1e-3)))[2:-2]
+    hf = r[..., edges[:-1] > 6000]
+    assert abs(hf.mean()) <= 4.0, f"v2 HF bias {hf.mean():.2f} dB"
+    assert float(np.sqrt((hf ** 2).mean())) <= 8.0
