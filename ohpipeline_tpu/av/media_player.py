@@ -46,6 +46,8 @@ class MediaPlayer:
         self.pipeline = PipelineManager(p.pipeline_params)
         self.volumes = VolumeManager(self.config, p.volume_profile)
         self.product = Product(self.config, p.room, p.name)
+        from .reactions import ReactionRegistry
+        self.reactions = ReactionRegistry()
         # default sources (reference MediaPlayer adds via SourceFactory)
         self.source_playlist = SourcePlaylist(self.pipeline)
         self.source_radio = SourceRadio(self.pipeline)

@@ -157,6 +157,46 @@ def make_config_service(mp) -> OdpService:
     return svc
 
 
+def make_reaction_service(mp) -> OdpService:
+    """Reaction service (reference Av/ProviderReaction.cpp): attach a
+    reaction to the currently playing track via the registered
+    handlers; properties mirror CanReact/CurrentReaction/
+    AvailableReactions."""
+    from ..av.reactions import ReactionError
+    svc = OdpService("Reaction")
+    reg = mp.reactions
+
+    def _sync():
+        svc.set_property("CanReact", reg.can_react)
+        svc.set_property("CurrentReaction", reg.current_reaction)
+        svc.set_property("AvailableReactions", reg.available_reactions)
+
+    def _wrap(fn, *a):
+        try:
+            fn(*a)
+        except ReactionError as e:
+            return {"error": e.code, "message": str(e)}
+        return {}
+
+    svc.add_action("GetCanReact", lambda: {"value": reg.can_react})
+    svc.add_action("GetCurrentReaction",
+                   lambda: {"value": reg.current_reaction})
+    svc.add_action("GetAvailableReactions",
+                   lambda: {"value": reg.available_reactions})
+    svc.add_action("SetReaction",
+                   lambda reaction: _wrap(reg.set_reaction, reaction))
+    svc.add_action("ClearReaction", lambda: _wrap(reg.clear_reaction))
+
+    class Obs:
+        def notify_track(self, track, sos):
+            reg.notify_track(track, sos)
+
+    mp.pipeline.add_observer(Obs())
+    reg.add_observer(_sync)
+    _sync()
+    return svc
+
+
 def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
     """Build the full ODP device for a MediaPlayer (the reference's
     DvDeviceStandard + provider registration in MediaPlayer.cpp)."""
@@ -164,6 +204,6 @@ def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
     for factory in (make_product_service, make_transport_service,
                     make_volume_service, make_info_service,
                     make_playlist_service, make_radio_service,
-                    make_config_service):
+                    make_config_service, make_reaction_service):
         dev.add_service(factory(mp))
     return dev
