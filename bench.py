@@ -168,7 +168,7 @@ def main() -> int:
     ap.add_argument("--aac-streams", type=int, default=48)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--chunks", type=int, default=8)
-    ap.add_argument("--passes", type=int, default=6)
+    ap.add_argument("--passes", type=int, default=8)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

@@ -543,3 +543,49 @@ def test_silk_internal_rates(enc_args, want_bw, min_snr):
         best = max(best, 10 * np.log10(
             (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
     assert best >= min_snr, f"{want_bw} SILK SNR {best:.1f} dB"
+
+
+def test_mixed_mode_stream_decodes():
+    """Auto-mode encoder output switching between modes mid-stream
+    (opus_decoder.c handles CELT/SILK/hybrid transitions): the decoder
+    must track the oracle across the switch without desync."""
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    t = np.arange(48000 * 4) / 48000.0
+    rng = np.random.default_rng(3)
+    sp = np.sin(2 * np.pi * 180 * t[:96000]) \
+        * (0.5 + 0.5 * np.sign(np.sin(2 * np.pi * 4 * t[:96000]))) * 9000
+    mus = sum(np.sin(2 * np.pi * f * t[96000:] + i) * a
+              for i, (f, a) in enumerate(
+                  [(220, 4000), (440, 3000), (880, 2500), (1760, 1500),
+                   (5000, 1200), (9000, 800)]))
+    mus = mus + rng.standard_normal(96000) * 600
+    x = np.concatenate([sp, mus])
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        fo = os.path.join(td, "o.raw")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "1", "28000"],
+                       check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).astype(np.float64)
+    rdr = OggReader(_R(data))
+    seq = [parse_toc(p).mode for i, p in enumerate(rdr.packets())
+           if i >= 2]
+    assert len({*seq}) >= 2, f"encoder produced a single mode: {set(seq)}"
+    info, pcm = decode_opus(data)
+    mine = pcm[0].astype(np.float64)
+    m = min(len(mine), len(ref))
+    best = -1e9
+    for off in range(-1400, 600, 2):
+        a = ref[max(0, off):m + min(0, off)]
+        b = mine[max(0, -off):m - max(0, off)]
+        mm = min(len(a), len(b))
+        if mm < 20000:
+            continue
+        a2, b2 = a[6000:mm - 6000], b[6000:mm - 6000]
+        best = max(best, 10 * np.log10(
+            (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
+    assert best >= 25.0, f"mixed-mode SNR {best:.1f} dB"
