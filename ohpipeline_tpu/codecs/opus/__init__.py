@@ -44,9 +44,13 @@ def split_packet_frames(packet: bytes) -> tuple[OpusToc, list[bytes]]:
     body = packet[1:]
 
     def read_len(buf, p):
+        if p >= len(buf):
+            raise CodecStreamCorrupt("truncated opus frame length")
         v = buf[p]
         p += 1
         if v >= 252:
+            if p >= len(buf):
+                raise CodecStreamCorrupt("truncated opus frame length")
             v += 4 * buf[p]
             p += 1
         return v, p
@@ -62,6 +66,8 @@ def split_packet_frames(packet: bytes) -> tuple[OpusToc, list[bytes]]:
         ln, p = read_len(body, 0)
         frames = [body[p:p + ln], body[p + ln:]]
     else:
+        if not body:
+            raise CodecStreamCorrupt("empty code-3 packet")
         fc = body[0]
         m = fc & 0x3F
         vbr = fc & 0x80
@@ -70,18 +76,25 @@ def split_packet_frames(packet: bytes) -> tuple[OpusToc, list[bytes]]:
         padding = 0
         if pad:
             while True:
+                if p >= len(body):
+                    raise CodecStreamCorrupt("truncated opus padding")
                 v = body[p]
                 p += 1
                 padding += v if v < 255 else 254
                 if v < 255:
                     break
         if vbr:
+            if m == 0:
+                raise CodecStreamCorrupt("bad VBR code-3 packet")
             lens = []
             for _ in range(m - 1):
                 ln, p = read_len(body, p)
                 lens.append(ln)
             avail = len(body) - p - padding
-            lens.append(avail - sum(lens))
+            last = avail - sum(lens)
+            if last < 0:
+                raise CodecStreamCorrupt("bad VBR code-3 lengths")
+            lens.append(last)
             frames = []
             for ln in lens:
                 frames.append(body[p:p + ln])

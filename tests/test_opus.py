@@ -111,3 +111,25 @@ def test_plays_through_pipeline(tmp_path):
     assert m > 40000
     assert np.abs(pcm[:, :m].astype(int)
                   - ref[:, :m].astype(int)).max() <= 2
+
+
+def test_random_packet_fuzz_no_leaked_exceptions():
+    """Arbitrary bytes through the packet layer must either decode
+    (range-coder concealment, like libopus) or raise
+    CodecStreamCorrupt — never IndexError/ValueError from the frame
+    splitting (RFC 6716 s3.2 bounds)."""
+    from ohpipeline_tpu.codecs.opus import _OpusStream
+    from ohpipeline_tpu.codecs.opus_headers import OpusHead
+    rng = np.random.default_rng(0)
+    st = _OpusStream(OpusHead(1, 2, 0, 48000, 0, 0))
+    decoded = corrupt = 0
+    for _ in range(600):
+        n = int(rng.integers(1, 160))
+        pkt = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        try:
+            st.decode_packet(pkt)
+            decoded += 1
+        except CodecStreamCorrupt:
+            corrupt += 1
+    assert decoded + corrupt == 600
+    assert decoded > 0 and corrupt > 0
