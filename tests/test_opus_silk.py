@@ -589,3 +589,32 @@ def test_mixed_mode_stream_decodes():
         best = max(best, 10 * np.log10(
             (a2 * a2).sum() / max(((a2 - b2) ** 2).sum(), 1e-9)))
     assert best >= 25.0, f"mixed-mode SNR {best:.1f} dB"
+
+
+def test_silk_stream_plays_through_pipeline(tmp_path):
+    """Speech (SILK-only) Ogg Opus through the full pipeline to the
+    sink — the reference plays these through the same CodecOpus
+    adapter path as music streams."""
+    from ohpipeline_tpu.pipeline import AnimatorBatch, PipelineManager
+    from ohpipeline_tpu.pipeline.manager import PipelineInitParams
+    data = _silk_stream("tone")
+    path = tmp_path / "speech.opus"
+    path.write_bytes(data)
+    params = PipelineInitParams()
+    params.gorge_jiffies = 0
+    params.threaded_starvation_ramper = False
+    mgr = PipelineManager(params)
+    chunks = []
+    mgr.play_uri(f"file://{path}")
+    animator = AnimatorBatch(mgr.pipeline.predriver,
+                             lambda s, i: chunks.append((s, i)),
+                             use_device=False)
+    animator.run()
+    mgr.quit()
+    assert chunks, "no audio reached the sink"
+    info = chunks[0][1]
+    assert info.codec_name == "Opus" and info.sample_rate == 48000
+    pcm = np.concatenate([c for c, _ in chunks], axis=1)
+    x = pcm[0, 20000:68000].astype(np.float64)
+    zc = ((x[:-1] < 0) & (x[1:] >= 0)).sum()
+    assert abs(zc - 220) <= 14, f"{zc} crossings/s for a 220 Hz tone"
