@@ -380,6 +380,93 @@ class ChannelData:
     env: np.ndarray = None             # (n_env, bands) ints
     noise: np.ndarray = None           # (n_noise, n_q) ints
     add_harmonic: np.ndarray = None
+    ps: "PsData" = None                # parametric stereo (channel 0)
+
+
+@dataclass
+class PsData:
+    """One frame of parametric-stereo data (ISO 14496-3 8.4.2.2
+    ps_data(); float reformulation target: libSBRdec psbitdec.cpp
+    ReadPsData).  Header fields persist across frames until the next
+    bs_enable_header."""
+    header_valid: bool = False
+    enable_iid: bool = False
+    mode_iid: int = 0
+    enable_icc: bool = False
+    mode_icc: int = 0
+    enable_ext: bool = False
+    frame_class: int = 0
+    n_env: int = 0
+    borders: list = None               # var-border envelope stops
+    iid_index: list = None             # per env, raw huffman deltas
+    iid_dt: list = None
+    icc_index: list = None
+    icc_dt: list = None
+
+
+_PS_FIX_ENV = (0, 1, 2, 4)             # aFixNoEnvDecode
+_PS_BINS = (10, 20, 34)                # low/mid/hi-res IID+ICC bins
+
+
+def parse_ps_data(b: Bits, end: int, prev: PsData = None) -> PsData:
+    """ps_data() within an sbr extension block ending at bit ``end``
+    (psbitdec.cpp:436-593).  Header fields carry over from ``prev``
+    when bs_enable_header is 0; returns None (with the block consumed)
+    on unsupported iid/icc modes, like the reference.  IPD/OPD
+    extension payloads are parsed and skipped — baseline PS
+    (ISO 14496-3 subpart 8 annex 4)."""
+    T = tables()
+    ps = PsData()
+    if prev is not None:
+        ps.header_valid = prev.header_valid
+        ps.enable_iid, ps.mode_iid = prev.enable_iid, prev.mode_iid
+        ps.enable_icc, ps.mode_icc = prev.enable_icc, prev.mode_icc
+        ps.enable_ext = prev.enable_ext
+    if b.read(1):                       # bs_enable_header
+        ps.header_valid = True
+        ps.enable_iid = bool(b.read(1))
+        if ps.enable_iid:
+            ps.mode_iid = b.read(3)
+        ps.enable_icc = bool(b.read(1))
+        if ps.enable_icc:
+            ps.mode_icc = b.read(3)
+        ps.enable_ext = bool(b.read(1))
+    ps.frame_class = b.read(1)
+    if ps.frame_class == 0:
+        ps.n_env = _PS_FIX_ENV[b.read(2)]
+    else:
+        ps.n_env = 1 + b.read(2)
+        ps.borders = [b.read(5) + 1 for _ in range(ps.n_env)]
+    if ps.mode_iid > 5 or ps.mode_icc > 5 or not ps.header_valid:
+        while b.pos < end:              # discard the rest of the block
+            b.read(1)
+        return None
+    fine_iid = ps.mode_iid > 2
+    res_iid = ps.mode_iid - 3 if fine_iid else ps.mode_iid
+    res_icc = ps.mode_icc - 3 if ps.mode_icc > 2 else ps.mode_icc
+    ps.iid_index, ps.iid_dt = [], []
+    if ps.enable_iid:
+        for _e in range(ps.n_env):
+            dt = b.read(1)
+            book = T["ps_PsIidFineTime" if fine_iid else "ps_PsIidTime"]                 if dt else                 T["ps_PsIidFineFreq" if fine_iid else "ps_PsIidFreq"]
+            ps.iid_index.append(
+                [_huff(b, book) for _ in range(_PS_BINS[res_iid])])
+            ps.iid_dt.append(dt)
+    ps.icc_index, ps.icc_dt = [], []
+    if ps.enable_icc:
+        for _e in range(ps.n_env):
+            dt = b.read(1)
+            book = T["ps_PsIccTime"] if dt else T["ps_PsIccFreq"]
+            ps.icc_index.append(
+                [_huff(b, book) for _ in range(_PS_BINS[res_icc])])
+            ps.icc_dt.append(dt)
+    if ps.enable_ext:
+        cnt = b.read(4)
+        if cnt == 15:
+            cnt += b.read(8)
+        for _ in range(cnt):
+            b.read(8)
+    return ps
 
 
 def _ceil_log2(x: int) -> int:
@@ -465,7 +552,8 @@ def parse_grid(b: Bits) -> ChannelGrid:
 
 
 def parse_sbr_data(b: Bits, hdr: SbrHeader, ft: FreqTables,
-                   stereo: bool, prev_state: list = None) -> list:
+                   stereo: bool, prev_state: list = None,
+                   ps_prev: "PsData" = None) -> list:
     """sbr_single_channel_element / sbr_channel_pair_element payload
     (after the header).  Returns list of ChannelData.  ``prev_state``
     carries (prev_env_row, prev_freq_res, prev_noise_row) per channel
@@ -606,17 +694,28 @@ def parse_sbr_data(b: Bits, hdr: SbrHeader, ft: FreqTables,
         if b.read(1):
             for k in range(ft.n_high):
                 ch.add_harmonic[k] = b.read(1)
-    # bs_extended_data
+    # bs_extended_data: 2-bit sub-extension ids; PS rides here
+    # (env_extr.cpp:400-455, EXTENSION_ID_PS_CODING = 2)
+    ps = None
     if b.read(1):
         cnt = b.read(4)
         if cnt == 15:
             cnt += b.read(8)
-        for _ in range(cnt):
-            b.read(8)
+        end = min(b.pos + 8 * cnt, b.limit)
+        while end - b.pos > 7:
+            ext_id = b.read(2)
+            if ext_id == 2:
+                ps = parse_ps_data(b, end, ps_prev)
+            else:
+                while end - b.pos >= 8:
+                    b.read(8)
+        while b.pos < end:
+            b.read(1)
     if prev_state is not None:
         for i, ch in enumerate(chans):
             prev_state[i] = (ch.env[-1], ch.grid.freq_res[-1],
                              ch.noise[-1])
+    chans[0].ps = ps
     return chans, coupling
 
 
@@ -694,8 +793,12 @@ class SbrDecoder:
             raise SbrError("SBR data before header")
         if not hasattr(self, "_parse_prev"):
             self._parse_prev = [None, None]
+            self._ps_prev = None
         chans, coupling = parse_sbr_data(b, self.header, self.ft, stereo,
-                                         self._parse_prev)
+                                         self._parse_prev,
+                                         ps_prev=self._ps_prev)
+        if chans[0].ps is not None:
+            self._ps_prev = chans[0].ps
         return chans, coupling
 
     # -- QMF analysis: one core frame (1024 samples) -> 32 slots x 32 ----

@@ -301,3 +301,58 @@ def test_he_aac_v2_decodes_as_v1():
     hf = r[..., edges[:-1] > 6000]
     assert abs(hf.mean()) <= 4.0, f"v2 HF bias {hf.mean():.2f} dB"
     assert float(np.sqrt((hf ** 2).mean())) <= 8.0
+
+
+def test_ps_payloads_parse():
+    """Every PS block of a real HE-AAC v2 stream must parse with
+    coherent parameters (psbitdec.cpp ReadPsData: header persistence,
+    10/20/34-bin IID/ICC huffman runs, IPD/OPD skip) — hundreds of
+    blocks through huffman-coded variable-length data is a strong
+    structural check of the symbol schedule."""
+    from ohpipeline_tpu.codecs.aac.sbr import SbrDecoder
+    x = _content("mix", 2.5)
+    pcm = np.stack([x, (x * 0.7).astype(np.int16)]).T.copy()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.aac")
+        pcm.tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "48000", "2", "29"], check=True,
+                       capture_output=True)
+        data = open(fout, "rb").read()
+    c = CodecAacAdts()
+    info = c.stream_initialise(_MemReader(data))
+    assert info.codec_name == "HE-AAC"
+    # walk the frames, count parsed PS blocks
+    from ohpipeline_tpu.codecs.aac import bitstream as BS2
+    from ohpipeline_tpu.codecs.flac.bitreader import BitReader
+    dec = SbrDecoder(info.sample_rate // 2)
+    pos = 0
+    n_ps = 0
+    while True:
+        hdr = BS2.parse_adts_header(data, pos)
+        if hdr is None:
+            break
+        br = BitReader(data, (pos + hdr.header_bytes) * 8)
+        try:
+            fr = BS2.parse_raw_data_block(br, hdr.rate_index)
+        except (BS2.AacError, ValueError, EOFError):
+            pos += hdr.frame_bytes
+            continue
+        if fr.sbr is not None:
+            payload, nbits, crc = fr.sbr
+            chans, _coup = dec.parse_payload(payload, nbits,
+                                             stereo=False, crc=crc)
+            ps = chans[0].ps
+            if ps is not None:
+                n_ps += 1
+                assert 0 <= ps.n_env <= 4
+                assert ps.mode_iid <= 5 and ps.mode_icc <= 5
+                for env in ps.iid_index:
+                    assert len(env) in (10, 20, 34)
+                    assert all(-30 <= v <= 30 for v in env)
+                for env in ps.icc_index:
+                    assert len(env) in (10, 20, 34)
+                    assert all(-14 <= v <= 14 for v in env)
+        pos += hdr.frame_bytes
+    assert n_ps >= 50, f"only {n_ps} PS blocks parsed"

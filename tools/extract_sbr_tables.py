@@ -50,6 +50,29 @@ def parse_books(text: str) -> dict:
     return out
 
 
+PS_BOOKS = [
+    ("aBookPsIidTimeDecode", 28), ("aBookPsIidFreqDecode", 28),
+    ("aBookPsIccTimeDecode", 14), ("aBookPsIccFreqDecode", 14),
+    ("aBookPsIidFineTimeDecode", 60), ("aBookPsIidFineFreqDecode", 60),
+]
+
+
+def parse_ps_books(text: str) -> dict:
+    """Parametric-stereo huffman books (ISO 14496-3 tables 8.x, vendored
+    fdk sbr_rom.cpp aBookPs*)."""
+    out = {}
+    for name, n in PS_BOOKS:
+        m = re.search(name + r"\[" + str(n) + r"\]\[2\] = \{(.*?)\};",
+                      text, re.S)
+        if not m:
+            raise SystemExit(f"ps book {name} not found")
+        pairs = re.findall(r"\{\s*(-?\d+),\s*(-?\d+)\s*\}", m.group(1))
+        arr = np.asarray([[int(a), int(b)] for a, b in pairs], np.int32)
+        assert arr.shape == (n, 2), (name, arr.shape)
+        out["ps_" + name[5:-6]] = arr      # e.g. ps_PsIidTime
+    return out
+
+
 def parse_random(text: str) -> np.ndarray:
     m = re.search(r"sbr_randomPhase\[[^\]]*\]\[2\] = \{(.*?)\};", text, re.S)
     if not m:
@@ -93,6 +116,7 @@ def probe_syn(bands: int) -> np.ndarray:
 def main() -> int:
     text = (SRC / "sbr_rom.cpp").read_text(errors="replace")
     tables = parse_books(text)
+    tables.update(parse_ps_books(text))
     tables["random_phase"] = parse_random(text)
     tables["ana32"] = probe_ana(32)
     tables["syn64"] = probe_syn(64)
