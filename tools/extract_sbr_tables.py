@@ -73,6 +73,28 @@ def parse_ps_books(text: str) -> dict:
     return out
 
 
+PS_ROMS = [("ScaleFactors", 15), ("ScaleFactorsFine", 31),
+           ("Alphas", 8)]
+
+
+def parse_ps_roms(text: str) -> dict:
+    """PS dequantisation ROMs (IID scale factors, ICC rotation
+    angles).  Stored right-shifted by one in sbr_rom.cpp:1158-1180;
+    exported here as the true float values (x2)."""
+    out = {}
+    for name, n in PS_ROMS:
+        m = re.search(r"const FIXP_DBL " + name + r"\[[^\]]*\] = \{(.*?)\};",
+                      text, re.S)
+        if not m:
+            raise SystemExit(f"ps rom {name} not found")
+        vals = re.findall(r"0x([0-9a-fA-F]{8})", m.group(1))
+        arr = np.asarray([int(v, 16) for v in vals], np.int64)
+        arr = np.where(arr >= 1 << 31, arr - (1 << 32), arr)
+        assert arr.size == n, (name, arr.size)
+        out["ps_" + name] = arr.astype(np.float64) / (1 << 31) * 2.0
+    return out
+
+
 def parse_random(text: str) -> np.ndarray:
     m = re.search(r"sbr_randomPhase\[[^\]]*\]\[2\] = \{(.*?)\};", text, re.S)
     if not m:
@@ -117,6 +139,7 @@ def main() -> int:
     text = (SRC / "sbr_rom.cpp").read_text(errors="replace")
     tables = parse_books(text)
     tables.update(parse_ps_books(text))
+    tables.update(parse_ps_roms(text))
     tables["random_phase"] = parse_random(text)
     tables["ana32"] = probe_ana(32)
     tables["syn64"] = probe_syn(64)
