@@ -469,6 +469,100 @@ def parse_ps_data(b: Bits, end: int, prev: PsData = None) -> PsData:
     return ps
 
 
+def _ps_delta_decode(enable: bool, raw: list, prev: np.ndarray,
+                     dt: int, n: int, stride: int,
+                     lo: int, hi: int) -> np.ndarray:
+    """psbitdec.cpp deltaDecodeArray: freq deltas accumulate across
+    bins, time deltas reference the previous (smeared) row at stride
+    positions; low-res rows are then smeared to double length."""
+    out = np.zeros(n * stride, np.int64)
+    if enable:
+        acc = 0
+        for i in range(n):
+            if dt:
+                acc = int(prev[i * stride]) + raw[i]
+            else:
+                acc = (acc + raw[i]) if i else raw[i]
+            acc = min(max(acc, lo), hi)
+            out[i] = acc
+    if stride == 2:
+        for i in range(n * stride - 1, 0, -1):
+            out[i] = out[i >> 1]
+    return out
+
+
+def _ps_map34_to_20(a: np.ndarray) -> np.ndarray:
+    """psbitdec.cpp map34IndexTo20 (integer truncation preserved)."""
+    idx = [int(v) for v in a]
+
+    def d3(x):
+        return x // 3 if x >= 0 else -((-x) // 3)
+
+    def d2(x):
+        return x // 2 if x >= 0 else -((-x) // 2)
+
+    def d4(x):
+        return x // 4 if x >= 0 else -((-x) // 4)
+
+    out = [d3(2 * idx[0] + idx[1]), d3(idx[1] + 2 * idx[2]),
+           d3(2 * idx[3] + idx[4]), d3(idx[4] + 2 * idx[5]),
+           d2(idx[6] + idx[7]), d2(idx[8] + idx[9]),
+           idx[10], idx[11],
+           d2(idx[12] + idx[13]), d2(idx[14] + idx[15]),
+           idx[16], idx[17], idx[18], idx[19],
+           d2(idx[20] + idx[21]), d2(idx[22] + idx[23]),
+           d2(idx[24] + idx[25]), d2(idx[26] + idx[27]),
+           d4(idx[28] + idx[29] + idx[30] + idx[31]),
+           d2(idx[32] + idx[33])]
+    return np.asarray(out, np.int64)
+
+
+def decode_ps_indices(ps: PsData, prev_iid: np.ndarray = None,
+                      prev_icc: np.ndarray = None):
+    """Delta-decode a frame's IID/ICC huffman indices to absolute
+    per-bin values (psbitdec.cpp DecodePs envelope loop): env 0
+    references the previous frame's row, later envelopes the previous
+    envelope; a FIX frame with 0 envelopes holds the previous values.
+    Returns (iid_rows, icc_rows, prev_iid', prev_icc') with 34-wide
+    persistent rows."""
+    if prev_iid is None:
+        prev_iid = np.zeros(34, np.int64)
+    if prev_icc is None:
+        prev_icc = np.zeros(34, np.int64)
+    fine = ps.mode_iid > 2
+    res_iid = ps.mode_iid - 3 if fine else ps.mode_iid
+    res_icc = ps.mode_icc - 3 if ps.mode_icc > 2 else ps.mode_icc
+    steps = 15 if fine else 7
+    iid_rows, icc_rows = [], []
+    for e in range(ps.n_env):
+        pi = prev_iid if e == 0 else _pad34(iid_rows[-1])
+        pc = prev_icc if e == 0 else _pad34(icc_rows[-1])
+        n = _PS_BINS[res_iid]
+        iid_rows.append(_ps_delta_decode(
+            ps.enable_iid, ps.iid_index[e] if ps.enable_iid else [],
+            pi, ps.iid_dt[e] if ps.enable_iid else 0,
+            n, 1 if res_iid else 2, -steps, steps))
+        n = _PS_BINS[res_icc]
+        icc_rows.append(_ps_delta_decode(
+            ps.enable_icc, ps.icc_index[e] if ps.enable_icc else [],
+            pc, ps.icc_dt[e] if ps.enable_icc else 0,
+            n, 1 if res_icc else 2, 0, 7))
+    if not iid_rows:
+        # FIX with noEnv=0: hold previous parameters (DecodePs:308-339)
+        iid_rows = [prev_iid[:20].copy() if ps.enable_iid
+                    else np.zeros(20, np.int64)]
+        icc_rows = [prev_icc[:20].copy() if ps.enable_icc
+                    else np.zeros(20, np.int64)]
+    return (iid_rows, icc_rows,
+            _pad34(iid_rows[-1], prev_iid), _pad34(icc_rows[-1], prev_icc))
+
+
+def _pad34(row: np.ndarray, base: np.ndarray = None) -> np.ndarray:
+    out = (base.copy() if base is not None else np.zeros(34, np.int64))
+    out[:len(row)] = row[:34]
+    return out
+
+
 def _ceil_log2(x: int) -> int:
     return 0 if x <= 1 else int(math.ceil(math.log2(x)))
 

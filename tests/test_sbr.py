@@ -356,3 +356,62 @@ def test_ps_payloads_parse():
                     assert all(-14 <= v <= 14 for v in env)
         pos += hdr.frame_bytes
     assert n_ps >= 50, f"only {n_ps} PS blocks parsed"
+
+
+def test_ps_index_delta_decode():
+    """IID/ICC index delta decoding over a whole v2 stream
+    (psbitdec.cpp deltaDecodeArray/DecodePs): absolute indices stay in
+    the quantiser ranges across frames and envelopes, the FIX-0-env
+    hold path works, and the 34->20 map stays bounded."""
+    from ohpipeline_tpu.codecs.aac import bitstream as BS2
+    from ohpipeline_tpu.codecs.aac.sbr import (SbrDecoder,
+                                               _ps_map34_to_20,
+                                               decode_ps_indices)
+    from ohpipeline_tpu.codecs.flac.bitreader import BitReader
+    t = np.arange(int(44100 * 2.5)) / 44100.0
+    pan = np.sin(2 * np.pi * 0.9 * t) * 0.5 + 0.5
+    base = (np.sin(2 * np.pi * 700 * t) * 9000
+            + np.sin(2 * np.pi * 7000 * t) * 3000)
+    pcm = np.stack([np.clip(base * pan, -32000, 32000),
+                    np.clip(base * (1 - pan), -32000, 32000)]) \
+        .astype(np.int16).T.copy()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.aac")
+        pcm.tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "40000", "2", "29"], check=True,
+                       capture_output=True)
+        data = open(fout, "rb").read()
+    hdr0 = BS2.parse_adts_header(data)
+    dec = SbrDecoder(hdr0.sample_rate)
+    pos = 0
+    prev_iid = prev_icc = None
+    frames = iid_active = 0
+    while True:
+        hdr = BS2.parse_adts_header(data, pos)
+        if hdr is None:
+            break
+        br = BitReader(data, (pos + hdr.header_bytes) * 8)
+        fr = BS2.parse_raw_data_block(br, hdr.rate_index)
+        if fr.sbr is not None:
+            chans, _ = dec.parse_payload(fr.sbr[0], fr.sbr[1],
+                                         stereo=False, crc=fr.sbr[2])
+            ps = chans[0].ps
+            if ps is not None:
+                iid, icc, prev_iid, prev_icc = decode_ps_indices(
+                    ps, prev_iid, prev_icc)
+                steps = 15 if ps.mode_iid > 2 else 7
+                for row in iid:
+                    assert np.abs(row).max() <= steps
+                    if len(row) == 34:
+                        assert np.abs(_ps_map34_to_20(row)).max() <= steps
+                for row in icc:
+                    assert row.min() >= 0 and row.max() <= 7
+                if any(np.abs(r).max() > 0 for r in iid):
+                    iid_active += 1
+                frames += 1
+        pos += hdr.frame_bytes
+    assert frames >= 40, frames
+    # hard-panned content must produce nonzero IIDs
+    assert iid_active >= frames // 2
