@@ -563,6 +563,38 @@ def _pad34(row: np.ndarray, base: np.ndarray = None) -> np.ndarray:
     return out
 
 
+#: hybrid-group layout for 20-band PS (sbr_rom.cpp groupBorders20 /
+#: bins2groupMap20): 10 sub-QMF groups over QMF bands 0-2, then plain
+#: QMF bands 3..63 in widening groups
+_PS_GROUP_BORDERS20 = (6, 7, 0, 1, 2, 3, 9, 8, 10, 11,
+                       3, 4, 5, 6, 7, 8, 9, 11, 14, 18, 23, 35, 64)
+_PS_BINS2GROUP20 = (1, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+                    13, 14, 15, 16, 17, 18, 19)
+
+
+def ps_mixing_matrices(iid_row, icc_row, fine: bool):
+    """Per-stereo-bin type-A rotation coefficients (h11, h12, h21,
+    h22) from absolute IID/ICC indices — float reformulation of
+    psdec.cpp:1000-1045: c_l/c_r looked up in the IID scale-factor
+    tables (c_l^2 + c_r^2 = 2), alpha from the ICC rotation-angle
+    table, beta = alpha * (c_r - c_l) / sqrt(2).  L = h11*s + h21*d,
+    R = h12*s + h22*d with s the mid signal and d its decorrelation;
+    per-envelope linear interpolation of these matrices happens at
+    synthesis time (psdec.cpp:1046-1070)."""
+    T = tables()
+    sf = T["ps_ScaleFactorsFine" if fine else "ps_ScaleFactors"]
+    al = T["ps_Alphas"]
+    steps = 15 if fine else 7
+    iid = np.clip(np.asarray(iid_row[:20], np.int64), -steps, steps)
+    icc = np.clip(np.asarray(icc_row[:20], np.int64), 0, 7)
+    cr = sf[steps + iid]
+    cl = sf[steps - iid]
+    alpha = al[icc]
+    beta = alpha * (cr - cl) * (0.5 ** 0.5)
+    return (cl * np.cos(beta + alpha), cr * np.cos(beta - alpha),
+            cl * np.sin(beta + alpha), cr * np.sin(beta - alpha))
+
+
 def _ceil_log2(x: int) -> int:
     return 0 if x <= 1 else int(math.ceil(math.log2(x)))
 

@@ -415,3 +415,23 @@ def test_ps_index_delta_decode():
     assert frames >= 40, frames
     # hard-panned content must produce nonzero IIDs
     assert iid_active >= frames // 2
+
+
+def test_ps_mixing_matrices():
+    """Type-A rotation dequant (psdec.cpp): identity at centre,
+    total-energy preservation (c_l^2 + c_r^2 = 2) at every IID/ICC
+    combination, hard pan kills the opposite channel."""
+    from ohpipeline_tpu.codecs.aac.sbr import ps_mixing_matrices
+    h11, h12, h21, h22 = ps_mixing_matrices([0] * 20, [0] * 20, False)
+    assert np.allclose(h11, 1) and np.allclose(h12, 1)
+    assert np.allclose(h21, 0) and np.allclose(h22, 0)
+    for fine in (False, True):
+        steps = 15 if fine else 7
+        for iid in range(-steps, steps + 1):
+            for icc in range(8):
+                h = ps_mixing_matrices([iid] * 20, [icc] * 20, fine)
+                e = h[0] ** 2 + h[2] ** 2 + h[1] ** 2 + h[3] ** 2
+                assert np.allclose(e, 2.0, atol=1e-5), (iid, icc)
+    # hard pan left (positive IID): right direct gain collapses
+    h11, h12, h21, h22 = ps_mixing_matrices([7] * 20, [0] * 20, False)
+    assert h11[0] > 1.40 and h12[0] < 0.1
