@@ -595,6 +595,71 @@ def ps_mixing_matrices(iid_row, icc_row, fine: bool):
             cl * np.sin(beta + alpha), cr * np.sin(beta - alpha))
 
 
+#: hybrid filterbank prototypes (13 taps; psdec_hybrid.cpp:118-216
+#: documented filter designs: 8-band h[q,n]=g8[n]*exp(j*2pi/8*(q+.5)*
+#: (n-6)), 2-band h[q,n]=g2[n]*cos(pi*q*(n-6)))
+_PS_G8 = np.array([0.00746082949812, 0.02270420949825, 0.04546865930473,
+                   0.07266113929591, 0.09885108575264, 0.11793710567217,
+                   0.125,
+                   0.11793710567217, 0.09885108575264, 0.07266113929591,
+                   0.04546865930473, 0.02270420949825, 0.00746082949812])
+_PS_G2 = np.array([0.0, 0.01899487526049, 0.0, -0.07293139167538, 0.0,
+                   0.30596630545168, 0.5, 0.30596630545168, 0.0,
+                   -0.07293139167538, 0.0, 0.01899487526049, 0.0])
+
+
+class PsHybrid:
+    """PS hybrid analysis filterbank (psdec_hybrid.cpp
+    fillHybridDelayLine/slotBasedHybridAnalysis): QMF bands 0-2 split
+    into 12 sub-subbands (8 complex + 2 + 2; channels 3+4 and 2+5
+    merged for the 20-band layout), QMF bands 3..63 delayed by the
+    filterbank's 6-slot group delay.  The FIRs are (13, nsub) matmuls
+    over slot windows — MXU-shaped like the QMF kernels."""
+
+    def __init__(self):
+        n = np.arange(13)[:, None]
+        q8 = np.arange(8)[None, :]
+        self.H8 = _PS_G8[:, None] * np.exp(
+            1j * 2.0 * np.pi / 8.0 * (q8 + 0.5) * (6 - n))
+        q2 = np.arange(2)[None, :]
+        self.H2 = _PS_G2[:, None] * np.cos(np.pi * q2 * (6 - n))
+        self._hist = np.zeros((12, 3), np.complex128)
+        self._dline = np.zeros((6, 61), np.complex128)
+
+    def analyze(self, X: np.ndarray) -> tuple:
+        """(slots, 64) complex QMF -> ((slots, 12) hybrid sub-bands,
+        (slots, 61) delayed QMF bands 3..63)."""
+        nsl = X.shape[0]
+        low = np.concatenate([self._hist, X[:, :3]], axis=0)
+        self._hist = low[nsl:nsl + 12].copy()
+        win = np.stack([low[s:s + 13] for s in range(nsl)], axis=0)
+        hyb = np.zeros((nsl, 12), np.complex128)
+        hyb[:, 0:8] = np.einsum("snb,nq->sbq", win[:, :, :1],
+                                self.H8)[:, 0]
+        hyb[:, 8:10] = np.einsum("sn,nq->sq", win[:, :, 1], self.H2)
+        hyb[:, 10:12] = np.einsum("sn,nq->sq", win[:, :, 2], self.H2)
+        # group channels 3+4 -> 3 and 2+5 -> 2 (20-band layout)
+        hyb[:, 3] += hyb[:, 4]
+        hyb[:, 2] += hyb[:, 5]
+        hyb[:, 4] = 0
+        hyb[:, 5] = 0
+        rest = np.concatenate([self._dline, X[:, 3:]], axis=0)
+        self._dline = rest[nsl:nsl + 6].copy()
+        return hyb, rest[:nsl]
+
+    @staticmethod
+    def synthesize(hyb: np.ndarray, rest: np.ndarray) -> np.ndarray:
+        """Sum sub-subbands back per QMF band (slotBasedHybridSynthesis)
+        -> (slots, 64) complex QMF."""
+        nsl = hyb.shape[0]
+        X = np.zeros((nsl, 64), np.complex128)
+        X[:, 0] = hyb[:, 0:8].sum(axis=1)
+        X[:, 1] = hyb[:, 8:10].sum(axis=1)
+        X[:, 2] = hyb[:, 10:12].sum(axis=1)
+        X[:, 3:] = rest
+        return X
+
+
 def _ceil_log2(x: int) -> int:
     return 0 if x <= 1 else int(math.ceil(math.log2(x)))
 

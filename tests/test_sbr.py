@@ -435,3 +435,20 @@ def test_ps_mixing_matrices():
     # hard pan left (positive IID): right direct gain collapses
     h11, h12, h21, h22 = ps_mixing_matrices([7] * 20, [0] * 20, False)
     assert h11[0] > 1.40 and h12[0] < 0.1
+
+
+def test_ps_hybrid_filterbank_perfect_reconstruction():
+    """The PS hybrid analysis/synthesis pair (psdec_hybrid.cpp
+    documented 13-tap designs) must reconstruct any QMF signal exactly
+    with the 6-slot group delay, including across chunked calls."""
+    from ohpipeline_tpu.codecs.aac.sbr import PsHybrid
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((96, 64)) + 1j * rng.standard_normal((96, 64))
+    h = PsHybrid()
+    parts = [h.analyze(X[:20]), h.analyze(X[20:50]), h.analyze(X[50:])]
+    hyb = np.concatenate([p[0] for p in parts])
+    rest = np.concatenate([p[1] for p in parts])
+    # 20-band grouping zeroed channels 4/5 into 2/3
+    assert np.abs(hyb[:, 4:6]).max() == 0
+    Y = PsHybrid.synthesize(hyb, rest)
+    assert np.abs(Y[6:] - X[:-6]).max() < 1e-10
