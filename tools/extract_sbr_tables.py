@@ -95,6 +95,46 @@ def parse_ps_roms(text: str) -> dict:
     return out
 
 
+PS_HEX = [("aAllpassLinkDecaySer", 3),
+          ("aaFractDelayPhaseFactorReQmf", 64),
+          ("aaFractDelayPhaseFactorImQmf", 64),
+          ("aaFractDelayPhaseFactorReSubQmf20", 12),
+          ("aaFractDelayPhaseFactorImSubQmf20", 12),
+          ("aaFractDelayPhaseFactorSerReQmf", 64 * 3),
+          ("aaFractDelayPhaseFactorSerImQmf", 64 * 3),
+          ("aaFractDelayPhaseFactorSerReSubQmf20", 12 * 3),
+          ("aaFractDelayPhaseFactorSerImSubQmf20", 12 * 3)]
+
+
+def parse_ps_decorr(text: str) -> dict:
+    """PS decorrelator ROMs: allpass decay gains and per-band
+    fractional-delay phase factors (Q31 via FXP_CAST), the decay
+    scale-factor ramp (float literals) and the long-delay map
+    (sbr_rom.cpp:1139-1308)."""
+    out = {}
+    for name, n in PS_HEX:
+        m = re.search(r"const FIXP_PS " + name + r"\[[^=]*= \{(.*?)\};",
+                      text, re.S)
+        if not m:
+            raise SystemExit(f"ps decorr {name} not found")
+        vals = re.findall(r"FXP_CAST\(0x([0-9a-fA-F]{8})\)", m.group(1))
+        arr = np.asarray([int(v, 16) for v in vals], np.int64)
+        arr = np.where(arr >= 1 << 31, arr - (1 << 32), arr)
+        assert arr.size == n, (name, arr.size)
+        out["ps_" + name] = arr.astype(np.float64) / (1 << 31)
+    m = re.search(r"const FIXP_DBL decayScaleFactTable\[64\] = \{(.*?)\};",
+                  text, re.S)
+    vals = re.findall(r"FL2FXCONST_DBL\((-?\d+\.\d+)\)", m.group(1))
+    assert len(vals) == 64
+    out["ps_decayScaleFactTable"] = np.asarray([float(v) for v in vals])
+    m = re.search(r"const UCHAR delayIndexQmf\[[^=]*= \{(.*?)\};",
+                  text, re.S)
+    out["ps_delayIndexQmf"] = np.asarray(
+        [int(v) for v in re.findall(r"\d+", m.group(1))], np.int64)
+    assert out["ps_delayIndexQmf"].size == 64
+    return out
+
+
 def parse_random(text: str) -> np.ndarray:
     m = re.search(r"sbr_randomPhase\[[^\]]*\]\[2\] = \{(.*?)\};", text, re.S)
     if not m:
@@ -140,6 +180,7 @@ def main() -> int:
     tables = parse_books(text)
     tables.update(parse_ps_books(text))
     tables.update(parse_ps_roms(text))
+    tables.update(parse_ps_decorr(text))
     tables["random_phase"] = parse_random(text)
     tables["ana32"] = probe_ana(32)
     tables["syn64"] = probe_syn(64)
