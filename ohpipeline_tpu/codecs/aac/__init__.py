@@ -349,6 +349,7 @@ class CodecAacAdts(CodecBase):
         # HE-AAC: a low core rate with SBR extension payloads doubles the
         # output rate (reference: AacFdkBase.cpp decodes HE via libSBRdec)
         self._sbr = None
+        self._ps = False
         if hdr.sample_rate <= 24000:
             try:
                 h2 = BS.parse_adts_header(self._buf)
@@ -357,8 +358,15 @@ class CodecAacAdts(CodecBase):
                 if fr.sbr is not None:
                     from .sbr import SbrDecoder
                     self._sbr = SbrDecoder(hdr.sample_rate)
+                    if hdr.channels == 1:
+                        chans, _c = self._sbr.parse_payload(
+                            fr.sbr[0], fr.sbr[1], stereo=False,
+                            crc=fr.sbr[2])
+                        # PS rides the SBR extension: implicit v2
+                        self._ps = chans[0].ps is not None
             except Exception:
                 self._sbr = None
+                self._ps = False
         rate = hdr.sample_rate * (2 if self._sbr else 1)
         spf = 1024 * (2 if self._sbr else 1)
         total = reader.stream_bytes
@@ -367,10 +375,13 @@ class CodecAacAdts(CodecBase):
             # estimate duration from first-frame size (CBR-ish)
             frames = total // max(hdr.frame_bytes, 1)
             length_j = frames * spf * Jiffies.per_sample(rate)
+        name = "AAC"
+        if self._sbr:
+            name = "HE-AAC v2" if self._ps else "HE-AAC"
         self._info = PcmStreamInfo(
             sample_rate=rate, bit_depth=16,
-            num_channels=hdr.channels,
-            codec_name="HE-AAC" if self._sbr else "AAC", lossless=False,
+            num_channels=2 if self._ps else hdr.channels,
+            codec_name=name, lossless=False,
             seekable=False,
             bitrate=hdr.frame_bytes * 8 * hdr.sample_rate // 1024,
             track_length_jiffies=length_j)
@@ -464,17 +475,19 @@ class CodecAacAdts(CodecBase):
         if not frames:
             raise EndOfStream
         pcm = _sbr_decode_frames(frames, self._state, self._sbr,
-                                 self._hdr.channels)
+                                 self._hdr.channels, ps=self._ps)
         first = self._sample_pos
         self._sample_pos += pcm.shape[1]
         return DecodedBatch(self._info, samples=pcm,
                             track_offset_samples=first)
 
 
-def _sbr_decode_frames(frames, state, sbr, nch) -> np.ndarray:
+def _sbr_decode_frames(frames, state, sbr, nch,
+                       ps: bool = False) -> np.ndarray:
     """Core decode + SBR reconstruction for a group of parsed frames
     (shared by the ADTS and MP4 codecs; AacFdkBase.cpp feeds both
-    transports through the same libSBRdec instance)."""
+    transports through the same libSBRdec instance).  With ``ps`` the
+    mono core becomes stereo through the parametric-stereo tool."""
     from .sbr import SbrError
     outs = []
     for fr in frames:
@@ -484,12 +497,17 @@ def _sbr_decode_frames(frames, state, sbr, nch) -> np.ndarray:
             try:
                 chans, coupling = sbr.parse_payload(
                     payload, nbits, stereo=(nch == 2), crc=crc)
-                outs.append(sbr.process_frame(core, chans, coupling))
+                if ps:
+                    outs.append(sbr.process_frame_ps(core, chans))
+                else:
+                    outs.append(sbr.process_frame(core, chans,
+                                                  coupling))
                 continue
             except SbrError:
                 pass
         # no/invalid payload: plain 2x hold upsample keeps timing
-        outs.append(np.repeat(core, 2, axis=1))
+        up = np.repeat(core, 2, axis=1)
+        outs.append(np.repeat(up, 2, axis=0) if ps else up)
     pcm = np.concatenate(outs, axis=1)
     return np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
 
@@ -568,6 +586,7 @@ class CodecAacMp4(CodecBase):
         self._state = _StreamState(channels)
         rate = T.SAMPLE_RATES[rate_idx]
         self._sbr = None
+        self._ps = False
         if sbr_explicit or rate <= 24000:
             try:
                 off, size = self._samples[0]
@@ -576,13 +595,23 @@ class CodecAacMp4(CodecBase):
                 if fr.sbr is not None:
                     from .sbr import SbrDecoder
                     self._sbr = SbrDecoder(rate)
+                    if channels == 1:
+                        chs, _c = self._sbr.parse_payload(
+                            fr.sbr[0], fr.sbr[1], stereo=False,
+                            crc=fr.sbr[2])
+                        self._ps = chs[0].ps is not None
             except Exception:                             # noqa: BLE001
                 self._sbr = None
+                self._ps = False
         spf = 1024 * (2 if self._sbr else 1)
         out_rate = rate * (2 if self._sbr else 1)
+        name = "AAC"
+        if self._sbr:
+            name = "HE-AAC v2" if self._ps else "HE-AAC"
         self._info = PcmStreamInfo(
-            sample_rate=out_rate, bit_depth=16, num_channels=channels,
-            codec_name="HE-AAC" if self._sbr else "AAC",
+            sample_rate=out_rate, bit_depth=16,
+            num_channels=2 if self._ps else channels,
+            codec_name=name,
             lossless=False, seekable=self._sbr is None,
             track_length_jiffies=track.total_samples * spf
             * Jiffies.per_sample(out_rate) if track.stts else 0)
@@ -605,8 +634,10 @@ class CodecAacMp4(CodecBase):
             raise EndOfStream
         first = self._sample_pos
         if self._sbr is not None:
-            pcm = _sbr_decode_frames(frames, self._state, self._sbr,
-                                     self._info.num_channels)
+            pcm = _sbr_decode_frames(
+                frames, self._state, self._sbr,
+                1 if self._ps else self._info.num_channels,
+                ps=self._ps)
             self._sample_pos += pcm.shape[1]
             return DecodedBatch(self._info, samples=pcm,
                                 track_offset_samples=first)

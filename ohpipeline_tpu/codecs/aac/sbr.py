@@ -1034,6 +1034,20 @@ class SbrDecoder:
             outR_Q.append(r)
         return (outL_E, outL_Q), (outR_E, outR_Q)
 
+    def process_frame_ps(self, core_pcm: np.ndarray,
+                         chans: list) -> np.ndarray:
+        """HE-AAC v2: mono core (1, 1024) + PS data -> (2, 2048)
+        stereo PCM (SBR reconstruction, then the parametric-stereo
+        decorrelator/mixer, then two QMF syntheses)."""
+        if not hasattr(self, "ps"):
+            self.ps = PsDecoder()
+        E, Q, _a = self.dequant(self.header, chans[0].grid,
+                                chans[0].env, chans[0].noise)
+        Xadj = self._reconstruct(0, core_pcm[0], chans[0], E, Q)
+        XL, XR = self.ps.process(Xadj, chans[0].ps)
+        return np.stack([self._synthesize(self.state[0], XL),
+                         self._synthesize(self.state[1], XR)])
+
     # -- one frame ---------------------------------------------------------
     def process_frame(self, core_pcm: np.ndarray, chans: list,
                       coupling: bool) -> np.ndarray:
@@ -1054,6 +1068,11 @@ class SbrDecoder:
         return out
 
     def _process_channel(self, ch, pcm, data, E, Q):
+        st = self.state[ch]
+        return self._synthesize(st, self._reconstruct(ch, pcm, data,
+                                                      E, Q))
+
+    def _reconstruct(self, ch, pcm, data, E, Q):
         ft, hdr = self.ft, self.header
         st = self.state[ch]
         Xlow32 = self.analyze(ch, pcm)             # (32, 32)
@@ -1113,9 +1132,8 @@ class SbrDecoder:
                 Xbuf[:, k] = hf
 
         Xadj = self._adjust(st, Xbuf, data, E, Q)
-        pcm_out = self._synthesize(st, Xadj[6:6 + nsl])
         st.x_hist = new_hist
-        return pcm_out
+        return Xadj[6:6 + nsl]
 
     def _adjust(self, st, Xbuf, data, E, Q):
         ft, hdr = self.ft, self.header
@@ -1275,3 +1293,233 @@ class SbrDecoder:
         out[:768 - 64] += st.syn_state
         st.syn_state = out[nsl * 64:nsl * 64 + 768 - 64].copy()
         return out[:nsl * 64]
+
+
+# ---------------------------------------------------------------------------
+# Parametric stereo synthesis (HE-AAC v2): decorrelator + rotation
+# mixing (float reformulation of libSBRdec psdec.cpp)
+# ---------------------------------------------------------------------------
+
+_PS_PEAK_DECAY = 0.765928338364649
+_PS_INT_COEFF = 1.0 - 0.75            # INT_FILTER_COEFF
+_PS_TRANS_IMPACT = 2.0 / 3.0
+_PS_SER_DELAYS = (3, 4, 5)            # aAllpassLinkDelaySer
+_PS_FIRST_DELAY_SB = 23
+
+
+class PsDecoder:
+    """Turns the decoded mono (mid) QMF matrix into L/R
+    (psdec.cpp deCorrelateSlotBased + initSlotBasedRotation +
+    applySlotBasedRotation):
+    * per-slot power + peak-decay transient ratio per stereo bin,
+    * decorrelation: 2-slot delay, per-band fractional-delay phase,
+      three serial allpass links (delays 3/4/5) for the sub-QMF
+      channels and QMF bands 3..22, plain 14/1-slot delays above,
+    * transient ducking of the decorrelated path,
+    * per-envelope linear interpolation of the type-A mixing matrices.
+    """
+
+    def __init__(self):
+        T = tables()
+        self.hybrid = PsHybrid()
+        self.phi_sub = (T["ps_aaFractDelayPhaseFactorReSubQmf20"]
+                        + 1j * T["ps_aaFractDelayPhaseFactorImSubQmf20"])
+        self.phi_qmf = (T["ps_aaFractDelayPhaseFactorReQmf"]
+                        + 1j * T["ps_aaFractDelayPhaseFactorImQmf"])
+        self.phi_ser_sub = (
+            T["ps_aaFractDelayPhaseFactorSerReSubQmf20"]
+            + 1j * T["ps_aaFractDelayPhaseFactorSerImSubQmf20"]
+        ).reshape(12, 3)
+        self.phi_ser_qmf = (
+            T["ps_aaFractDelayPhaseFactorSerReQmf"]
+            + 1j * T["ps_aaFractDelayPhaseFactorSerImQmf"]
+        ).reshape(64, 3)
+        self.decay_ser = T["ps_aAllpassLinkDecaySer"]
+        self.decay_scale = T["ps_decayScaleFactTable"]
+        self.delay_len = T["ps_delayIndexQmf"].astype(int)
+        # decorrelator state
+        self.peak_decay = np.zeros(20)
+        self.prev_peak_diff = np.zeros(20)
+        self.prev_nrg = np.zeros(20)
+        self.dly2_sub = np.zeros((2, 12), np.complex128)
+        self.dly2_qmf = np.zeros((2, _PS_FIRST_DELAY_SB), np.complex128)
+        self.dly2_idx = 0
+        self.ser_sub = [np.zeros((12, d), np.complex128)
+                        for d in _PS_SER_DELAYS]
+        self.ser_qmf = [np.zeros((_PS_FIRST_DELAY_SB, d), np.complex128)
+                        for d in _PS_SER_DELAYS]
+        self.ser_idx = [0, 0, 0]
+        self.long_dly = [np.zeros(self.delay_len[sb], np.complex128)
+                         for sb in range(_PS_FIRST_DELAY_SB, 64)]
+        self.long_idx = np.zeros(64 - _PS_FIRST_DELAY_SB, int)
+        # mixing state (true-value scale: identity mono split)
+        self.H = np.array([np.ones(22), np.ones(22),
+                           np.zeros(22), np.zeros(22)])
+        self.prev_iid = None
+        self.prev_icc = None
+        self.last_ps: PsData = None
+
+    # -- per-frame entry -------------------------------------------------
+    def process(self, X: np.ndarray, ps: PsData):
+        """X (32, 64) complex mid QMF -> (XL, XR) each (32, 64)."""
+        if ps is None:
+            if self.last_ps is None:
+                return X.copy(), X.copy()
+            ps = PsData(header_valid=True,
+                        enable_iid=self.last_ps.enable_iid,
+                        mode_iid=self.last_ps.mode_iid,
+                        enable_icc=self.last_ps.enable_icc,
+                        mode_icc=self.last_ps.mode_icc,
+                        frame_class=0, n_env=0)
+        self.last_ps = ps
+        iid_rows, icc_rows, self.prev_iid, self.prev_icc = \
+            decode_ps_indices(ps, self.prev_iid, self.prev_icc)
+        fine = ps.mode_iid > 2
+        if ps.mode_iid > 2:
+            pass
+        # 34-band parameters map to the baseline 20-band layout
+        if (ps.mode_iid % 3) == 2:
+            iid_rows = [_ps_map34_to_20(_pad34(r)) for r in iid_rows]
+        if (ps.mode_icc % 3) == 2:
+            icc_rows = [_ps_map34_to_20(_pad34(r)) for r in icc_rows]
+        n_env = len(iid_rows)
+        borders = self._env_borders(ps, n_env, X.shape[0])
+        hyb, rest = self.hybrid.analyze(X)
+        mid = np.concatenate([hyb, rest], axis=1)   # (32, 12 + 61)
+        L = np.zeros_like(mid)
+        R = np.zeros_like(mid)
+        for env in range(n_env):
+            t0, t1 = borders[env], borders[env + 1]
+            if t1 <= t0:
+                continue
+            h_tgt = self._group_matrices(iid_rows[env], icc_rows[env],
+                                         fine)
+            dH = (h_tgt - self.H) / (t1 - t0)
+            for sl in range(t0, t1):
+                self.H = self.H + dH
+                d = self._decorrelate_slot(mid[sl])
+                self._mix_slot(mid[sl], d, L[sl], R[sl])
+            self.H = h_tgt
+        XL = PsHybrid.synthesize(L[:, :12], L[:, 12:])
+        XR = PsHybrid.synthesize(R[:, :12], R[:, 12:])
+        return XL, XR
+
+    @staticmethod
+    def _env_borders(ps: PsData, n_env: int, nsl: int) -> list:
+        if ps.frame_class == 0 or ps.borders is None:
+            return [e * nsl // n_env for e in range(n_env)] + [nsl]
+        b = [0] + list(ps.borders[:n_env])
+        if b[-1] < nsl:
+            b = b + [nsl]       # duplicated-parameter env was appended
+            b = b[:n_env + 1]
+        b[-1] = nsl
+        for e in range(1, n_env):
+            thr = nsl - (n_env - e)
+            if b[e] > thr:
+                b[e] = thr
+            elif b[e] < b[e - 1] + 1:
+                b[e] = b[e - 1] + 1
+        return b
+
+    def _group_matrices(self, iid_row, icc_row, fine):
+        """(4, 22) per-group mixing targets: bins2groupMap20 expands
+        the 20 per-bin type-A matrices to the 22 processing groups."""
+        h11, h12, h21, h22 = ps_mixing_matrices(iid_row, icc_row, fine)
+        gm = np.asarray(_PS_BINS2GROUP20)
+        return np.array([h11[gm], h12[gm], h21[gm], h22[gm]])
+
+    def _decorrelate_slot(self, m: np.ndarray) -> np.ndarray:
+        """One slot of mid hybrid+qmf channels (73,) -> decorrelated
+        side channels (73,)."""
+        d = np.zeros_like(m)
+        hyb = m[:12]
+        qmf = m[12:]
+        # per-bin power at the 20-band resolution (psdec.cpp:643-664)
+        p = np.zeros(20)
+        ah = np.abs(hyb) ** 2
+        p[0] = ah[0] + ah[7]
+        p[1] = ah[1] + ah[6]
+        p[2] = ah[2]
+        p[3] = ah[3]
+        p[4] = ah[9]
+        p[5] = ah[8]
+        p[6] = ah[10]
+        p[7] = ah[11]
+        aq = np.abs(qmf) ** 2
+        for bin_ in range(8, 20):
+            lo = _PS_GROUP_BORDERS20[bin_ + 2]
+            hi = _PS_GROUP_BORDERS20[bin_ + 3]
+            p[bin_] = aq[lo - 3:hi - 3].sum()
+        # transient ratio (peak decay + smoothed difference)
+        self.peak_decay = np.maximum(self.peak_decay * _PS_PEAK_DECAY, p)
+        peak_diff = self.prev_peak_diff + _PS_INT_COEFF * (
+            self.peak_decay - p - self.prev_peak_diff)
+        self.prev_peak_diff = peak_diff
+        nrg = np.maximum(
+            0.0, self.prev_nrg + _PS_INT_COEFF * (p - self.prev_nrg))
+        self.prev_nrg = nrg
+        nrg = nrg * _PS_TRANS_IMPACT
+        trans = np.where(peak_diff <= nrg, 1.0,
+                         nrg / np.maximum(peak_diff, 1e-30))
+        # sub-qmf channels (groups 0..9): allpass chain
+        i2 = self.dly2_idx
+        for gr in range(10):
+            sb = _PS_GROUP_BORDERS20[gr]
+            r0 = self.dly2_sub[i2, sb] * self.phi_sub[sb]
+            self.dly2_sub[i2, sb] = hyb[sb]
+            for mi in range(3):
+                si = self.ser_idx[mi]
+                tmp = self.ser_sub[mi][sb, si] * self.phi_ser_sub[sb, mi]
+                tmp = tmp - self.decay_ser[mi] * r0
+                self.ser_sub[mi][sb, si] = \
+                    r0 + self.decay_ser[mi] * tmp
+                r0 = tmp
+            d[sb] = trans[_PS_BINS2GROUP20[gr]] * r0
+        # qmf bands 3..22 (groups 10..19): allpass with decay ramp
+        for gr in range(10, 20):
+            tr = trans[_PS_BINS2GROUP20[gr]]
+            for sb in range(_PS_GROUP_BORDERS20[gr],
+                            _PS_GROUP_BORDERS20[gr + 1]):
+                dsf = self.decay_scale[sb]
+                r0 = self.dly2_qmf[i2, sb] * self.phi_qmf[sb]
+                self.dly2_qmf[i2, sb] = qmf[sb - 3]
+                res = dsf * r0
+                for mi in range(3):
+                    si = self.ser_idx[mi]
+                    tmp = self.ser_qmf[mi][sb, si] \
+                        * self.phi_ser_qmf[sb, mi]
+                    tmp = tmp - self.decay_ser[mi] * res
+                    res = dsf * tmp
+                    self.ser_qmf[mi][sb, si] = \
+                        r0 + self.decay_ser[mi] * res
+                    r0 = tmp
+                d[12 + sb - 3] = tr * r0
+        # qmf bands 23..63 (groups 20, 21): plain delays
+        for gr in (20, 21):
+            tr = trans[_PS_BINS2GROUP20[gr]]
+            for sb in range(_PS_GROUP_BORDERS20[gr],
+                            _PS_GROUP_BORDERS20[gr + 1]):
+                k = sb - _PS_FIRST_DELAY_SB
+                buf = self.long_dly[k]
+                di = self.long_idx[k]
+                v = buf[di]
+                buf[di] = qmf[sb - 3]
+                self.long_idx[k] = (di + 1) % len(buf)
+                d[12 + sb - 3] = tr * v
+        self.dly2_idx = (i2 + 1) % 2
+        for mi in range(3):
+            self.ser_idx[mi] = (self.ser_idx[mi] + 1) \
+                % _PS_SER_DELAYS[mi]
+        return d
+
+    def _mix_slot(self, m, d, outL, outR):
+        h11, h12, h21, h22 = self.H
+        for gr in range(10):
+            sb = _PS_GROUP_BORDERS20[gr]
+            outL[sb] = h11[gr] * m[sb] + h21[gr] * d[sb]
+            outR[sb] = h12[gr] * m[sb] + h22[gr] * d[sb]
+        for gr in range(10, 22):
+            lo = _PS_GROUP_BORDERS20[gr] + 12 - 3
+            hi = _PS_GROUP_BORDERS20[gr + 1] + 12 - 3
+            outL[lo:hi] = h11[gr] * m[lo:hi] + h21[gr] * d[lo:hi]
+            outR[lo:hi] = h12[gr] * m[lo:hi] + h22[gr] * d[lo:hi]
