@@ -1375,8 +1375,6 @@ class PsDecoder:
         iid_rows, icc_rows, self.prev_iid, self.prev_icc = \
             decode_ps_indices(ps, self.prev_iid, self.prev_icc)
         fine = ps.mode_iid > 2
-        if ps.mode_iid > 2:
-            pass
         # 34-band parameters map to the baseline 20-band layout
         if (ps.mode_iid % 3) == 2:
             iid_rows = [_ps_map34_to_20(_pad34(r)) for r in iid_rows]
