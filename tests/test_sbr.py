@@ -464,3 +464,60 @@ def test_ps_hybrid_filterbank_perfect_reconstruction():
     assert np.abs(hyb[:, 4:6]).max() == 0
     Y = PsHybrid.synthesize(hyb, rest)
     assert np.abs(Y[6:] - X[:-6]).max() < 1e-10
+
+
+def test_he_aac_v2_in_mp4():
+    """HE-AAC v2 inside M4A: the AOT-29 AudioSpecificConfig hierarchy
+    plus PS detection must produce stereo output identical to the ADTS
+    path's."""
+    from ohpipeline_tpu.codecs.aac import (CodecAacMp4, bitstream as BS2,
+                                           decode_adts)
+    from ohpipeline_tpu.codecs.base import BufferReader, EndOfStream
+    from ohpipeline_tpu.containers.mpeg4 import write_m4a
+    t = np.arange(int(44100 * 1.5)) / 44100.0
+    pan = np.sin(2 * np.pi * 0.9 * t) * 0.5 + 0.5
+    base = np.sin(2 * np.pi * 700 * t) * 9000
+    pcm = np.stack([np.clip(base * pan, -32000, 32000),
+                    np.clip(base * (1 - pan), -32000, 32000)]) \
+        .astype(np.int16).T.copy()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.aac")
+        pcm.tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "40000", "2", "29"], check=True,
+                       capture_output=True)
+        data = open(fout, "rb").read()
+    frames = []
+    pos = 0
+    rate_idx = None
+    while True:
+        hdr = BS2.parse_adts_header(data, pos)
+        if hdr is None:
+            break
+        rate_idx = hdr.rate_index
+        frames.append(data[pos + hdr.header_bytes:pos + hdr.frame_bytes])
+        pos += hdr.frame_bytes
+    # AOT 29, core rate, mono config, ext rate 2x, inner AOT 2
+    bits = f"11101{rate_idx:04b}0001{rate_idx - 3:04b}00010000"
+    bits += "0" * (-len(bits) % 8)
+    asc = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    core_rate = [96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                 22050, 16000, 12000, 11025, 8000][rate_idx]
+    m4a = write_m4a(frames, asc, core_rate, 1)
+    codec = CodecAacMp4()
+    r = BufferReader(m4a)
+    info = codec.stream_initialise(r)
+    assert info.codec_name == "HE-AAC v2"
+    assert info.sample_rate == core_rate * 2 and info.num_channels == 2
+    parts = []
+    while True:
+        try:
+            parts.append(codec.process(r).resolve())
+        except EndOfStream:
+            break
+    out = np.concatenate(parts, axis=1)
+    _info, ref = decode_adts(data)
+    n = min(out.shape[1], ref.shape[1])
+    assert n > 40000
+    assert np.array_equal(out[:, :n], ref[:, :n])
