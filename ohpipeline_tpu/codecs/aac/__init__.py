@@ -359,7 +359,11 @@ class CodecAacAdts(CodecBase):
                     from .sbr import SbrDecoder
                     self._sbr = SbrDecoder(hdr.sample_rate)
                     if hdr.channels == 1:
-                        chans, _c = self._sbr.parse_payload(
+                        # Probe with a throwaway decoder: parse_payload
+                        # advances delta-coding state (_parse_prev/_ps_prev)
+                        # and process() re-parses this same first frame.
+                        probe = SbrDecoder(hdr.sample_rate)
+                        chans, _c = probe.parse_payload(
                             fr.sbr[0], fr.sbr[1], stereo=False,
                             crc=fr.sbr[2])
                         # PS rides the SBR extension: implicit v2
@@ -513,11 +517,14 @@ def _sbr_decode_frames(frames, state, sbr, nch,
 
 
 def parse_audio_specific_config(asc: bytes) -> tuple:
-    """AudioSpecificConfig -> (rate_index, channels, sbr_explicit).
-    Accepts AOT 2 (LC) and the AOT 5/29 explicit-SBR hierarchy whose
-    core is LC (tpdec_asc.cpp AudioSpecificConfig_Parse: aot,
-    samplingFrequencyIndex, channelConfiguration, then for 5/29 the
-    extension rate and the core AOT)."""
+    """AudioSpecificConfig -> (rate_index, channels, sbr_explicit,
+    ps_explicit).  Accepts AOT 2 (LC) and the AOT 5/29 explicit-SBR
+    hierarchy whose core is LC (tpdec_asc.cpp AudioSpecificConfig_Parse:
+    aot, samplingFrequencyIndex, channelConfiguration, then for 5/29 the
+    extension rate and the core AOT).  AOT 29 explicitly signals the
+    parametric-stereo tool: the caller must force 2-channel output even
+    if the first frame carries no ps_data yet (fdk tpdec_asc forces
+    stereo for AOT 29 regardless of payload)."""
     br = BitReader(asc)
     aot = br.read(5)
     rate_idx = br.read(4)
@@ -526,9 +533,8 @@ def parse_audio_specific_config(asc: bytes) -> tuple:
         raise CodecStreamCorrupt("explicit AAC sample rate unsupported")
     channels = br.read(4)
     sbr_explicit = False
+    ps_explicit = aot == 29
     if aot in (5, 29):
-        # AOT 29 (HE-AAC v2) decodes as v1: PS reconstruction is not
-        # implemented, the mono core + SBR plays
         ext_idx = br.read(4)
         if ext_idx == 0xF:
             br.read(24)
@@ -536,7 +542,7 @@ def parse_audio_specific_config(asc: bytes) -> tuple:
         sbr_explicit = True
     if aot != 2:
         raise CodecStreamCorrupt(f"not AAC-LC (AOT {aot})")
-    return rate_idx, channels, sbr_explicit
+    return rate_idx, channels, sbr_explicit, ps_explicit
 
 
 class CodecAacMp4(CodecBase):
@@ -576,7 +582,7 @@ class CodecAacMp4(CodecBase):
         asc = track.codec_config
         if len(asc) < 2:
             raise CodecStreamCorrupt("missing AudioSpecificConfig")
-        rate_idx, channels, sbr_explicit = \
+        rate_idx, channels, sbr_explicit, ps_explicit = \
             parse_audio_specific_config(asc)
         self._track = track
         self._rate_index = rate_idx
@@ -596,13 +602,25 @@ class CodecAacMp4(CodecBase):
                     from .sbr import SbrDecoder
                     self._sbr = SbrDecoder(rate)
                     if channels == 1:
-                        chs, _c = self._sbr.parse_payload(
+                        # Throwaway probe decoder: parse_payload mutates
+                        # delta-coding state and process() re-parses this
+                        # same first sample.
+                        probe = SbrDecoder(rate)
+                        chs, _c = probe.parse_payload(
                             fr.sbr[0], fr.sbr[1], stereo=False,
                             crc=fr.sbr[2])
                         self._ps = chs[0].ps is not None
             except Exception:                             # noqa: BLE001
                 self._sbr = None
                 self._ps = False
+        if ps_explicit and channels == 1:
+            # AOT 29 explicitly signals PS: force HE-AAC v2 stereo even
+            # when the first sample carries no ps_data (header may arrive
+            # later) or the probe failed — fdk tpdec_asc does the same.
+            if self._sbr is None:
+                from .sbr import SbrDecoder
+                self._sbr = SbrDecoder(rate)
+            self._ps = True
         spf = 1024 * (2 if self._sbr else 1)
         out_rate = rate * (2 if self._sbr else 1)
         name = "AAC"

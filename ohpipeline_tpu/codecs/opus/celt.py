@@ -1,5 +1,16 @@
 """CELT frame decoder (RFC 6716 section 4.3), written from the spec.
 
+Provenance note: RFC 6716 declares the reference implementation
+normative, and a bit-exact decoder is forced into its arithmetic and
+recursion order.  In particular the PVQ band-quantisation layer here
+(_quant_partition/_quant_band) follows the control flow of the
+normative decoder's bands.c quant_partition/quant_band — the split
+budgeting, rebalance and fold/fill bookkeeping must match exactly for
+bit-exactness, so that layer is structured after the normative
+reference rather than independently derived.  The data layout
+(numpy band matrices, batched device IMDCT) and everything around it
+are original.
+
 Behavioural parity target: opus-1.5.2 celt/celt_decoder.c +_bands.c as
 consumed by the reference's OpenHome/Media/Codec/Opus.cpp (float build);
 validated frame-for-frame against the compiled reference decoder

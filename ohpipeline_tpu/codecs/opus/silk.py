@@ -9,11 +9,12 @@ decoder (opus-1.5.2 silk/decode_indices.c, decode_pulses.c,
 shell_coder.c, code_signs.c); tables come from silk_tables.npz
 (tools/extract_silk_tables.py).
 
-This is the complete entropy layer of the SILK decoder; parameter
-dequantisation (NLSF -> LPC) and synthesis land in a later round —
-codecs.opus.CodecOpus keeps gating SILK/hybrid playback until then.
-Reference product path: OpenHome/Media/Codec/Opus.cpp over
-thirdparty/opus-1.5.2.
+This file carries the complete SILK decoder: the entropy layer above,
+parameter dequantisation (NLSF -> LPC, gains, LTP), and the synthesis
+stack (LTP + LPC filters, stereo mid/side unmixing, resampling to the
+API rate) — codecs.opus.CodecOpus plays SILK and hybrid frames through
+it.  Reference product path: OpenHome/Media/Codec/Opus.cpp over
+thirdparty/opus-1.5.2 (silk/decode_core.c et al.).
 """
 
 from __future__ import annotations

@@ -424,6 +424,11 @@ def flac_parse_group_zz(buf: bytes, bit_pos: int, lo: np.ndarray,
     lib = _flac_lib()
     if lib is None:
         raise RuntimeError("native flac unpacker unavailable")
+    if max_blocksize % 2:
+        # The hi plane packs two 4-bit nibbles per byte; an odd stride
+        # (attacker-controlled streaminfo max_blocksize) would otherwise
+        # drive the paired stores one past each row.
+        raise ValueError("flac_parse_group_zz requires an even max_blocksize")
     stride = max_blocksize
     B = max_frames * channels
     coeffs = np.zeros((B, 32), np.int32)

@@ -555,8 +555,13 @@ int flac_parse_group_zz(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
                 }
             }
             lrow[i] = (uint8_t)(z0 & 0xFF);
-            lrow[i + 1] = (uint8_t)(z1 & 0xFF);
-            hrow[i >> 1] = (uint8_t)(((z0 >> 8) & 0xF) | (((z1 >> 8) & 0xF) << 4));
+            if (i + 1 < stride) {
+                lrow[i + 1] = (uint8_t)(z1 & 0xFF);
+                hrow[i >> 1] = (uint8_t)(((z0 >> 8) & 0xF) |
+                                         (((z1 >> 8) & 0xF) << 4));
+            } else if ((i >> 1) < hbytes) {
+                hrow[i >> 1] = (uint8_t)((z0 >> 8) & 0xF);
+            }
         }
     }
     memset(lo + rows * stride, 0, (size_t)((cap_rows - rows) * stride));
