@@ -363,7 +363,10 @@ def nlsf_decode(bw: str, stage1: int, residuals: list) -> np.ndarray:
     wght = T["NLSF_CB1_WB_Wght_Q9" if bw == "wb" else "NLSF_CB1_Wght_Q9"]
     vec = cb1[stage1 * order:(stage1 + 1) * order]
     w = wght[stage1 * order:(stage1 + 1) * order]
-    nlsf = np.clip((res_q10 << 14) // w + (vec << 7), 0, 32767)
+    # silk_DIV32_16 truncates toward zero (C division), not floor
+    num = res_q10 << 14
+    quot = np.sign(num) * (np.abs(num) // w)
+    nlsf = np.clip(quot + (vec << 7), 0, 32767)
     # stabilise ordering/spacing (silk_NLSF_stabilize, 20-iteration cap
     # then a hard sort+clamp pass like the reference fallback)
     dmin = T["NLSF_DELTA_MIN_WB_Q15" if bw == "wb"
@@ -461,6 +464,8 @@ _N_LEVELS_QGAIN = 64
 _MIN_DELTA_GAIN = -4
 _MAX_DELTA_GAIN = 36
 _GAIN_OFFSET = (2 * 128) // 6 + 16 * 128
+#: gain_quant.c:36 INV_SCALE_Q16 — the inner (dB_range*128)/6 divides
+#: first (C parenthesisation), then scales by 65536
 _INV_SCALE_Q16 = (65536 * (((88 - 2) * 128) // 6)) // (_N_LEVELS_QGAIN - 1)
 
 
@@ -616,11 +621,64 @@ class SilkResampler:
         return np.concatenate(outs)
 
 
+def _have_fix() -> bool:
+    """True when the native fixed-point SILK core is available and not
+    disabled (OHP_SILK_FLOAT=1 forces the float fallback path)."""
+    import os
+    if os.environ.get("OHP_SILK_FLOAT"):
+        return False
+    from ohpipeline_tpu import native
+    return native.have_silk_core()
+
+
+#: silk/resampler_rom.h:48-50 — up2_HQ allpass coefficients as stored in
+#: ROM (the third section of each phase stores coef - 65536; SMLAWB's
+#: int16 wrap applies the +1 fold, resampler_private_up2_HQ.c:66,86)
+_UP2_HQ_ROM = np.array([1746, 14986, 39083 - 65536,
+                        6854, 25769, 55542 - 65536], np.int16)
+
+
+class SilkResamplerFix:
+    """Bit-exact fixed-point variant of SilkResampler
+    (silk/resampler_private_IIR_FIR.c over silk/resampler_private_up2_HQ.c
+    via native.silk_resampler_iir_fir); int16 in/out."""
+
+    def __init__(self, fs_in_hz: int, input_delay: int | None = None):
+        if fs_in_hz not in (8000, 12000, 16000):
+            raise ValueError(fs_in_hz)
+        self._batch = (fs_in_hz // 1000) * 10
+        inv = ((fs_in_hz << 15) // 48000) << 2
+        while (inv * 48000) >> 16 < (fs_in_hz << 1):
+            inv += 1
+        self._incr = inv
+        self._s_iir = np.zeros(6, np.int32)
+        self._s_fir = np.zeros(8, np.int16)
+        self._f12 = tables()["resampler_frac_FIR_12"].astype(np.int16)
+        self._d = (SilkResampler.DELAY_48[fs_in_hz] if input_delay is None
+                   else input_delay)
+        self._dline = np.zeros(self._d, np.int16)
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        from ohpipeline_tpu import native
+        x = np.asarray(x, np.int16)
+        if self._d > 0 and len(x):
+            buf = np.concatenate([self._dline, x])
+            self._dline = buf[len(x):].copy()
+            x = buf[:len(x)]
+        if not len(x):
+            return np.zeros(0, np.int16)
+        return native.silk_resampler_iir_fir(
+            x, self._batch, self._incr, self._s_iir, self._s_fir,
+            _UP2_HQ_ROM, self._f12)
+
+
 class SilkStreamDecoder:
-    """Stateful SILK-only mono decoder at the internal rate (float
-    formulation of silk/decode_core.c with the reference's exact symbol
-    and parameter dequantisation; output conformance is SNR-bounded, not
-    bit-exact, against the fixed-point reference)."""
+    """Stateful SILK-only mono decoder at the internal rate.  With the
+    native helper built (native.have_silk_core()) synthesis runs the
+    reference's fixed-point integer pipeline bit-exactly
+    (silk/decode_core.c via native.silk_decode_core_fix); otherwise it
+    falls back to the float reformulation below (SNR-bounded, not
+    bit-exact, against the reference)."""
 
     def __init__(self, bw: str):
         self.bw = bw
@@ -637,6 +695,14 @@ class SilkStreamDecoder:
         self.prev_nlsf = None
         self.first = True
         self._rs = None
+        self.fix = _have_fix()
+        if self.fix:
+            # fixed-point state (decode_core.c persistent buffers)
+            self._out_buf_i = np.zeros(self.ltp_mem + self.frame_len,
+                                       np.int16)
+            self._s_lpc_q14 = np.zeros(16, np.int32)
+            self._prev_gain_q16 = np.array([65536], np.int32)
+            self._last_exc = None
 
     def decode_frame_48k(self, data: bytes,
                          duration_ms: int = 20,
@@ -646,7 +712,13 @@ class SilkStreamDecoder:
         (silk/resampler.c USE_silk_resampler_private_IIR_FIR with the
         delay_matrix_dec input delay + one-sample output buffering)."""
         if self._rs is None:
-            self._rs = SilkResampler(
+            # delay = resampler input delay + the one-sample output
+            # buffering (dec_API.c keeps the last decoded sample in
+            # sStereo.sMid[1] and feeds the resampler from &x[1]);
+            # both are pure delays at the internal rate so they fold
+            # into one input delay line
+            cls = SilkResamplerFix if self.fix else SilkResampler
+            self._rs = cls(
                 self.fs_khz * 1000,
                 input_delay=SilkResampler.DELAY_48[self.fs_khz * 1000]
                 + 1)
@@ -665,9 +737,65 @@ class SilkStreamDecoder:
             [self.synthesise(f.indices) for f in frames])
 
     def synthesise(self, ix) -> np.ndarray:
-        """Parsed frame indices -> float PCM at the internal rate
+        """Parsed frame indices -> PCM at the internal rate
         (silk_decode_frame over silk_decode_core; 4 subframes for
-        20 ms frames, 2 for 10 ms)."""
+        20 ms frames, 2 for 10 ms).  Fixed-point int16 output on the
+        native path, float on the fallback."""
+        if self.fix:
+            return self._synthesise_fix(ix)
+        return self._synthesise_float(ix)
+
+    def _synthesise_fix(self, ix) -> np.ndarray:
+        """Bit-exact integer synthesis (silk/decode_core.c via
+        native.silk_decode_core_fix; parameter dequant per
+        silk/decode_parameters.c)."""
+        from ohpipeline_tpu import native
+        T = tables()
+        n_subfr = len(ix.gain_indices)
+        gains_q16, self.prev_gain_ind = gains_dequant(
+            ix.gain_indices, self.prev_gain_ind,
+            conditional=ix.cond_coding)
+        nlsf = nlsf_decode(self.bw, ix.nlsf_stage1, ix.nlsf_residuals)
+        cos_tab = T["LSFCosTab_FIX_Q12"].astype(np.int16)
+        a1 = native.silk_nlsf2a(nlsf, cos_tab)
+        interp = ix.nlsf_interp_q2 < 4 and self.prev_nlsf is not None
+        if interp:
+            nlsf0 = (self.prev_nlsf.astype(np.int64)
+                     + ((ix.nlsf_interp_q2
+                         * (nlsf.astype(np.int64)
+                            - self.prev_nlsf.astype(np.int64))) >> 2))
+            a0 = native.silk_nlsf2a(nlsf0.astype(np.int16), cos_tab)
+        else:
+            a0 = a1
+        self.prev_nlsf = nlsf
+        a_both = np.zeros((2, 16), np.int16)
+        a_both[0, :self.order] = a0
+        a_both[1, :self.order] = a1
+        voiced = ix.signal_type == 2
+        if voiced:
+            lags = decode_pitch(ix.lag_index, ix.contour_index,
+                                self.fs_khz, n_subfr)
+            b_q14 = ltp_taps_q14(ix.per_index,
+                                 ix.ltp_indices).astype(np.int16)
+            ltp_scale = int(T["LTPScales_table_Q14"][ix.ltp_scale_index])
+        else:
+            lags = [0] * n_subfr
+            b_q14 = np.zeros((n_subfr, 5), np.int16)
+            ltp_scale = 0
+        xq, exc = native.silk_decode_core_fix(
+            np.asarray(ix.pulses, np.int16), self.subfr_len, n_subfr,
+            self.order, self.ltp_mem, a_both, b_q14,
+            np.asarray(gains_q16, np.int32), np.asarray(lags, np.int32),
+            ltp_scale, ix.signal_type, ix.quant_offset, int(ix.seed),
+            interp, self._out_buf_i, self._s_lpc_q14,
+            self._prev_gain_q16)
+        self._last_exc = exc
+        self.first = False
+        return xq
+
+    def _synthesise_float(self, ix) -> np.ndarray:
+        """Float-reformulation fallback of the synthesis stack (used
+        when the native helper is unavailable)."""
         T = tables()
         n_subfr = len(ix.gain_indices)
         frame_len = n_subfr * self.subfr_len
@@ -901,12 +1029,20 @@ class SilkStereoDecoder:
         self.fs_khz = BW[bw].fs_khz
         self.mid = SilkStreamDecoder(bw)
         self.side = SilkStreamDecoder(bw)
+        self.fix = self.mid.fix
         self._smid = np.zeros(2)
         self._sside = np.zeros(2)
         self._pred_prev = [0, 0]
         self._prev_mid_only = 0
         self._prev_stereo = False
-        self._rs = [SilkResampler(self.fs_khz * 1000) for _ in range(2)]
+        rs_cls = SilkResamplerFix if self.fix else SilkResampler
+        self._rs = [rs_cls(self.fs_khz * 1000) for _ in range(2)]
+        if self.fix:
+            # stereo_dec_state (silk/structs.h): raw mid/side history,
+            # previous predictors
+            self._smid_i = np.zeros(2, np.int16)
+            self._sside_i = np.zeros(2, np.int16)
+            self._pred_prev_i = np.zeros(2, np.int32)
 
     def decode_packet_48k(self, data: bytes, stereo: bool,
                           duration_ms: int = 20,
@@ -920,8 +1056,14 @@ class SilkStereoDecoder:
             x = self.mid.decode_frame(data, duration_ms, dec=dec)
             outs = []
             for off in range(0, len(x), L):
-                x1 = np.concatenate([self._smid, x[off:off + L]])
-                self._smid = x1[L:L + 2].copy()
+                if self.fix:
+                    x1 = np.concatenate([self._smid_i,
+                                         np.asarray(x[off:off + L],
+                                                    np.int16)])
+                    self._smid_i = x1[L:L + 2].copy()
+                else:
+                    x1 = np.concatenate([self._smid, x[off:off + L]])
+                    self._smid = x1[L:L + 2].copy()
                 outs.append(self._rs[0].process(x1[1:L + 1]))
             self._prev_stereo = False
             out = np.concatenate(outs)
@@ -931,6 +1073,9 @@ class SilkStereoDecoder:
             # resampler state into the right channel (dec_API.c:215-219)
             self._pred_prev = [0, 0]
             self._sside = np.zeros(2)
+            if self.fix:
+                self._pred_prev_i[:] = 0
+                self._sside_i[:] = 0
             self._rs[1] = copy.deepcopy(self._rs[0])
         self._prev_stereo = True
         lefts, rights = [], []
@@ -941,7 +1086,7 @@ class SilkStereoDecoder:
                 self.side.prev_gain_ind = 10    # LastGainIndex on reset
             xm = self.mid.synthesise(fm.indices)
             xs = (self.side.synthesise(fs_.indices) if fs_ is not None
-                  else np.zeros(len(xm)))
+                  else np.zeros(len(xm), np.int16 if self.fix else None))
             self._prev_mid_only = mid_only
             left, right = self._ms_to_lr(xm, xs, pred)
             lefts.append(self._rs[0].process(left))
@@ -950,6 +1095,12 @@ class SilkStereoDecoder:
 
     def _ms_to_lr(self, mid: np.ndarray, side: np.ndarray,
                   pred_q13: list) -> tuple[np.ndarray, np.ndarray]:
+        if self.fix:
+            from ohpipeline_tpu import native
+            return native.silk_stereo_ms_to_lr(
+                np.asarray(mid, np.int16), np.asarray(side, np.int16),
+                self._smid_i, self._sside_i, self._pred_prev_i,
+                np.asarray(pred_q13, np.int32), self.fs_khz)
         fs = self.fs_khz
         L = len(mid)
         x1 = np.concatenate([self._smid, mid])

@@ -535,3 +535,120 @@ def flac_parse_group16(buf: bytes, bit_pos: int, out16: np.ndarray,
                  wasted=wasted, assign=assign, blocksize=blocksize,
                  sample_number=sample_number)
     return n, pos.value, status.value, batch, bool(overflow.value)
+
+
+# ---------------------------------------------------------------------------
+# SILK fixed-point synthesis core (silk_core.cc) — bit-exact integer
+# pipeline for the normative SILK decoder arithmetic (decode_core.c,
+# NLSF2A.c, resampler, stereo_MS_to_LR.c).  codecs.opus.silk uses these
+# when available and falls back to its float reformulation otherwise.
+
+_i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+
+
+def _silk_lib() -> ctypes.CDLL | None:
+    lib = _load("silkcore", ["silk_core.cc"])
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.silk_nlsf2a.restype = None
+        lib.silk_nlsf2a.argtypes = [_i16p, ctypes.c_int, _i16p, _i16p]
+        lib.silk_decode_core_fix.restype = ctypes.c_int
+        lib.silk_decode_core_fix.argtypes = [
+            _i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _i16p, _i16p, _i32p, _i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+            ctypes.c_int, _i16p, _i32p, _i32p, _i32p, _i16p]
+        lib.silk_resampler_iir_fir.restype = ctypes.c_int
+        lib.silk_resampler_iir_fir.argtypes = [
+            _i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+            _i32p, _i16p, _i16p, _i16p, _i16p]
+        lib.silk_stereo_ms_to_lr.restype = ctypes.c_int
+        lib.silk_stereo_ms_to_lr.argtypes = [
+            _i16p, _i16p, _i16p, _i16p, _i32p, _i32p,
+            ctypes.c_int, ctypes.c_int]
+        lib._sigs_set = True
+    return lib
+
+
+def have_silk_core() -> bool:
+    return _silk_lib() is not None
+
+
+def silk_nlsf2a(nlsf_q15: np.ndarray, cos_tab_q12: np.ndarray) -> np.ndarray:
+    """Q15 NLSF vector -> stabilised Q12 LPC (silk/NLSF2A.c)."""
+    lib = _silk_lib()
+    d = len(nlsf_q15)
+    a = np.zeros(d, np.int16)
+    lib.silk_nlsf2a(np.ascontiguousarray(nlsf_q15, np.int16), d,
+                    np.ascontiguousarray(cos_tab_q12, np.int16), a)
+    return a
+
+
+def silk_decode_core_fix(pulses: np.ndarray, subfr_length: int,
+                         nb_subfr: int, lpc_order: int, ltp_mem: int,
+                         a_q12_both: np.ndarray, b_q14: np.ndarray,
+                         gains_q16: np.ndarray, pitch_lags: np.ndarray,
+                         ltp_scale_q14: int, signal_type: int,
+                         quant_offset: int, seed: int,
+                         nlsf_interp: bool, out_buf: np.ndarray,
+                         s_lpc_q14: np.ndarray,
+                         prev_gain_q16: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """One SILK frame of fixed-point inverse NSQ (silk/decode_core.c).
+    Mutates out_buf / s_lpc_q14 / prev_gain_q16 state in place; returns
+    (xq int16, exc_Q14 int32)."""
+    lib = _silk_lib()
+    frame_length = subfr_length * nb_subfr
+    xq = np.zeros(frame_length, np.int16)
+    exc = np.zeros(frame_length, np.int32)
+    rc = lib.silk_decode_core_fix(
+        np.ascontiguousarray(pulses, np.int16), frame_length, subfr_length,
+        nb_subfr, lpc_order, ltp_mem,
+        np.ascontiguousarray(a_q12_both, np.int16),
+        np.ascontiguousarray(b_q14, np.int16),
+        np.ascontiguousarray(gains_q16, np.int32),
+        np.ascontiguousarray(pitch_lags, np.int32),
+        int(ltp_scale_q14), int(signal_type), int(quant_offset),
+        ctypes.c_int32(seed & 0xFFFFFFFF if seed < (1 << 31)
+                       else (seed - (1 << 32))), int(nlsf_interp),
+        out_buf, s_lpc_q14, prev_gain_q16, exc, xq)
+    if rc != 0:
+        raise ValueError("silk_decode_core_fix: invalid pitch lag state")
+    return xq, exc
+
+
+def silk_resampler_iir_fir(x: np.ndarray, batch: int, incr_q16: int,
+                           s_iir: np.ndarray, s_fir: np.ndarray,
+                           up2_coefs: np.ndarray,
+                           frac_fir_12: np.ndarray) -> np.ndarray:
+    """Fixed-point fs->48k upsampler (resampler_private_IIR_FIR.c);
+    mutates s_iir int32[6] / s_fir int16[8] in place."""
+    lib = _silk_lib()
+    x = np.ascontiguousarray(x, np.int16)
+    cap = (2 * len(x) * (1 << 16)) // max(incr_q16, 1) + 16
+    out = np.zeros(cap, np.int16)
+    n = lib.silk_resampler_iir_fir(
+        x, len(x), batch, incr_q16, s_iir, s_fir,
+        np.ascontiguousarray(up2_coefs, np.int16),
+        np.ascontiguousarray(frac_fir_12, np.int16), out)
+    return out[:n]
+
+
+def silk_stereo_ms_to_lr(mid: np.ndarray, side: np.ndarray,
+                         s_mid: np.ndarray, s_side: np.ndarray,
+                         pred_prev_q13: np.ndarray, pred_q13: np.ndarray,
+                         fs_khz: int) -> tuple[np.ndarray, np.ndarray]:
+    """Mid/side -> L/R with interpolated predictors
+    (silk/stereo_MS_to_LR.c); x inputs are the frame WITHOUT history --
+    the 2-sample history is carried in s_mid/s_side (mutated)."""
+    lib = _silk_lib()
+    frame_length = len(mid)
+    x1 = np.zeros(frame_length + 2, np.int16)
+    x2 = np.zeros(frame_length + 2, np.int16)
+    x1[2:] = mid
+    x2[2:] = side
+    lib.silk_stereo_ms_to_lr(
+        x1, x2, s_mid, s_side, pred_prev_q13,
+        np.ascontiguousarray(pred_q13, np.int32), fs_khz, frame_length)
+    # dec_API.c feeds the resampler from &x[1]: the converted samples
+    # live at [1, L+1) and carry the decoder's one-sample delay
+    return x1[1:frame_length + 1], x2[1:frame_length + 1]

@@ -18,9 +18,23 @@ from ohpipeline_tpu.containers.ogg import OggReader
 
 ORACLE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".oracle_build", "opus_oracle")
+SILK_PROBE = os.path.join(os.path.dirname(ORACLE), "silk_probe")
 
 pytestmark = pytest.mark.skipif(not os.path.exists(ORACLE),
                                 reason="opus oracle not built")
+
+
+def _probe_decode(pkts: list, fs_khz: int, channels: int, api_khz: int,
+                  ms: int = 20, loss: str | None = None) -> np.ndarray:
+    """Ground-truth SILK decode through the reference's silk_Decode
+    (tools/silk_probe.c, built by tools/build_oracles.sh)."""
+    import struct
+    blob = b"".join(struct.pack("<I", len(p)) + p for p in pkts)
+    cmd = [SILK_PROBE, str(fs_khz), str(channels), str(api_khz), str(ms)]
+    if loss:
+        cmd.append(loss)
+    r = subprocess.run(cmd, input=blob, capture_output=True, check=True)
+    return np.frombuffer(r.stdout, np.int16)
 
 
 class _R:
@@ -159,7 +173,7 @@ def test_silk_core_decode_snr():
         if dec is None:
             dec = SilkStreamDecoder(toc.bandwidth)
         outs.append(dec.decode_frame(bytes(p[1:])))
-    mine = np.concatenate(outs)
+    mine = np.concatenate(outs).astype(np.float64)
     n = len(ref48) - (len(ref48) % 3)
     X = np.fft.rfft(ref48[:n])
     f = np.fft.rfftfreq(n, 1 / 48000.0)
@@ -204,7 +218,7 @@ def test_silk_decode_48k_snr():
         if dec is None:
             dec = SilkStreamDecoder(toc.bandwidth)
         outs.append(dec.decode_frame_48k(bytes(p[1:])))
-    mine = np.concatenate(outs)
+    mine = np.concatenate(outs).astype(np.float64)
     # every 20 ms packet must yield exactly 960 samples at 48 kHz
     assert all(len(o) == 960 for o in outs)
     assert abs(np.sqrt((mine ** 2).mean())
@@ -618,3 +632,93 @@ def test_silk_stream_plays_through_pipeline(tmp_path):
     x = pcm[0, 20000:68000].astype(np.float64)
     zc = ((x[:-1] < 0) & (x[1:] >= 0)).sum()
     assert abs(zc - 220) <= 14, f"{zc} crossings/s for a 220 Hz tone"
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact conformance of the fixed-point SILK path (silk_core.cc).
+# These assert EXACT equality with the reference decoder (opus_decode's
+# 48 kHz int16 output) and would fail on the round-2 float reformulation.
+
+
+def _fix_active() -> bool:
+    from ohpipeline_tpu.codecs.opus.silk import _have_fix
+    return _have_fix()
+
+
+def _encode_decode_oracle(x: np.ndarray, enc_args: tuple) -> tuple:
+    """(ogg_opus_bytes, oracle 48k int16 decode) for int16 input x
+    (interleaved if stereo)."""
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        fo = os.path.join(td, "o.raw")
+        x.astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, *enc_args],
+                       check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        return data, np.fromfile(fo, np.int16)
+
+
+@pytest.mark.parametrize("enc_args,channels", [
+    (("1", "24000", "silk"), 1),          # WB 20 ms mono
+    (("1", "24000", "silk", "60"), 1),    # WB 60 ms (conditional coding)
+    (("1", "24000", "silk", "10"), 1),    # WB 10 ms (2 subframes)
+    (("1", "6000", "silk"), 1),           # NB (order 10, 8 kHz)
+    (("1", "20000", "silkmb"), 1),        # MB (12 kHz resampler)
+    (("2", "48000", "silk"), 2),          # stereo mid/side
+])
+def test_silk_fixed_point_bit_exact(enc_args, channels):
+    """The native fixed-point SILK pipeline (decode_core, NLSF2A,
+    resampler, stereo unmix — ohpipeline_tpu/native/silk_core.cc) must
+    reproduce the reference decoder's 48 kHz output bit-for-bit across
+    bandwidths, frame sizes and channel modes
+    (thirdparty/opus-1.5.2/silk/decode_core.c et al.)."""
+    if not _fix_active():
+        pytest.skip("native silk core unavailable")
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    t = np.arange(48000 * 2) / 48000.0
+    rng = np.random.default_rng(11)
+    base = (np.sin(2 * np.pi * 220 * t)
+            * (0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)) * 11000
+            + rng.standard_normal(len(t)) * 600)
+    if channels == 2:
+        r = np.sin(2 * np.pi * 330 * t + 0.7) * 9000
+        x = np.stack([base, r], axis=1).ravel()
+    else:
+        x = base
+    data, ref = _encode_decode_oracle(np.clip(x, -32000, 32000), enc_args)
+    info, pcm = decode_opus(data)
+    assert info.num_channels == channels
+    ref = ref.reshape(-1, channels).T
+    m = min(pcm.shape[1], ref.shape[1])
+    mine = np.rint(pcm[:, :m]).astype(np.int64)
+    assert np.array_equal(mine, ref[:, :m].astype(np.int64)), \
+        f"max diff {np.abs(mine - ref[:, :m]).max()}"
+
+
+def test_silk_internal_rate_bit_exact_vs_probe():
+    """Internal-rate synthesis (no resampler) vs silk_Decode driven
+    directly at the internal rate through tools/silk_probe.c; isolates
+    decode_core + parameter dequantisation.  The probe output carries
+    the 16->16 kHz copy-resampler delay (12, resampler.c:66) plus the
+    one-sample output buffering."""
+    if not _fix_active() or not os.path.exists(SILK_PROBE):
+        pytest.skip("native silk core or probe unavailable")
+    from ohpipeline_tpu.codecs.opus.silk import (SilkStreamDecoder,
+                                                 parse_silk_packet)
+    for kind in ("tone", "pulsed_noise"):
+        data = _silk_stream(kind)
+        rdr = OggReader(_R(data))
+        pkts = [bytes(p[1:]) for i, p in enumerate(rdr.packets())
+                if i >= 2]
+        ref = _probe_decode(pkts, 16, 1, 16)
+        dec = SilkStreamDecoder("wb")
+        mine = np.concatenate(
+            [dec.synthesise(f.indices) for p in pkts
+             for f in parse_silk_packet(p, "wb")])
+        sh = 13
+        m = min(len(mine), len(ref)) - sh
+        assert np.array_equal(mine[:m].astype(np.int64),
+                              ref[sh:sh + m].astype(np.int64))

@@ -155,6 +155,10 @@ build_opus() {
       -I"$obj" -w "$(dirname "$0")/celt_probe.c" "$obj/libopus.a" -lm \
       -o "$OUT/celt_probe"
   echo "built $OUT/celt_probe"
+  gcc -O2 -DVAR_ARRAYS -DOPUS_BUILD -I"$src/include" -I"$src/celt" \
+      -I"$src/silk" -I"$src" -I"$obj" -w "$(dirname "$0")/silk_probe.c" \
+      "$obj/libopus.a" -lm -o "$OUT/silk_probe"
+  echo "built $OUT/silk_probe"
 }
 
 case "${1:-all}" in
