@@ -284,9 +284,64 @@ def sf_expand_matrix(rate_index: int) -> np.ndarray:
     return E
 
 
+def _tns_scan_device(x, fid, dirs, coefs, direction):
+    """One masked all-pole scan along frequency over gathered TNS rows.
+    x (P, 1024) f32; fid (P, 1024) i32 filter slot+1 (0 = none); dirs
+    (P, 1024) i32 per-bin filter direction; coefs (P, 1024, 12) f32
+    per-bin direct-form coefficients; applies only bins whose filter
+    runs in `direction`.  History resets at each region start (fdk
+    CTns_Apply zero filter state per filter)."""
+    active = (fid > 0) & (dirs == direction)
+    prev_fid = jnp.concatenate(
+        [jnp.full_like(fid[:, :1], -1), fid[:, :-1]], axis=1)
+    reset = active & (fid != prev_fid)
+
+    def step(hist, inp):
+        xi, ai, ci, ri = inp
+        hist = jnp.where(ri[:, None], 0.0, hist)
+        y = xi - jnp.where(ai, jnp.sum(ci * hist, axis=1), 0.0)
+        hist = jnp.concatenate([y[:, None], hist[:, :-1]], axis=1)
+        return hist, y
+
+    P = x.shape[0]
+    init = jnp.zeros((P, 12), x.dtype)
+    _, ys = jax.lax.scan(
+        step, init,
+        (x.T, active.T, jnp.swapaxes(coefs, 0, 1), reset.T))
+    return ys.T
+
+
+def apply_tns_zz(spec, tfi, tco, tdir, trow):
+    """Device-side TNS synthesis filtering for the zigzag wire
+    (planes from native.aac_prepare_rows_zz's TnsPool): gathers the
+    pooled rows out of spec (TB, 1024), runs an upward scan then a
+    downward scan on the flipped axis (all-pole lattice filters per
+    fdk aacdec_tns.cpp / native aac_unpack.cc:aac_tns_group; regions
+    are disjoint so the two passes commute), scatters the rows back."""
+    TB = spec.shape[0]
+    P = tfi.shape[0]
+    rows = jnp.where(trow >= 0, trow, 0)
+    x = spec[rows]
+    fid = tfi.astype(jnp.int32)
+    dir_ext = jnp.concatenate(
+        [jnp.zeros((P, 1), jnp.int32), tdir.astype(jnp.int32)], axis=1)
+    dirs = jnp.take_along_axis(dir_ext, fid, axis=1)
+    coef_ext = jnp.concatenate(
+        [jnp.zeros((P, 1, 12), tco.dtype), tco], axis=1)
+    coefs = jnp.take_along_axis(coef_ext, fid[:, :, None], axis=1)
+    x = _tns_scan_device(x, fid, dirs, coefs, 0)
+    x = jnp.flip(
+        _tns_scan_device(jnp.flip(x, 1), jnp.flip(fid, 1),
+                         jnp.flip(dirs, 1), jnp.flip(coefs, 1), 1), 1)
+    sidx = jnp.where(trow >= 0, trow, TB)
+    spec_ext = jnp.concatenate([spec, jnp.zeros((1, 1024), spec.dtype)])
+    return spec_ext.at[sidx].set(x)[:TB]
+
+
 def decode_chunk_zz(q4, sfb, ssf, ssr, msb, opx, esc_row, esc_pos, esc_val,
                     side_q, side_row, overlap,
-                    M_long, M_short, W, SW, E_sf):
+                    M_long, M_short, W, SW, E_sf,
+                    tfi=None, tco=None, tdir=None, trow=None):
     """Scan-free whole-chunk AAC-LC decode for the zigzag-nibble wire
     (native.aac_prepare_rows_zz).  Everything the per-step path did with
     per-element gathers (config tables, permutations, rank reconstruction)
@@ -312,7 +367,11 @@ def decode_chunk_zz(q4, sfb, ssf, ssr, msb, opx, esc_row, esc_pos, esc_val,
     q = ((zz >> 1) ^ -(zz & 1)).astype(jnp.float32)
     flat = q.reshape(-1)
     dummy = TB * 1024
-    eidx = jnp.where(esc_row >= 0, esc_row * 1024 + esc_pos, dummy)
+    # esc_pos=None: esc_row already carries row*1024+pos packed (-1 pad)
+    if esc_pos is None:
+        eidx = jnp.where(esc_row >= 0, esc_row, dummy)
+    else:
+        eidx = jnp.where(esc_row >= 0, esc_row * 1024 + esc_pos, dummy)
     flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
     flat = flat.at[eidx].set(esc_val.astype(jnp.float32))
     q = flat[:dummy].reshape(TB, 1024)
@@ -342,6 +401,10 @@ def decode_chunk_zz(q4, sfb, ssf, ssr, msb, opx, esc_row, esc_pos, esc_val,
     sidx = jnp.where(side_row >= 0, side_row, TB)
     spec_ext = jnp.concatenate([spec, jnp.zeros((1, 1024), spec.dtype)])
     spec = spec_ext.at[sidx].set(side_spec)[:TB]
+    # TNS rows: masked all-pole scans along frequency (after stereo and
+    # side substitution, before the filterbank — fdk channel.cpp order)
+    if tfi is not None:
+        spec = apply_tns_zz(spec, tfi, tco, tdir, trow)
     # filterbank: whole-chunk IMDCT matmuls + one-hot window matmuls
     op = opx.reshape(TB).astype(jnp.int32)
     onehot = (op[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]) \
@@ -383,9 +446,37 @@ def decode_chunk_zz(q4, sfb, ssf, ssr, msb, opx, esc_row, esc_pos, esc_val,
     return pcm, x[-1, :, 1024:]
 
 
+def apply_tns_zz_reference(spec, tfi, tco, tdir, trow):
+    """float64 numpy twin of apply_tns_zz (precision gate)."""
+    for j in range(tfi.shape[0]):
+        r = int(trow[j])
+        if r < 0:
+            continue
+        x = spec[r]
+        fid = tfi[j].astype(np.int32)
+        for direction in (0, 1):
+            idx_order = range(1024) if direction == 0 \
+                else range(1023, -1, -1)
+            hist = np.zeros(12)
+            prev = -1                      # previous bin's fid, raw
+            for i in idx_order:
+                f = int(fid[i])
+                act = f > 0 and int(tdir[j, f - 1]) == direction
+                if act and f != prev:
+                    hist[:] = 0.0
+                y = x[i] - (tco[j, f - 1].astype(np.float64) @ hist
+                            if act else 0.0)
+                hist[1:] = hist[:-1]
+                hist[0] = y
+                x[i] = y
+                prev = f
+    return spec
+
+
 def decode_chunk_zz_reference(q4, sfb, ssf, ssr, msb, opx,
                               esc_row, esc_pos, esc_val,
-                              side_q, side_row, overlap, E_sf):
+                              side_q, side_row, overlap, E_sf,
+                              tfi=None, tco=None, tdir=None, trow=None):
     """float64 numpy reference of decode_chunk_zz — the precision gate the
     bench smoke checks the device program against (the device's f32 IMDCT
     accumulation is the only deviation)."""
@@ -396,7 +487,10 @@ def decode_chunk_zz_reference(q4, sfb, ssf, ssr, msb, opx,
     q = ((zz >> 1) ^ -(zz & 1)).astype(np.float64)
     flat = q.reshape(-1)
     m = esc_row >= 0
-    flat[esc_row[m] * 1024 + esc_pos[m]] = esc_val[m]
+    if esc_pos is None:
+        flat[esc_row[m]] = esc_val[m]
+    else:
+        flat[esc_row[m] * 1024 + esc_pos[m]] = esc_val[m]
     q = flat.reshape(TB, 1024)
     k = (sfb.reshape(TB, 64).astype(np.float64)
          @ E_sf.astype(np.float64)).astype(np.int64)
@@ -413,6 +507,8 @@ def decode_chunk_zz_reference(q4, sfb, ssf, ssr, msb, opx,
     spec = np.stack([left, right], axis=2).reshape(TB, 1024)
     sel = side_row >= 0
     spec[side_row[sel]] = side_q[sel]
+    if tfi is not None:
+        spec = apply_tns_zz_reference(spec, tfi, tco, tdir, trow)
     W, SW = window_bank()
     ML = _imdct_matrix(2048).astype(np.float64)
     MS = _imdct_matrix(256).astype(np.float64)

@@ -128,11 +128,13 @@ def _aac_lib() -> ctypes.CDLL | None:
             _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         lib.aac_prepare_rows_zz.restype = ctypes.c_int
         lib.aac_prepare_rows_zz.argtypes = [
-            _i32p, _i8p, _i32p, _i32p, _u8p, _i32p,
+            _i32p, _i8p, _i32p, _i32p, _u8p, _i32p, _i32p, _f32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _i32p,
             _u8p, _u8p, _u8p, _u8p,
             _u8p, _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _u8p, _f32p, _u8p, _i32p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             _i32p, _i32p, _i32p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -372,12 +374,32 @@ class ShortSfPool:
         self.count.value = 0
 
 
+class TnsPool:
+    """Pooled TNS conditioning planes for device-side filtering: per
+    pooled row a per-coefficient filter-slot plane (tfi, u8 x1024,
+    slot+1 or 0), direct-form coefficients (tco, f32 x24x12), downward
+    flags (tdir, u8 x24) and the flat device row (trow)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.tfi = np.zeros((cap, 1024), np.uint8)
+        self.tco = np.zeros((cap, 24, 12), np.float32)
+        self.tdir = np.zeros((cap, 24), np.uint8)
+        self.row = np.full(cap, -1, np.int32)
+        self.count = ctypes.c_int32(0)
+
+    def reset(self):
+        self.row[:] = -1
+        self.count.value = 0
+
+
 def aac_prepare_rows_zz(batch: dict, nframes: int, F: int, channels: int,
                         prev_shape: np.ndarray, esc: EscapeList,
                         ssf: "ShortSfPool", *,
                         q4: np.ndarray, sfb: np.ndarray, msb: np.ndarray,
                         opx: np.ndarray, col0: int, row_base: int = 0,
-                        max_special: int = 64):
+                        max_special: int = 64,
+                        tns: "TnsPool | None" = None):
     """Zigzag-nibble wire variant (gather-free device decode): quantized
     coefficients land at their spectral positions as zigzag nibbles in
     ``q4`` (rows x 512 u8); long-window scalefactors go per band to
@@ -386,12 +408,20 @@ def aac_prepare_rows_zz(batch: dict, nframes: int, F: int, channels: int,
     ``ssf``; M/S flags become a per-coefficient bitmask ``msb`` (pairs x
     128 u8, LSB-first) and the window-operator index goes to ``opx``
     (rows u8).  |q| > 7 values become escape triples with the row offset
-    ``row_base`` added (also applied to ``ssf`` row indices).  Returns
-    special (frame*C + channel) row flags or None on overflow."""
+    ``row_base`` added (also applied to ``ssf`` row indices).
+
+    With a ``tns`` pool, TNS-only rows emit device-side filter
+    conditioning (masked frequency-scan planes, applied by
+    synthesis.decode_chunk_zz) instead of becoming special rows;
+    without one a zero-capacity pool forces them onto the special/side
+    path as before.  Returns special (frame*C + channel) row flags or
+    None on overflow."""
     lib = _aac_lib()
     SC = q4.shape[1] if q4.ndim == 3 else q4.shape[0] // F
     special = np.zeros(max_special, np.int32)
     n_special = ctypes.c_int32(0)
+    if tns is None:
+        tns = TnsPool(0)
     rc = lib.aac_prepare_rows_zz(
         np.ascontiguousarray(batch["ics"]),
         np.ascontiguousarray(batch["cb"]),
@@ -399,9 +429,13 @@ def aac_prepare_rows_zz(batch: dict, nframes: int, F: int, channels: int,
         np.ascontiguousarray(batch["quant"]),
         np.ascontiguousarray(batch["msmask"]),
         np.ascontiguousarray(batch["tnsn"]),
+        np.ascontiguousarray(batch["tnsp"]).reshape(-1),
+        np.ascontiguousarray(batch["tnsc"]).reshape(-1),
         nframes, F, channels, batch["rate_index"], prev_shape,
         q4.reshape(-1), sfb.reshape(-1), msb.reshape(-1), opx.reshape(-1),
         ssf.sf.reshape(-1), ssf.row, ctypes.byref(ssf.count), ssf.cap,
+        tns.tfi.reshape(-1), tns.tco.reshape(-1), tns.tdir.reshape(-1),
+        tns.row, ctypes.byref(tns.count), tns.cap,
         SC, col0, row_base,
         esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap,
         special, ctypes.byref(n_special), max_special)

@@ -753,18 +753,29 @@ int aac_prepare_rows_sparse(
 //
 // Exception spectra are flagged per (frame, channel): special_rows gets
 // f*C + c entries for channels whose final spectrum the wire cannot
-// represent (TNS-filtered, PNS noise, intensity right channels) — the
-// host preps those few channels and the device overwrites their rows.
+// represent (PNS noise / intensity right channels) — the host preps
+// those few channels and the device overwrites their rows.
+//
+// TNS-only rows stay on the wire path: their synthesis filters go to a
+// pooled conditioning plane the device applies as a masked scan along
+// frequency (tfi: per-coefficient filter slot+1, u8[pool][1024];
+// tco: direct-form coefficients f32[pool][24][12] converted from the
+// transmitted lattice exactly as aac_tns_group does; tdir:
+// u8[pool][24] downward flags; trow: flat device row).  A row that is
+// both TNS-filtered and exotic (cb>=13) remains a special row.
 //
 // Returns 0 ok, -2 special-row overflow, -4 escape overflow,
-// -5 short-sf pool overflow.
+// -5 short-sf pool overflow, -6 TNS pool overflow.
 int aac_prepare_rows_zz(
         const int32_t* ics, const int8_t* cb, const int32_t* sf,
         const int32_t* quant, const uint8_t* msmask, const int32_t* tnsn,
+        const int32_t* tnsp, const float* tnsc,
         int nframes, int F, int C, int rate_index,
         int32_t* prev_shape,
         uint8_t* q4, uint8_t* sfb, uint8_t* msb, uint8_t* opx,
         uint8_t* ssf, int32_t* ssr, int32_t* ssf_count, int ssf_cap,
+        uint8_t* tfi, float* tco, uint8_t* tdir, int32_t* trow,
+        int32_t* tns_count, int tns_cap,
         int SC, int col0, int64_t row_base,
         int32_t* esc_row, int32_t* esc_pos, int32_t* esc_val,
         int32_t* esc_count, int esc_cap,
@@ -857,11 +868,63 @@ int aac_prepare_rows_zz(
             for (int k = 0; k < 120; k++)
                 if (cbr[k] >= 13) ch_special = true;
             const int32_t* tn = tnsn + (int64_t)r * 8;
+            bool has_tns = false;
             for (int w = 0; w < 8; w++)
-                if (tn[w]) { ch_special = true; break; }
-            if (ch_special) {
+                if (tn[w]) { has_tns = true; break; }
+            if (ch_special || (has_tns && tns_cap == 0)) {
+                // exotic rows — and, with no TNS pool, TNS rows too —
+                // go to the host-prepared special/side path
                 if (*n_special >= max_special) return -2;
                 special_rows[(*n_special)++] = f * C + c;
+            } else if (has_tns) {
+                if (*tns_count >= tns_cap) return -6;
+                int tj = (*tns_count)++;
+                uint8_t* firow = tfi + (int64_t)tj * 1024;
+                float* corow = tco + (int64_t)tj * 24 * 12;
+                uint8_t* drow = tdir + (int64_t)tj * 24;
+                memset(firow, 0, 1024);
+                memset(corow, 0, sizeof(float) * 24 * 12);
+                memset(drow, 0, 24);
+                trow[tj] = (int32_t)(row_base + orow);
+                const int16_t* toff = shortw ? g_sfb_short[rate_index]
+                                             : g_sfb_long[rate_index];
+                int nbands = g_nsfb[rate_index][shortw ? 1 : 0];
+                int nwin = shortw ? 8 : 1;
+                for (int w = 0; w < nwin; w++) {
+                    int base = shortw ? w * 128 : 0;
+                    int bottom = nbands;
+                    for (int fi = 0; fi < tn[w] && fi < 3; fi++) {
+                        const int32_t* p = &tnsp[(r * 24 + w * 3 + fi) * 3];
+                        int length = p[0], order = p[1], dir = p[2];
+                        int top = bottom;
+                        bottom = top - length;
+                        if (bottom < 0) bottom = 0;
+                        if (order == 0) continue;
+                        int start = toff[bottom < nbands ? bottom : nbands];
+                        int end = toff[top < nbands ? top : nbands];
+                        int lim = shortw ? 128 : 1024;
+                        if (end > lim) end = lim;
+                        if (end <= start) continue;
+                        // lattice -> direct form (same as aac_tns_group)
+                        double a[16] = {0};
+                        int alen = 0;
+                        const float* kk =
+                            &tnsc[(int64_t)(r * 24 + w * 3 + fi) * 12];
+                        for (int i = 0; i < order && i < 12; i++) {
+                            double tmp[16];
+                            for (int j = 0; j < alen; j++)
+                                tmp[j] = a[j] + kk[i] * a[alen - 1 - j];
+                            for (int j = 0; j < alen; j++) a[j] = tmp[j];
+                            a[alen++] = kk[i];
+                        }
+                        int slot = w * 3 + fi;
+                        for (int j = 0; j < alen; j++)
+                            corow[slot * 12 + j] = (float)a[j];
+                        drow[slot] = (uint8_t)(dir ? 1 : 0);
+                        for (int i = base + start; i < base + end; i++)
+                            firow[i] = (uint8_t)(slot + 1);
+                    }
+                }
             }
         }
         // per-coefficient M/S bitmask (left channel's layout; shared ics)

@@ -337,3 +337,93 @@ def test_aac_zz_matches_dense():
         q4, sfb, ssf.sf, ssf.row, msb, opx, esc.row, esc.pos, esc.val,
         side_f, srow, np.zeros((SC, 1024), np.float32), E_sf)
     assert float(np.abs(np.asarray(pcm_z) - ref).max()) <= 0.05
+
+
+def test_aac_zz_tns_pool_matches_side_path():
+    """TNS applied on device via the pooled conditioning planes
+    (native TnsPool + synthesis.apply_tns_zz masked scans) must match
+    the host-prepared side-spectrum path on real TNS-heavy content."""
+    if not os.path.exists(ORACLE):
+        pytest.skip("aac oracle not built")
+    import jax
+    track = _noisy_track(4.0, noise=0.1)
+    # transients force TNS on
+    t = np.arange(track.shape[1]) / 44100.0
+    track = track.astype(np.float64)
+    for s in range(0, track.shape[1] - 900, 4410):
+        track[:, s:s + 800] += (np.sign(np.sin(2 * np.pi * 37 * t[:800]))
+                                * np.exp(-t[:800] * 300) * 9000)
+    track = np.clip(track, -32768, 32767).astype(np.int32)
+    with tempfile.TemporaryDirectory() as td:
+        fin, fout = os.path.join(td, "i.raw"), os.path.join(td, "o.aac")
+        np.ascontiguousarray(track.T).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "128000"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+    nch, F = 2, 96
+    SC = nch
+    W, SW = ASYN.window_bank()
+    consts = (jnp.asarray(ASYN._imdct_matrix(2048)),
+              jnp.asarray(ASYN._imdct_matrix(256)),
+              jnp.asarray(W), jnp.asarray(SW))
+    n, _pos, b = native.aac_parse_group(data, 0, channels=nch, max_frames=F)
+    assert n >= 64
+    assert b["tnsn"][:n * nch].any(), "content produced no TNS"
+
+    def prep(with_pool):
+        q4 = np.zeros((F, SC, 512), np.uint8)
+        sfb = np.zeros((F, SC, 64), np.uint8)
+        msb = np.zeros((F, SC // 2, 128), np.uint8)
+        opx = np.zeros((F, SC), np.uint8)
+        esc = native.EscapeList(65536)
+        ssf = native.ShortSfPool(F * nch)
+        tns = native.TnsPool(F * nch) if with_pool else None
+        ps = np.zeros(nch, np.int32)
+        sp = native.aac_prepare_rows_zz(
+            b, n, F, nch, ps, esc, ssf, q4=q4, sfb=sfb, msb=msb,
+            opx=opx, col0=0, max_special=F * nch, tns=tns)
+        assert sp is not None
+        nside = max(1, len(sp))
+        side_f = np.zeros((nside, 1024), np.float32)
+        srow = np.full(nside, -1, np.int32)
+        for j, r in enumerate(sp):
+            f, c = divmod(int(r), nch)
+            sub = {k: (v[f * nch:(f + 1) * nch]
+                       if k not in ("msmask", "rate_index")
+                       else (v[f:f + 1] if k == "msmask" else v))
+                   for k, v in b.items()}
+            spf, _ = ASYN.prepare_group(sub, 1, nch, np.zeros(nch,
+                                                              np.int32))
+            side_f[j] = spf[0, c]
+            srow[j] = f * SC + c
+        return q4, sfb, msb, opx, esc, ssf, tns, side_f, srow, sp
+
+    ov0 = jnp.zeros((SC, 1024), jnp.float32)
+    E_sf = ASYN.sf_expand_matrix(b["rate_index"])
+    outs = {}
+    q4a, sfba, msba, opxa, esca, ssfa, _t, sidea, srowa, spa = prep(False)
+    pcm_a, _ = jax.jit(ASYN.decode_chunk_zz)(
+        jnp.asarray(q4a), jnp.asarray(sfba), jnp.asarray(ssfa.sf),
+        jnp.asarray(ssfa.row), jnp.asarray(msba), jnp.asarray(opxa),
+        jnp.asarray(esca.row), jnp.asarray(esca.pos),
+        jnp.asarray(esca.val), jnp.asarray(sidea), jnp.asarray(srowa),
+        ov0, *consts, jnp.asarray(E_sf))
+    q4b, sfbb, msbb, opxb, escb, ssfb, tns, sideb, srowb, spb = prep(True)
+    assert tns.count.value > 0
+    assert len(spb) < len(spa)        # TNS rows left the special path
+    pcm_b, _ = jax.jit(ASYN.decode_chunk_zz)(
+        jnp.asarray(q4b), jnp.asarray(sfbb), jnp.asarray(ssfb.sf),
+        jnp.asarray(ssfb.row), jnp.asarray(msbb), jnp.asarray(opxb),
+        jnp.asarray(escb.row), jnp.asarray(escb.pos),
+        jnp.asarray(escb.val), jnp.asarray(sideb), jnp.asarray(srowb),
+        ov0, *consts, jnp.asarray(E_sf),
+        jnp.asarray(tns.tfi), jnp.asarray(tns.tco),
+        jnp.asarray(tns.tdir), jnp.asarray(tns.row))
+    np.testing.assert_allclose(np.asarray(pcm_b), np.asarray(pcm_a),
+                               atol=0.5, rtol=0)
+    # the float64 twin of the pooled path agrees too
+    ref, _ = ASYN.decode_chunk_zz_reference(
+        q4b, sfbb, ssfb.sf, ssfb.row, msbb, opxb, escb.row, escb.pos,
+        escb.val, sideb, srowb, np.zeros((SC, 1024), np.float32), E_sf,
+        tns.tfi, tns.tco, tns.tdir, tns.row)
+    assert float(np.abs(np.asarray(pcm_b) - ref).max()) <= 0.5
