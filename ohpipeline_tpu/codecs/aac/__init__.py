@@ -491,8 +491,18 @@ def _sbr_decode_frames(frames, state, sbr, nch,
     """Core decode + SBR reconstruction for a group of parsed frames
     (shared by the ADTS and MP4 codecs; AacFdkBase.cpp feeds both
     transports through the same libSBRdec instance).  With ``ps`` the
-    mono core becomes stereo through the parametric-stereo tool."""
+    mono core becomes stereo through the parametric-stereo tool.
+
+    Without PS the group runs through the batched device path
+    (codecs/aac/sbr_jax.py: QMF, HF generator and envelope adjustment
+    under one jit over the whole group); PS and irregular groups
+    (missing payloads, header changes mid-group) use the per-frame
+    numpy chain."""
     from .sbr import SbrError
+    if not ps:
+        out = _sbr_decode_frames_device(frames, state, sbr, nch)
+        if out is not None:
+            return out
     outs = []
     for fr in frames:
         core = decode_frames_float([fr], state)
@@ -514,6 +524,66 @@ def _sbr_decode_frames(frames, state, sbr, nch,
         outs.append(np.repeat(up, 2, axis=0) if ps else up)
     pcm = np.concatenate(outs, axis=1)
     return np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
+
+
+def _sbr_decode_frames_device(frames, state, sbr, nch):
+    """Batched device SBR for a regular group (every frame carries a
+    payload, one header).  Returns None to fall back to the numpy
+    per-frame path."""
+    from .sbr import SbrError
+    try:
+        from . import sbr_jax
+    except Exception:                                 # noqa: BLE001
+        return None
+    header0 = sbr.header
+    # snapshot the delta-coding parse state: a fallback re-parses the
+    # same payloads through the numpy path
+    import copy
+    snap = (copy.deepcopy(getattr(sbr, "_parse_prev", None)),
+            getattr(sbr, "_ps_prev", None))
+    parsed = []
+    try:
+        for fr in frames:
+            if fr.sbr is None:
+                raise SbrError("missing payload in group")
+            payload, nbits, crc = fr.sbr
+            chans, coupling = sbr.parse_payload(
+                payload, nbits, stereo=(nch == 2), crc=crc)
+            if header0 is not None and sbr.header != header0:
+                raise SbrError("header change mid-group")
+            header0 = sbr.header
+            if chans[0].ps is not None and nch == 1:
+                raise SbrError("PS stream")
+            EQ = [sbr.dequant(sbr.header, chans[i].grid,
+                              chans[i].env, chans[i].noise)
+                  for i in range(nch)]
+            if nch == 2 and coupling:
+                a = EQ[0][2]
+                (EL, QL), (ER, QR) = sbr.unmap_coupled(
+                    EQ[0][0], EQ[0][1], chans[1].env, chans[1].noise, a)
+                EQ = [(EL, QL, a), (ER, QR, a)]
+            parsed.append((chans, EQ))
+    except SbrError:
+        if snap[0] is not None:
+            sbr._parse_prev = snap[0]
+        sbr._ps_prev = snap[1]
+        return None
+    runner = getattr(sbr, "_device_runner", None)
+    if runner is None or runner.dec is not sbr \
+            or runner.static_header != header0:
+        runner = sbr_jax.SbrDeviceRunner(sbr)
+        runner.static_header = header0
+        sbr._device_runner = runner
+    core = decode_frames_float(frames, state)        # (C, F*1024)
+    F = len(frames)
+    out = np.zeros((nch, F * 2048), np.float64)
+    for ch in range(nch):
+        pcm = core[ch].reshape(F, 1024)
+        datas = [p[0][ch] for p in parsed]
+        Es = [p[1][ch][0] for p in parsed]
+        Qs = [p[1][ch][1] for p in parsed]
+        out[ch] = runner.decode_group(ch, pcm, datas, Es, Qs)
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int32)
 
 
 def parse_audio_specific_config(asc: bytes) -> tuple:
