@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Per-codec realtime-x throughput for the codecs outside the headline
+FLAC+AAC-LC device metric (bench.py).
+
+The reference's floor is >= 1x realtime for EVERY codec on armv6-class
+CPUs (/root/reference/README:27 — ohPipeline runs complete renderers on
+such hardware).  This bench documents where this framework's host-side
+decoders stand on one CPU core and, for HE-AAC, what the batched device
+SBR path (codecs/aac/sbr_jax.py) adds.
+
+Writes BENCH_SECONDARY.json and prints ONE JSON line:
+  {"metric": "secondary_codecs_realtime_x", "codecs": {name: x, ...},
+   "floor": <min x>, "all_above_realtime": bool}
+
+Content is generated and encoded with the conformance oracles
+(.oracle_build/, tools/build_oracles.sh); encodes cache in
+.bench_cache/.  Decode wall time covers the full package path
+(container parse -> entropy decode -> synthesis -> PCM).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OR = os.path.join(HERE, ".oracle_build")
+CACHE = os.path.join(HERE, ".bench_cache")
+SECONDS = float(os.environ.get("BENCH2_SECONDS", "20"))
+
+
+def _content(seconds: float, rate: int = 44100, stereo: bool = True):
+    t = np.arange(int(rate * seconds)) / rate
+    rng = np.random.default_rng(23)
+    x = (np.sin(2 * np.pi * 523 * t) * 9000
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 0.9 * t))
+         + np.sin(2 * np.pi * 3200 * t) * 3000
+         + rng.standard_normal(len(t)) * 900)
+    x = np.clip(x, -32000, 32000)
+    if stereo:
+        return np.stack([x, np.roll(x, 29)]).astype(np.int16)
+    return x[None, :].astype(np.int16)
+
+
+def _cached(name: str, build) -> bytes:
+    os.makedirs(CACHE, exist_ok=True)
+    key = hashlib.sha1(f"bench2:{name}:{SECONDS}".encode()).hexdigest()
+    path = os.path.join(CACHE, key + ".bin")
+    if os.path.exists(path):
+        return open(path, "rb").read()
+    data = build()
+    with open(path, "wb") as f:
+        f.write(data)
+    return data
+
+
+def _oracle_encode(oracle: str, pcm: np.ndarray, args: list) -> bytes:
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.bin")
+        np.ascontiguousarray(pcm.T).tofile(fin)
+        subprocess.run([os.path.join(OR, oracle), "encode", fin, fout,
+                        *args], check=True, capture_output=True)
+        return open(fout, "rb").read()
+
+
+def bench_one(name: str, data: bytes, decode, audio_s: float,
+              passes: int = 3) -> float:
+    best = 1e9
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        decode(data)
+        best = min(best, time.perf_counter() - t0)
+    return audio_s / best
+
+
+def main() -> int:
+    results: dict[str, float] = {}
+    secs = SECONDS
+
+    # --- Opus: SILK-WB speech (mono + stereo) and CELT music ----------
+    def opus_build(mode_args):
+        def b():
+            ch = int(mode_args[0])
+            pcm = _content(secs, 48000, stereo=(ch == 2))
+            return _oracle_encode("opus_oracle", pcm,
+                                  list(mode_args))
+        return b
+
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    data = _cached("opus_silk_wb", opus_build(("1", "24000", "silk")))
+    results["opus_silk_wb"] = bench_one(
+        "opus_silk_wb", data, decode_opus, secs)
+    data = _cached("opus_silk_st", opus_build(("2", "48000", "silk")))
+    results["opus_silk_stereo"] = bench_one(
+        "opus_silk_stereo", data, decode_opus, secs)
+    data = _cached("opus_celt", opus_build(("2", "96000", "celt")))
+    results["opus_celt_stereo"] = bench_one(
+        "opus_celt_stereo", data, decode_opus, secs)
+    data = _cached("opus_hybrid", opus_build(("1", "32000", "hybrid")))
+    results["opus_hybrid"] = bench_one(
+        "opus_hybrid", data, decode_opus, secs)
+
+    # --- HE-AAC v1 (device SBR group path) ---------------------------
+    def he_build():
+        pcm = _content(secs, 44100, stereo=True)
+        return _oracle_encode("aac_oracle", pcm,
+                              ["44100", "2", "48000", "2", "5"])
+
+    from ohpipeline_tpu.codecs.aac import CodecAacAdts
+    from ohpipeline_tpu.codecs.base import EndOfStream
+
+    class _Rdr:
+        def __init__(self, b):
+            self._b, self._p = b, 0
+            self.stream_bytes = len(b)
+
+        def read(self, n):
+            out = self._b[self._p:self._p + n]
+            self._p += len(out)
+            return out
+
+        def peek(self, n):
+            return self._b[self._p:self._p + n]
+
+    def decode_he(data):
+        c = CodecAacAdts()
+        r = _Rdr(data)
+        assert c.recognise(r.peek(8192))
+        c.stream_initialise(r)
+        try:
+            while True:
+                c.process(r).resolve()
+        except EndOfStream:
+            pass
+
+    data = _cached("heaac_v1", he_build)
+    decode_he(data)                        # warm jit before timing
+    results["he_aac_v1_device_sbr"] = bench_one(
+        "he_aac_v1", data, decode_he, secs)
+
+    # --- MP3 (own frame builder content, libmad-validated decode) ----
+    def mp3_build():
+        from ohpipeline_tpu.codecs.mp3 import encoder as ENC
+        rng = np.random.default_rng(3)
+        spec = np.zeros((2, 576), np.int32)
+        m = rng.random((2, 576)) < 0.25
+        spec[m] = rng.integers(1, 12, m.sum())
+        nfr = int(secs * 44100 / 1152)
+        return ENC.build_stream([spec[0], spec[1]], nframes=nfr)
+
+    from ohpipeline_tpu.codecs.mp3 import decode_mp3
+    try:
+        data = _cached("mp3", mp3_build)
+        info, pcm = decode_mp3(data)
+        msecs = pcm.shape[1] / 44100.0
+        results["mp3"] = bench_one("mp3", data, decode_mp3, msecs)
+    except Exception as e:                             # noqa: BLE001
+        results["mp3"] = -1.0
+        print(f"# mp3 bench failed: {e}", file=sys.stderr)
+
+    # --- Vorbis (own spec-valid stream builder, as the conformance
+    # tests use; residual density comparable to music at ~q4) ---------
+    def vorbis_build():
+        from ohpipeline_tpu.codecs.vorbis.encoder import StreamSpec
+        rng = np.random.default_rng(7)
+        spec = StreamSpec(channels=2, sample_rate=44100, bs0=256,
+                          bs1=1024, coupling=True)
+        nblocks = int(secs * 44100 / 512)      # long blocks, 1024/2 new
+        blocks = []
+        for _ in range(nblocks):
+            half = 512
+            r = np.zeros((2, half), np.int64)
+            m = rng.random((2, half)) < 0.3
+            r[m] = rng.integers(-2, 3, m.sum())
+            blocks.append((1, [(140, 120)] * 2, r))
+        return spec.build(blocks)
+
+    from ohpipeline_tpu.codecs.vorbis import decode_vorbis
+    try:
+        data = _cached("vorbis", vorbis_build)
+        info, pcm = decode_vorbis(data)
+        vsecs = pcm.shape[1] / 44100.0
+        results["vorbis"] = bench_one("vorbis", data, decode_vorbis,
+                                      vsecs)
+    except Exception as e:                             # noqa: BLE001
+        results["vorbis"] = -1.0
+        print(f"# vorbis bench failed: {e}", file=sys.stderr)
+
+    # --- ALAC (oracle cookie+packet container -> decode_packet) ------
+    def alac_build():
+        pcm = _content(secs, 44100, stereo=True)
+        return _oracle_encode("alac_oracle", pcm, ["44100", "2"])
+
+    try:
+        import struct
+        from ohpipeline_tpu.codecs import alac as AL
+        data = _cached("alac", alac_build)
+
+        def decode_alac_all(raw):
+            clen = struct.unpack("<I", raw[:4])[0]
+            cookie = raw[4:4 + clen]
+            p = 4 + clen
+            npk = struct.unpack("<I", raw[p:p + 4])[0]
+            p += 4
+            cfg = AL.AlacConfig.parse(cookie)
+            for _ in range(npk):
+                sz = struct.unpack("<I", raw[p:p + 4])[0]
+                p += 4
+                AL.decode_packet(raw[p:p + sz], cfg)
+                p += sz
+
+        results["alac"] = bench_one("alac", data, decode_alac_all, secs)
+    except Exception as e:                             # noqa: BLE001
+        results["alac"] = -1.0
+        print(f"# alac bench failed: {e}", file=sys.stderr)
+
+    vals = [v for v in results.values() if v > 0]
+    line = {"metric": "secondary_codecs_realtime_x",
+            "codecs": {k: round(v, 2) for k, v in results.items()},
+            "floor": round(min(vals), 2) if vals else 0.0,
+            "all_above_realtime": bool(vals) and min(vals) >= 1.0}
+    with open(os.path.join(HERE, "BENCH_SECONDARY.json"), "w") as f:
+        json.dump(line, f, indent=1)
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,12 @@ class MediaPlayer:
         self.product = Product(self.config, p.room, p.name)
         from .reactions import ReactionRegistry
         self.reactions = ReactionRegistry()
+        # ring-buffered log + debug hooks (reference LoggerBuffered /
+        # ProviderDebug wiring in MediaPlayer.cpp; Av/Logger.h:62-80)
+        from .ops_support import BufferedLog
+        self.log = BufferedLog()
+        self.log_poster = None           # ILogPoster analogue
+        self.ssdp_responders: list = []  # SsdpResponder-like objects
         # default sources (reference MediaPlayer adds via SourceFactory)
         self.source_playlist = SourcePlaylist(self.pipeline)
         self.source_radio = SourceRadio(self.pipeline)

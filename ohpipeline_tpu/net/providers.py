@@ -197,6 +197,51 @@ def make_reaction_service(mp) -> OdpService:
     return svc
 
 
+def make_debug_service(mp) -> OdpService:
+    """Debug service (reference ProviderDebug,
+    OpenHome/Av/ProviderDebug.h:48-63 over Debug2): ring-buffer log
+    dump, log upload through the ILogPoster hook, SSDP re-announce and
+    the recent-M-SEARCH observer list; plus a LogBuffers action
+    reporting pipeline reservoir occupancy (the reference exposes the
+    same numbers through its Shell 'pipeline' command)."""
+    import json as _json
+
+    svc = OdpService("Debug")
+    svc.add_action("GetLog", lambda: {"value": mp.log.dump()})
+
+    def send_log(data=""):
+        if mp.log_poster is None:
+            raise RuntimeError("no log poster configured")
+        mp.log_poster(mp.log.dump(), data)
+        return {}
+
+    svc.add_action("SendLog", send_log)
+
+    def announce():
+        for r in mp.ssdp_responders:
+            r.notify_alive()
+        return {}
+
+    svc.add_action("SendDeviceAnnouncements", announce)
+
+    def msearches():
+        out = []
+        for r in mp.ssdp_responders:
+            out += [{"address": a, "seconds_ago": s}
+                    for a, s in r.recent_msearches()]
+        return {"value": _json.dumps(out)}
+
+    svc.add_action("GetRecentMSearches", msearches)
+
+    def log_buffers():
+        pipe = mp.pipeline.pipeline     # PipelineManager -> Pipeline
+        return {"encoded_bytes": pipe.encoded.occupancy,
+                "decoded_jiffies": pipe.decoded.occupancy}
+
+    svc.add_action("LogBuffers", log_buffers)
+    return svc
+
+
 def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
     """Build the full ODP device for a MediaPlayer (the reference's
     DvDeviceStandard + provider registration in MediaPlayer.cpp)."""
@@ -204,6 +249,7 @@ def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
     for factory in (make_product_service, make_transport_service,
                     make_volume_service, make_info_service,
                     make_playlist_service, make_radio_service,
-                    make_config_service, make_reaction_service):
+                    make_config_service, make_reaction_service,
+                    make_debug_service):
         dev.add_service(factory(mp))
     return dev

@@ -368,6 +368,11 @@ class SsdpResponder(threading.Thread):
             pass                    # loopback-only environments
         self._sock.settimeout(0.5)
         self._quit = False
+        #: most recent M-SEARCH searchers [(addr, monotonic_s)], newest
+        #: kept per address, capped at 10 (ProviderDebug.cpp
+        #: MSearchObserver::kMaxAddresses)
+        self._recent_msearch: list = []
+        self._msearch_lock = threading.Lock()
 
     @property
     def port(self) -> int:
@@ -396,6 +401,7 @@ class SsdpResponder(threading.Thread):
             return
         if not text.startswith("M-SEARCH"):
             return
+        self._record_msearch(addr)
         st = ""
         for line in text.split("\r\n"):
             if line.lower().startswith("st:"):
@@ -415,6 +421,29 @@ class SsdpResponder(threading.Thread):
                 self._sock.sendto(resp.encode(), addr)
             except OSError:
                 pass
+
+    def _record_msearch(self, addr) -> None:
+        import time as _time
+        now = _time.monotonic()
+        with self._msearch_lock:
+            for ent in self._recent_msearch:
+                if ent[0] == addr[0]:
+                    ent[1] = now
+                    return
+            if len(self._recent_msearch) >= 10:
+                oldest = min(range(len(self._recent_msearch)),
+                             key=lambda i: self._recent_msearch[i][1])
+                self._recent_msearch.pop(oldest)
+            self._recent_msearch.append([addr[0], now])
+
+    def recent_msearches(self) -> list:
+        """[(address, seconds_ago)] of the last distinct searchers
+        (ProviderDebug GetRecentMSearches)."""
+        import time as _time
+        now = _time.monotonic()
+        with self._msearch_lock:
+            return [(a, round(now - t, 1))
+                    for a, t in self._recent_msearch]
 
     def _notify(self, nts: str) -> None:
         for target in self.targets():

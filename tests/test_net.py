@@ -192,3 +192,73 @@ class TestOdp:
         finally:
             client.close()
             server.close()
+
+
+class TestDebugService:
+    def test_debug_surface(self, media_player):
+        """ProviderDebug analogue (OpenHome/Av/ProviderDebug.h:48-63):
+        GetLog dumps the ring buffer, SendLog requires a poster,
+        LogBuffers reports reservoir occupancy, GetRecentMSearches
+        reflects the SSDP observer, SendDeviceAnnouncements re-notifies."""
+        import json as _json
+        media_player.log.log("kernel", "pipeline started")
+        media_player.log.log("net", "odp client connected")
+        server = OdpServer()
+        server.add_device(make_device(media_player))
+        client = OdpClient("127.0.0.1", server.port)
+        try:
+            log = client.invoke("Debug", "GetLog")["value"]
+            assert "pipeline started" in log and "[net]" in log
+            bufs = client.invoke("Debug", "LogBuffers")
+            assert "encoded_bytes" in bufs and "decoded_jiffies" in bufs
+            # no poster configured -> SendLog errors (reference asserts)
+            with pytest.raises(RuntimeError):
+                client.invoke("Debug", "SendLog", data="tag")
+            posted = []
+            media_player.log_poster = \
+                lambda log_text, data: posted.append((log_text, data))
+            client.invoke("Debug", "SendLog", data="tag42")
+            assert posted and posted[0][1] == "tag42" \
+                and "pipeline started" in posted[0][0]
+            # SSDP observer integration
+            class FakeResponder:
+                def __init__(self):
+                    self.announced = 0
+
+                def notify_alive(self):
+                    self.announced += 1
+
+                def recent_msearches(self):
+                    return [("192.168.1.50", 2.5)]
+
+            fr = FakeResponder()
+            media_player.ssdp_responders.append(fr)
+            arr = _json.loads(
+                client.invoke("Debug", "GetRecentMSearches")["value"])
+            assert arr == [{"address": "192.168.1.50",
+                            "seconds_ago": 2.5}]
+            client.invoke("Debug", "SendDeviceAnnouncements")
+            assert fr.announced == 1
+        finally:
+            client.close()
+            server.close()
+
+
+class TestSsdpMsearchObserver:
+    def test_recent_msearch_recording(self):
+        """SsdpResponder keeps the last distinct M-SEARCH sources with
+        ages (MSearchObserver, ProviderDebug.cpp:76-106)."""
+        from ohpipeline_tpu.net.upnp import SsdpResponder, UpnpDevice
+        dev = UpnpDevice("Test", udn="uuid:test-1")
+        r = SsdpResponder(dev, bind="127.0.0.1", port=0)
+        try:
+            for i in range(12):
+                r._record_msearch((f"10.0.0.{i}", 1900))
+            rec = r.recent_msearches()
+            assert len(rec) == 10
+            assert all(age >= 0 for _a, age in rec)
+            # re-search from a known address refreshes, not duplicates
+            r._record_msearch(("10.0.0.11", 1900))
+            assert len(r.recent_msearches()) == 10
+        finally:
+            r.close() if hasattr(r, "close") else None
