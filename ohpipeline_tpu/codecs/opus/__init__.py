@@ -27,7 +27,7 @@ from ..base import (CodecBase, CodecStreamCorrupt, DecodedBatch, EndOfStream,
                     StreamReader)
 from ..opus_headers import OpusHead, OpusToc, parse_opus_head, \
     parse_opus_tags, parse_toc
-from .celt import CeltDecoderState, decode_frame
+from .celt import CeltDecoderState, decode_frame, decode_lost
 
 GROUP_PACKETS = 32
 
@@ -117,6 +117,7 @@ class _OpusStream:
         self.silk = None
         self.stream_channels = 0
         self.gain = 10.0 ** (head.output_gain_q8 / (20.0 * 256.0))
+        self.prev_toc: Optional[OpusToc] = None    # PLC uses last mode
 
     def _decode_silk(self, toc: OpusToc, frames: list) -> np.ndarray:
         from .silk import SilkStereoDecoder, SilkStreamDecoder
@@ -187,8 +188,70 @@ class _OpusStream:
             outs.append(silk48 * (1.0 / 32768.0) + celt_out)
         return np.concatenate(outs, axis=1)
 
-    def decode_packet(self, packet: bytes) -> np.ndarray:
+    def conceal_packet(self, duration_ms: int = 20) -> np.ndarray:
+        """Conceal one lost packet (the opus_decode(NULL, ...) path):
+        SILK modes run the fixed-point PLC (silk/PLC.c via
+        native.silk_frame_fix), CELT mode runs pitch/noise
+        extrapolation (celt_decode_lost), hybrid conceals the SILK
+        core (the CELT 17+ band tail decays with it)."""
+        from .silk import SilkStereoDecoder, SilkStreamDecoder
+        toc = self.prev_toc
+        C = self.head.channels
+        n48 = int(duration_ms * 48)
+        if toc is None:
+            return np.zeros((C, n48))
+        if toc.mode in ("silk", "hybrid"):
+            if isinstance(self.silk, SilkStereoDecoder):
+                pcm = self.silk.conceal_packet_48k(duration_ms)
+            elif isinstance(self.silk, SilkStreamDecoder):
+                pcm = self.silk.conceal_frame_48k(duration_ms)[None, :]
+            else:
+                pcm = np.zeros((1, n48))
+            pcm = pcm * (1.0 / 32768.0) * self.gain
+        else:
+            if self.celt is None:
+                return np.zeros((C, n48))
+            outs = []
+            left = n48
+            while left > 0:
+                n = min(left, 960)
+                outs.append(decode_lost(self.celt, n))
+                left -= n
+            pcm = np.concatenate(outs, axis=1) * self.gain
+        if pcm.shape[0] == 1 and C == 2:
+            pcm = np.repeat(pcm, 2, axis=0)
+        elif pcm.shape[0] == 2 and C == 1:
+            pcm = 0.5 * (pcm[:1] + pcm[1:])
+        return pcm
+
+    def decode_packet_fec(self, packet: bytes) -> np.ndarray:
+        """Recover the PREVIOUS (lost) packet's audio from this
+        packet's in-band FEC (opus_decode decode_fec=1).  SILK-only
+        packets use their LBRR data; other modes fall back to
+        concealment for the packet's duration."""
+        from .silk import SilkStereoDecoder, SilkStreamDecoder
         toc, frames = split_packet_frames(packet)
+        dur = int(toc.frame_ms) * max(1, len(frames)) \
+            if toc.frame_ms >= 10 else 20
+        if toc.mode == "silk" and not toc.stereo \
+                and isinstance(self.silk, SilkStreamDecoder) \
+                and self.silk.bw == toc.bandwidth:
+            outs = [self.silk.decode_fec_48k(f, int(toc.frame_ms))
+                    for f in frames]
+            pcm = np.concatenate(outs)[None, :] * (1.0 / 32768.0) \
+                * self.gain
+            C = self.head.channels
+            if C == 2:
+                pcm = np.repeat(pcm, 2, axis=0)
+            return pcm
+        return self.conceal_packet(dur)
+
+    def decode_packet(self, packet: Optional[bytes],
+                      lost_duration_ms: int = 20) -> np.ndarray:
+        if packet is None:
+            return self.conceal_packet(lost_duration_ms)
+        toc, frames = split_packet_frames(packet)
+        self.prev_toc = toc
         if toc.mode in ("silk", "hybrid"):
             if toc.mode == "silk":
                 pcm = self._decode_silk(toc, frames) * self.gain

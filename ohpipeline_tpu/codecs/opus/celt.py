@@ -42,6 +42,10 @@ from .range_dec import RangeDecoder
 
 BITRES = 3
 MAX_PERIOD = 1024
+DECODE_BUFFER_SIZE = 2048
+CELT_LPC_ORDER = 24
+PLC_PITCH_LAG_MAX = 720
+PLC_PITCH_LAG_MIN = 100
 COMBFILTER_MINPERIOD = 15
 SPREAD_NONE, SPREAD_LIGHT, SPREAD_NORMAL, SPREAD_AGGRESSIVE = 0, 1, 2, 3
 
@@ -158,9 +162,22 @@ class CeltDecoderState:
         self.old_logE2 = np.full(2 * nb, -28.0, np.float32)
         self.rng = 0
         self.preemph_mem = np.zeros(C, np.float64)
-        # synthesis history: per channel, MAX_PERIOD + overlap/2 raw tail
-        self.hist = [np.zeros(MAX_PERIOD + self.mode.overlap, np.float64)
+        # synthesis history: per channel, DECODE_BUFFER_SIZE samples of
+        # the post-postfilter signal (the reference's decode_mem; PLC
+        # pitch search needs the full 2048, celt_decoder.c:62-65)
+        self.hist = [np.zeros(DECODE_BUFFER_SIZE + self.mode.overlap,
+                              np.float64)
                      for _ in range(C)]
+        # packet-loss concealment state (celt_decoder.c:99-107)
+        self.loss_duration = 0          # in (1 << LM) units
+        self.skip_plc = False
+        self.last_pitch_index = 0
+        self.background_logE = np.zeros(2 * nb, np.float64)
+        self.plc_lpc = [np.zeros(CELT_LPC_ORDER, np.float64)
+                        for _ in range(C)]
+        self.prefilter_and_fold = False
+        self.plc_tail = [np.zeros(self.mode.overlap, np.float64)
+                         for _ in range(C)]
         self.carry = [np.zeros(self.mode.overlap // 2, np.float64)
                       for _ in range(C)]
         self.pf_period = 15
@@ -882,6 +899,8 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
     N = M * mode.short_mdct_size
     start, end = start_band, end_band
     eff_end = min(end, mode.eff_ebands)
+    if st.loss_duration == 0:
+        st.skip_plc = False              # celt_decoder.c:1106
     if dec is None:
         dec = RangeDecoder(data)
     total_bits = len(data) * 8
@@ -914,6 +933,27 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
         is_transient = 0
     short_blocks = M if is_transient else 0
     intra_ener = dec.dec_bit_logp(3) if tell + 3 <= total_bits else 0
+    if not intra_ener and st.loss_duration != 0:
+        # post-loss energy safety clamp (celt_decoder.c:1171-1197)
+        safety = 1.5 if LM == 0 else (0.5 if LM == 1 else 0.0)
+        missing = min(10, st.loss_duration >> LM)
+        for c in range(2):
+            for i in range(start, end):
+                k = c * nb + i
+                if st.old_ebands[k] < max(st.old_logE[k],
+                                          st.old_logE2[k]):
+                    slope = max(st.old_logE[k] - st.old_ebands[k],
+                                0.5 * (st.old_logE2[k]
+                                       - st.old_ebands[k]))
+                    st.old_ebands[k] = max(
+                        -20.0,
+                        st.old_ebands[k]
+                        - max(0.0, (1 + missing) * slope))
+                else:
+                    st.old_ebands[k] = min(st.old_ebands[k],
+                                           st.old_logE[k],
+                                           st.old_logE2[k])
+                st.old_ebands[k] -= safety
     _unquant_coarse_energy(mode, start, end, st.old_ebands, intra_ener,
                            dec, C, LM, total_bits)
     tf_res = tf_decode(dec, start, end, is_transient, LM, total_bits)
@@ -972,6 +1012,10 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
     if silence:
         st.old_ebands[:] = -28.0
     # ---- synthesis -------------------------------------------------------
+    if st.prefilter_and_fold:
+        # blend the concealed signal's tail into this frame's MDCT
+        # overlap (celt_decoder.c:1296)
+        _fold_plc_tail(st, N)
     out = np.zeros((C, N), np.float64)
     if is_transient:
         B = M
@@ -1055,6 +1099,14 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
         st.old_ebands[c2 * nb + end:(c2 + 1) * nb] = 0
         st.old_logE[c2 * nb + end:(c2 + 1) * nb] = -28.0
         st.old_logE2[c2 * nb + end:(c2 + 1) * nb] = -28.0
+    # background noise-floor tracking for the noise-based PLC
+    # (celt_decoder.c:1338-1343): at most 2.4 dB/s increase, all missing
+    # packets' budget granted to the recovery packet
+    max_bg_inc = min(160, st.loss_duration + M) * 0.001
+    np.minimum(st.background_logE + max_bg_inc, st.old_ebands,
+               out=st.background_logE)
+    st.loss_duration = 0
+    st.prefilter_and_fold = False
     # ---- deemphasis --------------------------------------------------------
     # the next frame's noise seed is the range coder's final range state
     # (celt_decoder.c: st->rng = dec->rng)
@@ -1125,3 +1177,348 @@ def _comb_filter(x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,
                     + g12 * (x[i0 - T1 + 2:i1 - T1 + 2]
                              + x[i0 - T1 - 2:i1 - T1 - 2]))
         i0 = i1
+
+
+# ---------------------------------------------------------------------------
+# Packet-loss concealment (celt/celt_decoder.c celt_decode_lost + the
+# pitch machinery from celt/pitch.c and celt/celt_lpc.c, float build)
+# ---------------------------------------------------------------------------
+
+
+def _celt_autocorr(x: np.ndarray, lag: int, window=None,
+                   overlap: int = 0) -> np.ndarray:
+    """celt_lpc.c _celt_autocorr (float): windowed ends, plain sums."""
+    xx = x.astype(np.float64).copy()
+    if overlap:
+        xx[:overlap] *= window[:overlap]
+        xx[-overlap:] *= window[:overlap][::-1]
+    n = len(xx)
+    return np.array([np.dot(xx[:n - k], xx[k:]) for k in range(lag + 1)])
+
+
+def _celt_lpc(ac: np.ndarray, p: int) -> np.ndarray:
+    """celt_lpc.c _celt_lpc: Levinson-Durbin, float."""
+    lpc = np.zeros(p)
+    error = ac[0]
+    if error != 0.0:
+        for i in range(p):
+            rr = 0.0
+            for j in range(i):
+                rr += lpc[j] * ac[i - j]
+            rr += ac[i + 1]
+            r = -rr / error
+            lpc[i] = r
+            for j in range((i + 1) >> 1):
+                tmp1, tmp2 = lpc[j], lpc[i - 1 - j]
+                lpc[j] = tmp1 + r * tmp2
+                lpc[i - 1 - j] = tmp2 + r * tmp1
+            error = error - r * r * error
+            if error < 0.001 * ac[0]:
+                break
+    return lpc
+
+
+def _celt_fir(x: np.ndarray, num: np.ndarray) -> np.ndarray:
+    """celt_lpc.c celt_fir: y[i] = x[i] + sum num[j]*x[i-j-1] with the
+    CELT_LPC_ORDER history taken from the samples preceding x (caller
+    prepends them)."""
+    ord_ = len(num)
+    n = len(x) - ord_
+    y = np.zeros(n)
+    for i in range(n):
+        s = x[ord_ + i]
+        for j in range(ord_):
+            s += num[j] * x[ord_ + i - j - 1]
+        y[i] = s
+    return y
+
+
+def _celt_iir(x: np.ndarray, den: np.ndarray,
+              mem: np.ndarray) -> np.ndarray:
+    """celt_lpc.c celt_iir: y[i] = x[i] - sum den[j]*y[i-j-1]."""
+    ord_ = len(den)
+    hist = list(mem[:ord_])          # hist[0] = y[i-1]
+    y = np.zeros(len(x))
+    for i in range(len(x)):
+        s = x[i]
+        for j in range(ord_):
+            s -= den[j] * hist[j]
+        hist = [s] + hist[:-1]
+        y[i] = s
+    return y
+
+
+def _pitch_downsample(chans: list, length: int) -> np.ndarray:
+    """pitch.c pitch_downsample: 2x decimation + 4th-order whitening
+    with an added zero (float arithmetic)."""
+    half = length >> 1
+    x_lp = np.zeros(half)
+    for x in chans:
+        x = x[-length:]
+        x_lp[1:] += (0.25 * x[1:2 * half - 1:2] + 0.25 * x[3:2 * half:2]
+                     + 0.5 * x[2:2 * half:2])[:half - 1]
+        x_lp[0] += 0.25 * x[1] + 0.5 * x[0]
+    ac = _celt_autocorr(x_lp, 4)
+    ac[0] *= 1.0001
+    for i in range(1, 5):
+        ac[i] -= ac[i] * (0.008 * i) * (0.008 * i)
+    lpc = _celt_lpc(ac, 4)
+    tmp = 1.0
+    for i in range(4):
+        tmp *= 0.9
+        lpc[i] *= tmp
+    c1 = 0.8
+    lpc2 = np.array([lpc[0] + 0.8, lpc[1] + c1 * lpc[0],
+                     lpc[2] + c1 * lpc[1], lpc[3] + c1 * lpc[2],
+                     c1 * lpc[3]])
+    # celt_fir5 in place with zero initial history
+    out = x_lp.copy()
+    mem = np.zeros(5)
+    for i in range(half):
+        s = x_lp[i] + np.dot(lpc2, mem)
+        mem[1:] = mem[:-1]
+        mem[0] = x_lp[i]
+        out[i] = s
+    return out
+
+
+def _find_best_pitch(xcorr: np.ndarray, y: np.ndarray,
+                     length: int) -> list:
+    """pitch.c find_best_pitch (float)."""
+    Syy = 1.0
+    best_num = [-1.0, -1.0]
+    best_den = [0.0, 0.0]
+    best_pitch = [0, 1]
+    Syy += np.dot(y[:length], y[:length])
+    for i in range(len(xcorr)):
+        if xcorr[i] > 0:
+            xcorr16 = xcorr[i] * 1e-12      # avoid overflow paranoia
+            num = xcorr16 * xcorr16
+            if num * best_den[1] > best_num[1] * Syy:
+                if num * best_den[0] > best_num[0] * Syy:
+                    best_num[1] = best_num[0]
+                    best_den[1] = best_den[0]
+                    best_pitch[1] = best_pitch[0]
+                    best_num[0] = num
+                    best_den[0] = Syy
+                    best_pitch[0] = i
+                else:
+                    best_num[1] = num
+                    best_den[1] = Syy
+                    best_pitch[1] = i
+        Syy += y[i + length] * y[i + length] - y[i] * y[i]
+        Syy = max(1.0, Syy)
+    return best_pitch
+
+
+def _pitch_search(x_lp: np.ndarray, y: np.ndarray, length: int,
+                  max_pitch: int) -> int:
+    """pitch.c pitch_search: coarse 4x + fine 2x + pseudo-interp."""
+    lag = length + max_pitch
+    x_lp4 = x_lp[: length >> 1:2]
+    y_lp4 = y[: lag >> 1:2]
+    # coarse search at 4x decimation
+    n4 = length >> 2
+    xcorr4 = np.array([np.dot(x_lp4[:n4], y_lp4[i:i + n4])
+                       for i in range(max_pitch >> 2)])
+    best = _find_best_pitch(xcorr4, y_lp4, n4)
+    # fine search at 2x
+    n2 = length >> 1
+    xcorr = np.zeros(max_pitch >> 1)
+    for i in range(max_pitch >> 1):
+        if abs(i - 2 * best[0]) > 2 and abs(i - 2 * best[1]) > 2:
+            continue
+        xcorr[i] = max(-1.0, np.dot(x_lp[:n2], y[i:i + n2]))
+    best = _find_best_pitch(xcorr, y, n2)
+    # pseudo-interpolation
+    offset = 0
+    if 0 < best[0] < (max_pitch >> 1) - 1:
+        a, b, c = xcorr[best[0] - 1], xcorr[best[0]], xcorr[best[0] + 1]
+        if (c - a) > 0.7 * (b - a):
+            offset = 1
+        elif (a - c) > 0.7 * (b - c):
+            offset = -1
+    return 2 * best[0] - offset
+
+
+def _plc_pitch_search(st: CeltDecoderState) -> int:
+    # hist is pure past output; its tail is the decode_mem window
+    chans = [st.hist[c][-DECODE_BUFFER_SIZE:]
+             for c in range(st.channels)]
+    lp = _pitch_downsample(chans, DECODE_BUFFER_SIZE)
+    pitch = _pitch_search(lp[PLC_PITCH_LAG_MAX >> 1:], lp,
+                          DECODE_BUFFER_SIZE - PLC_PITCH_LAG_MAX,
+                          PLC_PITCH_LAG_MAX - PLC_PITCH_LAG_MIN)
+    return PLC_PITCH_LAG_MAX - pitch
+
+
+def decode_lost(st: CeltDecoderState, frame_size: int) -> np.ndarray:
+    """Conceal one lost CELT frame (celt_decode_lost): noise-based
+    comfort fill after long losses / at startup, pitch-based
+    waveform extrapolation in the excitation domain otherwise.
+    Returns (C, frame_size) float PCM in [-1, 1]."""
+    mode = st.mode
+    C = st.channels
+    nb = mode.nb_ebands
+    ov = mode.overlap
+    win = mode.window
+    N = frame_size
+    LM = 0
+    while mode.short_mdct_size << LM != N:
+        LM += 1
+    eb = mode.ebands
+    noise_based = st.loss_duration >= 40 or st.skip_plc
+    out = np.zeros((C, N), np.float64)
+    if noise_based:
+        # fold the pending extrapolation tail if one exists, so the
+        # synthesis below TDAC-blends with the concealed signal
+        if st.prefilter_and_fold:
+            _fold_plc_tail(st, N)
+        decay = 1.5 if st.loss_duration == 0 else 0.5
+        end = 21
+        eff_end = max(0, min(end, mode.eff_ebands))
+        for c in range(C):
+            for i in range(end):
+                st.old_ebands[c * nb + i] = max(
+                    st.background_logE[c * nb + i],
+                    st.old_ebands[c * nb + i] - decay)
+        seed = st.rng
+        X = np.zeros(C * N, np.float64)
+        for c in range(C):
+            for i in range(eff_end):
+                boffs = N * c + (int(eb[i]) << LM)
+                blen = (int(eb[i + 1]) - int(eb[i])) << LM
+                vals = np.zeros(blen)
+                for j in range(blen):
+                    seed = (seed * 1664525 + 1013904223) & 0xFFFFFFFF
+                    vals[j] = float(np.int32(seed) >> 20)
+                nrm = np.sqrt((vals * vals).sum())
+                if nrm > 1e-15:
+                    vals *= 1.0 / nrm
+                X[boffs:boffs + blen] = vals
+        st.rng = seed
+        # synthesis (celt_synthesis, shortBlocks=0): denormalise + IMDCT
+        imdct = _imdct_matrix(N)
+        for c in range(C):
+            freq = np.zeros(N)
+            for i in range(eff_end):
+                j0, j1 = int(eb[i]) << LM, int(eb[i + 1]) << LM
+                lg = st.old_ebands[c * nb + i] + E_MEANS[i]
+                freq[j0:j1] = X[c * N + j0:c * N + j1] \
+                    * np.exp2(min(32.0, lg))
+            buf = np.zeros(N + ov)
+            buf[:ov // 2] = st.carry[c]
+            raw = imdct @ freq
+            prev = buf[:ov // 2].copy()
+            buf[ov // 2:ov // 2 + N] = raw
+            ii = np.arange(ov // 2)
+            x1 = raw[ov // 2 - 1 - ii]
+            buf[ii] = win[ov - 1 - ii] * prev - win[ii] * x1
+            buf[ov - 1 - ii] = win[ii] * prev + win[ov - 1 - ii] * x1
+            st.carry[c] = buf[N:N + ov // 2].copy()
+            out[c] = buf[:N]
+            st.hist[c] = np.concatenate([st.hist[c], out[c]]) \
+                [-len(st.hist[c]):]
+        st.prefilter_and_fold = False
+        st.skip_plc = True
+    else:
+        if st.loss_duration == 0:
+            st.last_pitch_index = pitch_index = _plc_pitch_search(st)
+            fade = 1.0
+        else:
+            pitch_index = st.last_pitch_index
+            fade = 0.8
+        exc_length = min(2 * pitch_index, MAX_PERIOD)
+        for c in range(C):
+            buf = st.hist[c][-DECODE_BUFFER_SIZE:].copy()  # decode_mem
+            DBS = len(buf)
+            exc_full = buf[DBS - MAX_PERIOD - CELT_LPC_ORDER:]
+            if st.loss_duration == 0:
+                ac = _celt_autocorr(exc_full[CELT_LPC_ORDER:],
+                                    CELT_LPC_ORDER, win, ov)
+                ac[0] *= 1.0001
+                for i in range(1, CELT_LPC_ORDER + 1):
+                    ac[i] -= ac[i] * (0.008 * i) * (0.008 * i)
+                st.plc_lpc[c] = _celt_lpc(ac, CELT_LPC_ORDER)
+            lpc = st.plc_lpc[c]
+            # excitation for exc_length samples before the loss
+            exc = exc_full.copy()
+            fir_in = exc_full[MAX_PERIOD - exc_length:]
+            exc[CELT_LPC_ORDER + MAX_PERIOD - exc_length:] = _celt_fir(
+                fir_in, lpc)
+            exc = exc[CELT_LPC_ORDER:]          # drop history samples
+            # decaying-signal detection
+            decay_length = exc_length >> 1
+            E1 = 1.0 + (exc[MAX_PERIOD - decay_length:] ** 2).sum()
+            E2 = 1.0 + (exc[MAX_PERIOD - 2 * decay_length:
+                            MAX_PERIOD - decay_length] ** 2).sum()
+            E1 = min(E1, E2)
+            decay = np.sqrt(E1 / E2)
+            # extrapolate excitation with the pitch period
+            extrapolation_offset = MAX_PERIOD - pitch_index
+            extrapolation_len = N + ov
+            attenuation = fade * decay
+            ext = np.zeros(extrapolation_len)
+            S1 = 0.0
+            j = 0
+            for i in range(extrapolation_len):
+                if j >= pitch_index:
+                    j -= pitch_index
+                    attenuation *= decay
+                ext[i] = attenuation * exc[extrapolation_offset + j]
+                # the reference indexes after shifting decode_mem left
+                # by N; on the unshifted history that is DBS-MAX_PERIOD
+                tmp = buf[DBS - MAX_PERIOD + extrapolation_offset + j]
+                S1 += tmp * tmp      # float build: SHR32 is a no-op
+                j += 1
+            # back to signal domain through the synthesis filter; the
+            # IIR memory is the newest decoded samples
+            mem = buf[DBS - 1 - np.arange(CELT_LPC_ORDER)]
+            sig = _celt_iir(ext, lpc, mem)
+            S2 = (sig * sig).sum()
+            if not (S1 > 0.2 * S2):
+                sig[:] = 0.0
+            elif S1 < S2:
+                ratio = np.sqrt((S1 + 1) / (S2 + 1))
+                g = 1.0 - win[:ov] * (1.0 - ratio)
+                sig[:ov] *= g
+                sig[ov:] *= ratio
+            out[c] = sig[:N]
+            st.plc_tail[c] = sig[N:N + ov].copy()
+            st.hist[c] = np.concatenate([st.hist[c],
+                                         out[c]])[-len(st.hist[c]):]
+        st.prefilter_and_fold = True
+    st.loss_duration = min(10000, st.loss_duration + (1 << LM))
+    # deemphasis (same as the normal output path)
+    coef0 = mode.preemph[0]
+    pcm = np.zeros((C, N))
+    for c in range(C):
+        m = st.preemph_mem[c]
+        x = out[c]
+        for jj in range(N):
+            tmp = x[jj] + m
+            m = coef0 * tmp
+            pcm[c, jj] = tmp
+        st.preemph_mem[c] = m
+    return pcm / 32768.0
+
+
+def _fold_plc_tail(st: CeltDecoderState, N: int) -> None:
+    """prefilter_and_fold (celt_decoder.c:515-551): pre-filter the
+    extrapolated overlap tail with the negated post-filter and simulate
+    TDAC so it blends with the next MDCT frame; replaces the carry."""
+    mode = st.mode
+    ov = mode.overlap
+    win = mode.window
+    for c in range(st.channels):
+        tail = st.plc_tail[c]
+        y = np.concatenate([st.hist[c][-MAX_PERIOD:], tail])
+        _comb_filter(y, MAX_PERIOD,
+                     max(st.pf_period_old, COMBFILTER_MINPERIOD),
+                     max(st.pf_period, COMBFILTER_MINPERIOD), ov,
+                     -st.pf_gain_old, -st.pf_gain,
+                     st.pf_tapset_old, st.pf_tapset, win, ov)
+        etmp = y[MAX_PERIOD:MAX_PERIOD + ov]
+        ii = np.arange(ov // 2)
+        st.carry[c] = (win[ii] * etmp[ov - 1 - ii]
+                       + win[ov - 1 - ii] * etmp[ii])

@@ -274,12 +274,16 @@ def _decode_lbrr_flags(dec: RangeDecoder, n_frames: int) -> list:
 
 def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
                       duration_ms: int = 20,
-                      dec: RangeDecoder | None = None) -> list[SilkFrame]:
+                      dec: RangeDecoder | None = None,
+                      lbrr_out: list | None = None) -> list[SilkFrame]:
     """Parse a mono SILK-only packet's LP layer: 20/40/60 ms packets
     (1-3 regular frames with conditional coding between them,
-    dec_API.c:322-341) with LBRR frames decoded and discarded
-    (dec_API.c:253-279).  Returns the regular frames; raises on
-    malformed data."""
+    dec_API.c:322-341).  LBRR (in-band FEC) frames are decoded too
+    (dec_API.c:253-279): pass ``lbrr_out`` (a list) to receive one
+    entry per frame slot — a SilkFrame when that slot carries LBRR
+    data, else None — for FLAG_DECODE_LBRR recovery; without it they
+    are discarded.  Returns the regular frames; raises on malformed
+    data."""
     if stereo:
         raise NotImplementedError("use parse_silk_packet_stereo")
     if duration_ms not in (10, 20, 40, 60):
@@ -295,13 +299,18 @@ def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
     prev_lbrr: dict = {}
     for i in range(n_frames):
         if lbrr[i]:
-            # regular decode skips LBRR data by decoding it
+            # LBRR frames always use the VAD-conditioned tables
+            # (decode_indices.c:51)
             jx = decode_frame_indices(
                 dec, bw, True, n_subfr,
                 cond_coding=bool(i > 0 and lbrr[i - 1]),
                 prev=prev_lbrr)
-            decode_excitation(dec, jx.signal_type, jx.quant_offset,
-                              frame_length)
+            jx.pulses = decode_excitation(dec, jx.signal_type,
+                                          jx.quant_offset, frame_length)
+            if lbrr_out is not None:
+                lbrr_out.append(SilkFrame(True, jx))
+        elif lbrr_out is not None:
+            lbrr_out.append(None)
     prev: dict = {}
     frames = []
     for i in range(n_frames):
@@ -697,12 +706,15 @@ class SilkStreamDecoder:
         self._rs = None
         self.fix = _have_fix()
         if self.fix:
+            from ohpipeline_tpu import native
             # fixed-point state (decode_core.c persistent buffers)
             self._out_buf_i = np.zeros(self.ltp_mem + self.frame_len,
                                        np.int16)
             self._s_lpc_q14 = np.zeros(16, np.int32)
             self._prev_gain_q16 = np.array([65536], np.int32)
             self._last_exc = None
+            # PLC/CNG bookkeeping (silk/PLC.c, CNG.c state)
+            self._plc = native.SilkPlcState()
 
     def decode_frame_48k(self, data: bytes,
                          duration_ms: int = 20,
@@ -724,6 +736,49 @@ class SilkStreamDecoder:
                 + 1)
         return self._rs.process(self.decode_frame(data, duration_ms,
                                                   dec=dec))
+
+    def conceal_frame_48k(self, duration_ms: int = 20) -> np.ndarray:
+        """Packet-loss concealment for one lost packet -> 48 kHz PCM
+        (the opus_decode(NULL, ...) path for SILK mode)."""
+        if self._rs is None:
+            cls = SilkResamplerFix if self.fix else SilkResampler
+            self._rs = cls(
+                self.fs_khz * 1000,
+                input_delay=SilkResampler.DELAY_48[self.fs_khz * 1000]
+                + 1)
+        n_frames = max(1, duration_ms // 20)
+        n_subfr = 2 if duration_ms == 10 else 4
+        x = np.concatenate([self.conceal(n_subfr)
+                            for _ in range(n_frames)])
+        return self._rs.process(x)
+
+    def decode_fec_48k(self, data: bytes,
+                       duration_ms: int = 20) -> np.ndarray:
+        """Recover a lost packet's audio from the NEXT packet's in-band
+        LBRR data (opus_decode decode_fec=1 -> silk_Decode
+        FLAG_DECODE_LBRR, dec_API.c:253-279); frame slots without LBRR
+        fall back to concealment (decode_frame.c FLAG_DECODE_LBRR
+        without LBRR_flags -> PLC)."""
+        if self._rs is None:
+            cls = SilkResamplerFix if self.fix else SilkResampler
+            self._rs = cls(
+                self.fs_khz * 1000,
+                input_delay=SilkResampler.DELAY_48[self.fs_khz * 1000]
+                + 1)
+        n_frames = max(1, duration_ms // 20)
+        n_subfr = 2 if duration_ms == 10 else 4
+        lbrr: list = []
+        parse_silk_packet(data, self.bw, duration_ms=duration_ms,
+                          lbrr_out=lbrr)
+        while len(lbrr) < n_frames:
+            lbrr.append(None)
+        outs = []
+        for f in lbrr[:n_frames]:
+            if f is not None:
+                outs.append(self.synthesise(f.indices))
+            else:
+                outs.append(self.conceal(n_subfr))
+        return self._rs.process(np.concatenate(outs))
 
     def decode_frame(self, data: bytes,
                      duration_ms: int = 20,
@@ -782,15 +837,40 @@ class SilkStreamDecoder:
             lags = [0] * n_subfr
             b_q14 = np.zeros((n_subfr, 5), np.int16)
             ltp_scale = 0
-        xq, exc = native.silk_decode_core_fix(
-            np.asarray(ix.pulses, np.int16), self.subfr_len, n_subfr,
-            self.order, self.ltp_mem, a_both, b_q14,
+        xq = native.silk_frame_fix(
+            False, np.asarray(ix.pulses, np.int16), self.subfr_len,
+            n_subfr, self.order, self.ltp_mem, a_both, b_q14,
             np.asarray(gains_q16, np.int32), np.asarray(lags, np.int32),
             ltp_scale, ix.signal_type, ix.quant_offset, int(ix.seed),
-            interp, self._out_buf_i, self._s_lpc_q14,
-            self._prev_gain_q16)
-        self._last_exc = exc
+            interp, nlsf, cos_tab, self.fs_khz, self._out_buf_i,
+            self._s_lpc_q14, self._prev_gain_q16, self._plc)
+        self._last_exc = self._plc.exc
         self.first = False
+        return xq
+
+    def conceal(self, n_subfr: int = 4) -> np.ndarray:
+        """One concealed 20 ms (or 10 ms, n_subfr=2) frame of
+        packet-loss extrapolation at the internal rate
+        (silk/PLC.c silk_PLC_conceal + CNG + glue bookkeeping via
+        native.silk_frame_fix(lost=True)); int16 on the fixed path,
+        zeros on the float fallback (which has no PLC state)."""
+        frame_len = n_subfr * self.subfr_len
+        if not self.fix:
+            return np.zeros(frame_len)
+        from ohpipeline_tpu import native
+        T = tables()
+        cos_tab = T["LSFCosTab_FIX_Q12"].astype(np.int16)
+        prev_nlsf = (self.prev_nlsf if self.prev_nlsf is not None
+                     else np.zeros(self.order, np.int16))
+        z16 = np.zeros(frame_len, np.int16)
+        xq = native.silk_frame_fix(
+            True, z16, self.subfr_len, n_subfr, self.order,
+            self.ltp_mem, np.zeros((2, 16), np.int16),
+            np.zeros((n_subfr, 5), np.int16),
+            np.full(n_subfr, 65536, np.int32),
+            np.zeros(n_subfr, np.int32), 0, 0, 0, 0, False,
+            prev_nlsf, cos_tab, self.fs_khz, self._out_buf_i,
+            self._s_lpc_q14, self._prev_gain_q16, self._plc)
         return xq
 
     def _synthesise_float(self, ix) -> np.ndarray:
@@ -1092,6 +1172,29 @@ class SilkStereoDecoder:
             lefts.append(self._rs[0].process(left))
             rights.append(self._rs[1].process(right))
         return np.stack([np.concatenate(lefts), np.concatenate(rights)])
+
+    def conceal_packet_48k(self, duration_ms: int = 20) -> np.ndarray:
+        """Conceal one lost stereo packet: both cores run PLC
+        (dec_API.c lost path; the side is skipped after mid-only
+        frames, matching prev_decode_only_middle), then MS->LR with
+        the previous predictors and per-channel resampling."""
+        L = (10 if duration_ms == 10 else 20) * self.fs_khz
+        n_frames = max(1, duration_ms // 20)
+        n_subfr = 2 if duration_ms == 10 else 4
+        lefts, rights = [], []
+        for _ in range(n_frames):
+            xm = self.mid.conceal(n_subfr)
+            if self._prev_mid_only:
+                xs = np.zeros(L, np.int16 if self.fix else None)
+            else:
+                xs = self.side.conceal(n_subfr)
+            pred = (self._pred_prev_i.tolist() if self.fix
+                    else list(self._pred_prev))
+            left, right = self._ms_to_lr(xm, xs, pred)
+            lefts.append(self._rs[0].process(left))
+            rights.append(self._rs[1].process(right))
+        return np.stack([np.concatenate(lefts),
+                         np.concatenate(rights)])
 
     def _ms_to_lr(self, mid: np.ndarray, side: np.ndarray,
                   pred_q13: list) -> tuple[np.ndarray, np.ndarray]:

@@ -590,7 +590,16 @@ def _silk_lib() -> ctypes.CDLL | None:
             _i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, _i16p, _i16p, _i32p, _i32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
-            ctypes.c_int, _i16p, _i32p, _i32p, _i32p, _i16p]
+            ctypes.c_int, _i16p, _i32p, _i32p, _i32p, _i16p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, _i32p]
+        lib.silk_frame_fix.restype = ctypes.c_int
+        lib.silk_frame_fix.argtypes = [
+            ctypes.c_int, _i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, _i16p, _i16p, _i32p, _i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+            ctypes.c_int, _i16p, _i16p, ctypes.c_int,
+            _i16p, _i32p, _i32p, _i32p, _i32p, _i16p, _i32p, _i16p,
+            _i32p, _i16p]
         lib.silk_resampler_iir_fir.restype = ctypes.c_int
         lib.silk_resampler_iir_fir.argtypes = [
             _i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
@@ -615,6 +624,56 @@ def silk_nlsf2a(nlsf_q15: np.ndarray, cos_tab_q12: np.ndarray) -> np.ndarray:
     lib.silk_nlsf2a(np.ascontiguousarray(nlsf_q15, np.int16), d,
                     np.ascontiguousarray(cos_tab_q12, np.int16), a)
     return a
+
+
+class SilkPlcState:
+    """Persistent PLC/CNG/decoder bookkeeping for silk_frame_fix
+    (layouts documented in silk_core.cc)."""
+
+    def __init__(self):
+        self.plc_i32 = np.zeros(10, np.int32)
+        self.plc_i16 = np.zeros(23, np.int16)
+        self.cng_i32 = np.zeros(339, np.int32)
+        self.cng_i16 = np.zeros(16, np.int16)
+        self.misc = np.zeros(4, np.int32)
+        self.misc[2] = 1                       # first_frame_after_reset
+        self.exc = np.zeros(320, np.int32)     # last good excitation
+
+
+def silk_frame_fix(lost: bool, pulses: np.ndarray, subfr_length: int,
+                   nb_subfr: int, lpc_order: int, ltp_mem: int,
+                   a_q12_both: np.ndarray, b_q14: np.ndarray,
+                   gains_q16: np.ndarray, pitch_lags: np.ndarray,
+                   ltp_scale_q14: int, signal_type: int,
+                   quant_offset: int, seed: int, nlsf_interp: bool,
+                   prev_nlsf_q15: np.ndarray, cos_tab_q12: np.ndarray,
+                   fs_khz: int, out_buf: np.ndarray,
+                   s_lpc_q14: np.ndarray, prev_gain_q16: np.ndarray,
+                   plc: "SilkPlcState") -> np.ndarray:
+    """One SILK frame: fixed-point decode (lost=False) or packet-loss
+    concealment (lost=True), with PLC state tracking, comfort-noise
+    and frame gluing (silk/decode_frame.c + PLC.c + CNG.c).  Mutates
+    all state arrays in place; returns xq int16."""
+    lib = _silk_lib()
+    frame_length = subfr_length * nb_subfr
+    xq = np.zeros(frame_length, np.int16)
+    rc = lib.silk_frame_fix(
+        int(lost), np.ascontiguousarray(pulses, np.int16), frame_length,
+        subfr_length, nb_subfr, lpc_order, ltp_mem,
+        np.ascontiguousarray(a_q12_both, np.int16),
+        np.ascontiguousarray(b_q14, np.int16),
+        np.ascontiguousarray(gains_q16, np.int32),
+        np.ascontiguousarray(pitch_lags, np.int32),
+        int(ltp_scale_q14), int(signal_type), int(quant_offset),
+        ctypes.c_int32(int(seed)), int(nlsf_interp),
+        np.ascontiguousarray(prev_nlsf_q15, np.int16),
+        np.ascontiguousarray(cos_tab_q12, np.int16), fs_khz,
+        out_buf, s_lpc_q14, prev_gain_q16, plc.exc,
+        plc.plc_i32, plc.plc_i16, plc.cng_i32, plc.cng_i16, plc.misc,
+        xq)
+    if rc != 0:
+        raise ValueError("silk_frame_fix failed")
+    return xq
 
 
 def silk_decode_core_fix(pulses: np.ndarray, subfr_length: int,
@@ -644,7 +703,8 @@ def silk_decode_core_fix(pulses: np.ndarray, subfr_length: int,
         int(ltp_scale_q14), int(signal_type), int(quant_offset),
         ctypes.c_int32(seed & 0xFFFFFFFF if seed < (1 << 31)
                        else (seed - (1 << 32))), int(nlsf_interp),
-        out_buf, s_lpc_q14, prev_gain_q16, exc, xq)
+        out_buf, s_lpc_q14, prev_gain_q16, exc, xq,
+        0, 0, 0, np.zeros(4, np.int32))
     if rc != 0:
         raise ValueError("silk_decode_core_fix: invalid pitch lag state")
     return xq, exc

@@ -147,7 +147,8 @@ build_opus() {
     [ -f "$oobj/ogg_$c.o" ] || \
       gcc -O2 -I"$oggsrc/include" -w -c "$oggsrc/src/$c.c" -o "$oobj/ogg_$c.o"
   done
-  gcc -O2 -I"$src/include" -I"$oggsrc/include" -w \
+  gcc -O2 -I"$src/include" -I"$src/src" -I"$src/celt" -I"$src" \
+      -I"$oggsrc/include" -w \
       "$(dirname "$0")/opus_oracle.c" "$oobj/ogg_bitwise.o" \
       "$oobj/ogg_framing.o" "$obj/libopus.a" -lm -o "$OUT/opus_oracle"
   echo "built $OUT/opus_oracle"

@@ -41,6 +41,12 @@ static int do_encode(const char *inp, const char *outp, int channels,
         /* SILK-only capped at mediumband (12 kHz internal rate) */
         opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_SILK_ONLY));
         opus_encoder_ctl(enc, OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_MEDIUMBAND));
+    } else if (force_mode == 4) {
+        /* SILK-only WB with in-band FEC (LBRR) for the FEC tests */
+        opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_SILK_ONLY));
+        opus_encoder_ctl(enc, OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_WIDEBAND));
+        opus_encoder_ctl(enc, OPUS_SET_INBAND_FEC(1));
+        opus_encoder_ctl(enc, OPUS_SET_PACKET_LOSS_PERC(30));
     }
     int preskip = 0;
     opus_encoder_ctl(enc, OPUS_GET_LOOKAHEAD(&preskip));
@@ -106,13 +112,29 @@ int main(int argc, char **argv) {
                          argc > 5 ? atoi(argv[5]) : 96000,
                          argc > 6 ? (strcmp(argv[6], "silk") == 0 ? 1 :
                                      strcmp(argv[6], "hybrid") == 0 ? 2 :
-                                     strcmp(argv[6], "silkmb") == 0 ? 3 : 0)
+                                     strcmp(argv[6], "silkmb") == 0 ? 3 :
+                                     strcmp(argv[6], "silkfec") == 0 ? 4 : 0)
                                   : 0,
                          argc > 7 ? atoi(argv[7]) : 20);
     if (argc < 4 || strcmp(argv[1], "decode") != 0) {
-        fprintf(stderr, "usage: %s decode in.opus out.raw | "
+        fprintf(stderr, "usage: %s decode in.opus out.raw [loss|fFEC] | "
                         "encode in.raw out.opus ch [bitrate]\n", argv[0]);
         return 2;
+    }
+    /* optional 5th arg: comma-separated audio-packet indices to treat
+       as lost (opus_decode(NULL) -> PLC); f-prefixed entries recover
+       that index from the NEXT packet's in-band FEC instead. */
+    int lost_idx[4096];
+    memset(lost_idx, 0, sizeof(lost_idx));
+    if (argc > 4) {
+        char *tok = strtok(argv[4], ",");
+        while (tok) {
+            if (tok[0] == 'f')
+                lost_idx[atoi(tok + 1)] = 2;
+            else
+                lost_idx[atoi(tok)] = 1;
+            tok = strtok(NULL, ",");
+        }
     }
     FILE *in = fopen(argv[2], "rb");
     if (!in) { perror("in"); return 1; }
@@ -159,8 +181,43 @@ int main(int argc, char **argv) {
                     continue;
                 }
                 if (headers == 1) { headers = 2; continue; }  /* OpusTags */
-                int r = opus_decode(dec, op.packet, (opus_int32)op.bytes,
+                static int pkt_idx = 0;
+                int mode = pkt_idx < 4096 ? lost_idx[pkt_idx] : 0;
+                pkt_idx++;
+                int r;
+                if (mode == 1) {
+                    int dur = opus_packet_get_nb_samples(
+                        op.packet, (opus_int32)op.bytes, 48000);
+                    r = opus_decode(dec, NULL, 0, pcm,
+                                    dur > 0 ? dur : 960, 0);
+                } else if (mode == 2) {
+                    int dur = opus_packet_get_nb_samples(
+                        op.packet, (opus_int32)op.bytes, 48000);
+                    /* recover with this packet's FEC data, then decode
+                       it normally; both outputs are written */
+                    r = opus_decode(dec, op.packet, (opus_int32)op.bytes,
+                                    pcm, dur > 0 ? dur : 960, 1);
+                    if (r > 0) {
+                        opus_int16 *p = pcm;
+                        long long frames = r;
+                        if (skip > 0) {
+                            long long s = skip < frames ? skip : frames;
+                            p += s * channels;
+                            frames -= s;
+                            skip -= s;
+                        }
+                        if (frames > 0) {
+                            fwrite(p, sizeof(opus_int16),
+                                   (size_t)frames * channels, out);
+                            produced += frames;
+                        }
+                    }
+                    r = opus_decode(dec, op.packet, (opus_int32)op.bytes,
                                     pcm, 5760, 0);
+                } else {
+                    r = opus_decode(dec, op.packet, (opus_int32)op.bytes,
+                                    pcm, 5760, 0);
+                }
                 if (r <= 0) continue;
                 opus_int16 *p = pcm;
                 long long frames = r;
