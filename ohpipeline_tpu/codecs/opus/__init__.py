@@ -118,39 +118,120 @@ class _OpusStream:
         self.stream_channels = 0
         self.gain = 10.0 ** (head.output_gain_q8 / (20.0 * 256.0))
         self.prev_toc: Optional[OpusToc] = None    # PLC uses last mode
+        self.prev_mode: Optional[str] = None       # transition detection
+        self.prev_redundancy = False
+
+    @staticmethod
+    def _smooth_fade(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """2.5 ms squared-window crossfade (opus_decoder.c
+        smooth_fade): out = (1-w^2)*a + w^2*b over 120 samples."""
+        from .celt import celt_mode
+        w = celt_mode().window[:120] ** 2
+        return a * (1.0 - w) + b * w
+
+    def _decode_redundant(self, data: bytes, sc: int,
+                          reset: bool) -> np.ndarray:
+        """Decode the 5 ms CELT redundancy frame appended at a mode
+        switch (opus_decoder.c:822-871); start_band 0, fresh CELT
+        state when entering CELT from SILK (OPUS_RESET_STATE)."""
+        if self.celt is None or reset or self.stream_channels != sc:
+            self.celt = CeltDecoderState(sc)
+            self.stream_channels = sc
+        return decode_frame(self.celt, data, 240)
+
+    def _apply_redundancy(self, pcm: np.ndarray, red: np.ndarray,
+                          celt_to_silk: bool) -> np.ndarray:
+        """RFC 6716 section 4.5 crossfade: entering SILK from CELT the
+        redundant audio covers the frame start (copy 2.5 ms, fade
+        2.5 ms); leaving SILK toward CELT the frame's last 2.5 ms fades
+        into the redundant frame's second half
+        (opus_decoder.c:934-960)."""
+        F2_5 = 120
+        if pcm.shape[1] < 2 * F2_5 or red.shape[1] < 2 * F2_5:
+            return pcm
+        if red.shape[0] != pcm.shape[0]:
+            red = (np.repeat(red, pcm.shape[0], axis=0)
+                   if red.shape[0] == 1 else 0.5 * (red[:1] + red[1:]))
+        if celt_to_silk:
+            pcm[:, :F2_5] = red[:, :F2_5]
+            pcm[:, F2_5:2 * F2_5] = self._smooth_fade(
+                red[:, F2_5:2 * F2_5], pcm[:, F2_5:2 * F2_5])
+        else:
+            pcm[:, -F2_5:] = self._smooth_fade(
+                pcm[:, -F2_5:], red[:, F2_5:2 * F2_5])
+        return pcm
+
+    def _apply_transition(self, pcm: np.ndarray,
+                          trans: np.ndarray) -> np.ndarray:
+        """Mode switch without redundancy: crossfade from 5 ms of
+        old-mode concealment (opus_decoder.c:962-984)."""
+        F2_5 = 120
+        if pcm.shape[1] < 2 * F2_5 or trans.shape[1] < 2 * F2_5:
+            return pcm
+        if trans.shape[0] != pcm.shape[0]:
+            trans = (np.repeat(trans, pcm.shape[0], axis=0)
+                     if trans.shape[0] == 1
+                     else 0.5 * (trans[:1] + trans[1:]))
+        pcm[:, :F2_5] = trans[:, :F2_5]
+        pcm[:, F2_5:2 * F2_5] = self._smooth_fade(
+            trans[:, F2_5:2 * F2_5], pcm[:, F2_5:2 * F2_5])
+        return pcm
 
     def _decode_silk(self, toc: OpusToc, frames: list) -> np.ndarray:
+        from .range_dec import RangeDecoder
         from .silk import SilkStereoDecoder, SilkStreamDecoder
         dur = int(toc.frame_ms)
         if dur not in (10, 20, 40, 60):
             raise CodecStreamCorrupt(f"bad SILK duration {toc.frame_ms}")
-        if toc.stereo or self.head.channels == 2 \
-                or isinstance(self.silk, SilkStereoDecoder):
+        stereo_layer = (toc.stereo or self.head.channels == 2
+                        or isinstance(self.silk, SilkStereoDecoder))
+        if stereo_layer:
             # mid/side layer (also carries mono packets of a switching
             # stream through its mid history buffer, like silk_Decode)
             if not isinstance(self.silk, SilkStereoDecoder) \
                     or self.silk.bw != toc.bandwidth:
                 self.silk = SilkStereoDecoder(toc.bandwidth)
-            outs = [self.silk.decode_packet_48k(f, toc.stereo, dur)
-                    for f in frames]
-            pcm = np.concatenate(outs, axis=1) * (1.0 / 32768.0)
         else:
             if self.silk is None or not isinstance(
                     self.silk, SilkStreamDecoder) \
                     or self.silk.bw != toc.bandwidth:
                 self.silk = SilkStreamDecoder(toc.bandwidth)
-            pcm = np.concatenate(
-                [self.silk.decode_frame_48k(f, dur)
-                 for f in frames])[None, :] * (1.0 / 32768.0)
-        return pcm
+        outs = []
+        self._had_redundancy = False
+        for f in frames:
+            dec = RangeDecoder(f)
+            if stereo_layer:
+                pcm = self.silk.decode_packet_48k(f, toc.stereo, dur,
+                                                  dec=dec)
+            else:
+                pcm = self.silk.decode_frame_48k(f, dur,
+                                                 dec=dec)[None, :]
+            pcm = pcm.astype(np.float64)
+            # SILK-only redundancy: implied by leftover bits
+            # (opus_decoder.c:780-806: >= 17 bits -> redundancy, the
+            # duplicate CELT 5 ms frame rides the tail raw bytes)
+            if dec.tell() + 17 <= 8 * len(f):
+                celt_to_silk = bool(dec.dec_bit_logp(1))
+                red_bytes = len(f) - ((dec.tell() + 7) >> 3)
+                if 2 <= red_bytes <= len(f):
+                    sc = 2 if toc.stereo else 1
+                    red = self._decode_redundant(
+                        f[len(f) - red_bytes:], sc,
+                        reset=not celt_to_silk) * 32768.0
+                    pcm = self._apply_redundancy(pcm, red,
+                                                 celt_to_silk)
+                    self._had_redundancy = True
+            outs.append(pcm)
+        return np.concatenate(outs, axis=1) * (1.0 / 32768.0)
 
     def _decode_hybrid(self, toc: OpusToc, frames: list) -> np.ndarray:
         """Hybrid (SWB/FB speech) frame: a WB SILK core and CELT bands
         17+ share one range coder (src/opus_decoder.c:380-612); the
-        outputs are summed.  A redundant CELT band for mode switching
-        is parsed and dropped (reconstruction crossfade not applied)."""
+        outputs are summed.  Redundant CELT frames at mode switches are
+        decoded and crossfaded per RFC 6716 section 4.5."""
         from .range_dec import RangeDecoder
         from .silk import SilkStereoDecoder, SilkStreamDecoder
+        self._had_redundancy = False
         dur = int(toc.frame_ms)
         if dur not in (10, 20):
             raise CodecStreamCorrupt(f"bad hybrid duration {toc.frame_ms}")
@@ -174,18 +255,35 @@ class _OpusStream:
                 silk48 = self.silk.decode_frame_48k(f, dur,
                                                     dec=dec)[None, :]
             eff = len(f)
+            redundancy = False
+            celt_to_silk = False
+            rb = 0
             if dec.tell() + 37 <= 8 * len(f):
                 if dec.dec_bit_logp(12):          # redundancy present
-                    dec.dec_bit_logp(1)           # celt_to_silk
+                    celt_to_silk = bool(dec.dec_bit_logp(1))
                     rb = dec.dec_uint(256) + 2
                     eff -= rb
                     dec.storage -= rb             # shrink raw-bit window
+                    redundancy = True
+            red = None
+            if redundancy and celt_to_silk:
+                # decode BEFORE the main CELT frame so the shared CELT
+                # state carries over from the previous CELT-mode packet
+                red = self._decode_redundant(
+                    f[eff:eff + rb], sc, reset=False) * 32768.0
             celt_out = decode_frame(
                 self.celt, f[:eff], int(toc.frame_ms * 48), dec=dec,
                 start_band=17, end_band=_END_BAND[toc.bandwidth])
             if silk48.shape[0] != celt_out.shape[0]:
                 silk48 = np.repeat(silk48, celt_out.shape[0], axis=0)
-            outs.append(silk48 * (1.0 / 32768.0) + celt_out)
+            pcm = silk48 + celt_out * 32768.0
+            if redundancy and not celt_to_silk:
+                red = self._decode_redundant(
+                    f[eff:eff + rb], sc, reset=True) * 32768.0
+            if red is not None:
+                pcm = self._apply_redundancy(pcm, red, celt_to_silk)
+                self._had_redundancy = True
+            outs.append(pcm * (1.0 / 32768.0))
         return np.concatenate(outs, axis=1)
 
     def conceal_packet(self, duration_ms: int = 20) -> np.ndarray:
@@ -251,12 +349,27 @@ class _OpusStream:
         if packet is None:
             return self.conceal_packet(lost_duration_ms)
         toc, frames = split_packet_frames(packet)
+        # mode transition without redundancy: conceal 5 ms of the old
+        # mode to fade from (opus_decoder.c:741-760, 962-984; entering
+        # CELT the fade only applies when the previous packet carried
+        # no redundancy)
+        transition = self.prev_mode is not None and (
+            (toc.mode == "celt" and self.prev_mode != "celt"
+             and not self.prev_redundancy)
+            or (toc.mode != "celt" and self.prev_mode == "celt"))
+        trans_pcm = self.conceal_packet(5) if transition else None
         self.prev_toc = toc
         if toc.mode in ("silk", "hybrid"):
+            self._had_redundancy = False
             if toc.mode == "silk":
                 pcm = self._decode_silk(toc, frames) * self.gain
             else:
                 pcm = self._decode_hybrid(toc, frames) * self.gain
+            if trans_pcm is not None:
+                # crossfade is scale-invariant: both already carry gain
+                pcm = self._apply_transition(pcm, trans_pcm)
+            self.prev_mode = toc.mode
+            self.prev_redundancy = self._had_redundancy
             C = self.head.channels
             if pcm.shape[0] == 1 and C == 2:
                 pcm = np.repeat(pcm, 2, axis=0)
@@ -275,6 +388,10 @@ class _OpusStream:
                              end_band=_END_BAND[toc.bandwidth])
                 for f in frames]
         pcm = np.concatenate(outs, axis=1) * self.gain
+        if trans_pcm is not None:
+            pcm = self._apply_transition(pcm, trans_pcm)
+        self.prev_mode = toc.mode
+        self.prev_redundancy = False
         C = self.head.channels
         if pcm.shape[0] == 1 and C == 2:
             pcm = np.repeat(pcm, 2, axis=0)
