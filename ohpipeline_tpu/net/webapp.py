@@ -22,6 +22,53 @@ TAB_TIMEOUT_S = 30.0
 MAX_TABS = 8          # reference kMaxSessions-ish
 LONGPOLL_WAIT_S = 5.0
 
+#: extension -> MIME type (the framework's static-resource server;
+#: reference MimeUtils, Web/WebAppFramework.cpp)
+MIME_TYPES = {
+    ".html": "text/html", ".htm": "text/html", ".css": "text/css",
+    ".js": "application/javascript", ".json": "application/json",
+    ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+    ".gif": "image/gif", ".svg": "image/svg+xml",
+    ".ico": "image/x-icon", ".txt": "text/plain",
+    ".woff": "font/woff", ".woff2": "font/woff2",
+}
+
+
+class FileResourceManager:
+    """Static resources from a directory tree (the reference's
+    FileResourceHandler, WebAppFramework.h IResourceManager): extension
+    MIME mapping, ETag caching, optional per-language subdirectories
+    chosen from the client's language list (languageResourceDir)."""
+
+    def __init__(self, root: str, languages: tuple = ()):
+        import os
+        self._root = os.path.abspath(root)
+        self._langs = tuple(languages)
+
+    def lookup(self, path: str, accept_languages: tuple = ()
+               ) -> Optional[tuple[str, bytes, str]]:
+        """(mime, body, etag) or None.  Rejects path traversal."""
+        import hashlib
+        import os
+        rel = path.lstrip("/") or "index.html"
+        candidates = []
+        for lang in accept_languages:
+            if lang in self._langs:
+                candidates.append(os.path.join(self._root, lang, rel))
+        candidates.append(os.path.join(self._root, rel))
+        for cand in candidates:
+            cand = os.path.abspath(cand)
+            if not cand.startswith(self._root + os.sep) \
+                    and cand != self._root:
+                continue               # traversal attempt
+            if os.path.isfile(cand):
+                body = open(cand, "rb").read()
+                ext = os.path.splitext(cand)[1].lower()
+                mime = MIME_TYPES.get(ext, "application/octet-stream")
+                etag = hashlib.sha1(body).hexdigest()[:16]
+                return (mime, body, etag)
+        return None
+
 
 class Tab:
     """One client's session: a message queue the app pushes into
@@ -156,6 +203,23 @@ class WebAppFramework:
             return
         sub = "/".join(parts[1:]) or "index.html"
         if sub == "lpcreate":
+            evict = None
+            with self._lock:
+                if len(self._tabs) >= MAX_TABS:
+                    # evict the longest-idle tab if it has gone quiet
+                    # (TabManager session recycling); otherwise the
+                    # allocator is genuinely full (TabAllocatorFull)
+                    now = time.monotonic()
+                    idle = sorted(self._tabs.items(),
+                                  key=lambda kv: kv[1][1].last_seen)
+                    tid0, (_a0, t0) = idle[0]
+                    if now - t0.last_seen > LONGPOLL_WAIT_S * 2:
+                        evict = tid0
+                    else:
+                        h._reply(503, b'{"error":"no free tabs"}')
+                        return
+            if evict is not None:
+                self._destroy_tab(evict)
             with self._lock:
                 if len(self._tabs) >= MAX_TABS:
                     h._reply(503, b'{"error":"no free tabs"}')
@@ -192,12 +256,37 @@ class WebAppFramework:
                 app.receive(tab, msg)
                 h._reply(200, b"{}")
             return
+        # static resources: app hook first, then the app's file-backed
+        # resource manager with ETag/304 caching
         res = app.resource(sub)
-        if res is None:
-            h._reply(404, b"{}")
+        if res is not None:
+            mime, body = res
+            h._reply(200, body, mime)
             return
-        mime, body = res
-        h._reply(200, body, mime)
+        mgr = getattr(app, "resources", None)
+        if mgr is not None:
+            langs = tuple(
+                tok.split(";")[0].strip().lower()
+                for tok in h.headers.get("Accept-Language", "")
+                .split(",") if tok.strip())
+            hit = mgr.lookup(sub, langs)
+            if hit is not None:
+                mime, body, etag = hit
+                if h.headers.get("If-None-Match") == etag:
+                    h.send_response(304)
+                    h.send_header("ETag", etag)
+                    h.send_header("Content-Length", "0")
+                    h.end_headers()
+                    return
+                h.send_response(200)
+                h.send_header("Content-Type", mime)
+                h.send_header("Content-Length", str(len(body)))
+                h.send_header("ETag", etag)
+                h.send_header("Cache-Control", "max-age=60")
+                h.end_headers()
+                h.wfile.write(body)
+                return
+        h._reply(404, b"{}")
 
 
 class ConfigApp(WebApp):
@@ -207,7 +296,11 @@ class ConfigApp(WebApp):
     name = "config"
 
     def __init__(self, config_manager):
+        import os
         self._cm = config_manager
+        self.resources = FileResourceManager(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "webui", "config"))
         # tab id -> [(config_val, subscription_id)] so reaped/terminated
         # tabs release their callbacks (previously leaked forever)
         self._subs: dict[int, list] = {}
@@ -232,8 +325,8 @@ class ConfigApp(WebApp):
         return out
 
     def resource(self, path: str) -> Optional[tuple[str, bytes]]:
-        if path == "index.html":
-            return ("text/html", _CONFIG_HTML.encode())
+        # dynamic resources only; index.html and other static files are
+        # served from webui/config/ through the FileResourceManager
         if path == "meta.json":
             return ("application/json", json.dumps(self._meta()).encode())
         return None
@@ -270,36 +363,3 @@ class ConfigApp(WebApp):
                     tab.send({"type": "error", "key": key,
                               "description": str(e)})
 
-
-_CONFIG_HTML = """<!doctype html><html><head><title>Config</title></head>
-<body><h1>Configuration</h1><div id="cfg"></div>
-<script>
-async function boot() {
-  const meta = await (await fetch('meta.json')).json();
-  const sid = (await (await fetch('lpcreate')).json())['session-id'];
-  const div = document.getElementById('cfg');
-  const inputs = new Map();   // key -> input (no innerHTML: values/keys
-  for (const m of meta) {     // are user data and must never parse as HTML)
-    const row = document.createElement('div');
-    const label = document.createElement('label');
-    label.textContent = m.key;
-    const input = document.createElement('input');
-    input.value = String(m.value);
-    input.onchange = (e) => fetch(`send?session-id=${sid}`, {
-      method: 'POST',
-      body: JSON.stringify({type:'set', key:m.key, value:e.target.value})});
-    row.appendChild(label);
-    row.appendChild(document.createTextNode(' '));
-    row.appendChild(input);
-    inputs.set(m.key, input);
-    div.appendChild(row);
-  }
-  while (true) {
-    const msgs = await (await fetch(`lp?session-id=${sid}`)).json();
-    for (const m of msgs)
-      if (m.type === 'update' && inputs.has(m.key))
-        inputs.get(m.key).value = String(m.value);
-  }
-}
-boot();
-</script></body></html>"""

@@ -4,6 +4,7 @@ serving, tab reaping semantics)."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import pytest
@@ -123,3 +124,105 @@ class TestConfigUi:
         # reaped/terminated tabs must unsubscribe their config callbacks
         assert len(vol._observers) == before
         assert not app._subs
+
+
+class TestStaticResources:
+    def test_file_resources_mime_etag_304(self, framework, tmp_path):
+        """File-backed resource serving (reference FileResourceHandler):
+        extension MIME mapping, ETag issued, If-None-Match -> 304."""
+        from ohpipeline_tpu.net.webapp import (FileResourceManager,
+                                               WebApp)
+        (tmp_path / "app.css").write_text("body{}")
+        (tmp_path / "logo.svg").write_text("<svg/>")
+
+        class FileApp(WebApp):
+            name = "files"
+        app = FileApp()
+        app.resources = FileResourceManager(str(tmp_path))
+        framework.add_app(app)
+        port = framework.port
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/files/app.css")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "text/css"
+            assert "max-age" in r.headers.get("Cache-Control", "")
+            etag = r.headers["ETag"]
+            assert r.read() == b"body{}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/files/app.css",
+            headers={"If-None-Match": etag})
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert r.status == 304
+        except urllib.error.HTTPError as e:   # urllib treats 304 as error
+            assert e.code == 304
+        st, body = get(f"http://127.0.0.1:{port}/files/logo.svg")
+        assert st == 200
+
+    def test_language_directories(self, framework, tmp_path):
+        """Per-language resource dirs chosen from Accept-Language
+        (reference languageResourceDir handling)."""
+        from ohpipeline_tpu.net.webapp import (FileResourceManager,
+                                               WebApp)
+        (tmp_path / "greet.txt").write_text("hello")
+        (tmp_path / "fr").mkdir()
+        (tmp_path / "fr" / "greet.txt").write_text("bonjour")
+
+        class LangApp(WebApp):
+            name = "lang"
+        app = LangApp()
+        app.resources = FileResourceManager(str(tmp_path),
+                                            languages=("fr",))
+        framework.add_app(app)
+        port = framework.port
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/lang/greet.txt",
+            headers={"Accept-Language": "fr, en;q=0.5"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.read() == b"bonjour"
+        st, body = get(f"http://127.0.0.1:{port}/lang/greet.txt")
+        assert body == b"hello"
+
+    def test_traversal_rejected(self, framework, tmp_path):
+        from ohpipeline_tpu.net.webapp import FileResourceManager
+        (tmp_path / "safe.txt").write_text("ok")
+        mgr = FileResourceManager(str(tmp_path))
+        assert mgr.lookup("safe.txt") is not None
+        assert mgr.lookup("../webapp.py") is None
+        assert mgr.lookup("..%2F..%2Fetc%2Fpasswd") is None
+
+    def test_config_index_served_from_file(self, framework):
+        cm = ConfigManager.__new__(ConfigManager)  # minimal: keys only
+        cm._values = {}
+        cm.keys = lambda: []
+        cm.get = lambda k: None
+        cm.has = lambda k: False
+        framework.add_app(ConfigApp(cm))
+        st, body = get(f"http://127.0.0.1:{framework.port}/config/")
+        assert st == 200 and b"Configuration" in body
+
+
+class TestSessionEviction:
+    def test_idle_tab_evicted_when_full(self, framework, monkeypatch):
+        """At the session cap, lpcreate recycles the longest-idle tab
+        instead of failing, but refuses when every tab is active
+        (reference TabManager + TabAllocatorFull semantics)."""
+        import ohpipeline_tpu.net.webapp as W
+        framework.add_app(EchoApp())
+        port = framework.port
+        sids = []
+        for _ in range(W.MAX_TABS):
+            st, body = get(f"http://127.0.0.1:{port}/echo/lpcreate")
+            sids.append(json.loads(body)["session-id"])
+        # all tabs fresh -> allocator full
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get(f"http://127.0.0.1:{port}/echo/lpcreate")
+        assert ei.value.code == 503
+        # age the first tab far past the long-poll window -> recycled
+        with framework._lock:
+            framework._tabs[sids[0]][1].last_seen -= 1000.0
+        st, body = get(f"http://127.0.0.1:{port}/echo/lpcreate")
+        assert st == 200
+        with framework._lock:
+            assert sids[0] not in framework._tabs
