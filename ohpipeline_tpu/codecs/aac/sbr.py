@@ -413,8 +413,11 @@ def parse_ps_data(b: Bits, end: int, prev: PsData = None) -> PsData:
     (psbitdec.cpp:436-593).  Header fields carry over from ``prev``
     when bs_enable_header is 0; returns None (with the block consumed)
     on unsupported iid/icc modes, like the reference.  IPD/OPD
-    extension payloads are parsed and skipped — baseline PS
-    (ISO 14496-3 subpart 8 annex 4)."""
+    extension payloads are parsed and skipped — deliberately matching
+    the reference product: fdk's PS decoder "does not implemet
+    IPD/OPD" and "IPD/OPD data is ignored and set to 0"
+    (thirdparty/fdk-aac/libSBRdec/src/psdec.h:96-98), so applying them
+    would *diverge* from the fdk-based reference renderer."""
     T = tables()
     ps = PsData()
     if prev is not None:
