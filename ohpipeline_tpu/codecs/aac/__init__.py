@@ -104,6 +104,52 @@ def decode_frames_float(frames: list[BS.FrameData],
     return out
 
 
+def decode_frames_float_batched(frames: list[BS.FrameData],
+                                state: _StreamState) -> np.ndarray:
+    """decode_frames_float with the whole group's IMDCT as one float32
+    numpy matmul (the per-frame float64 path costs ~8x more memory
+    traffic; the SBR chain consuming this is float32 anyway).  Same
+    state contract as decode_frames_float."""
+    if not frames:
+        return np.zeros((len(state.prev_shape), 0))
+    nch = len(frames[0].channels)
+    F = len(frames)
+    W, SW = SYN.window_bank()
+    ML = SYN._imdct_matrix(2048).astype(np.float32)
+    MS = SYN._imdct_matrix(256).astype(np.float32)
+    if state.overlap is None or np.ndim(state.overlap) != 2:
+        state.overlap = np.zeros((nch, 1024))
+    specs = np.zeros((F, nch, 1024), np.float32)
+    ops = np.zeros((F, nch), np.int32)
+    for t, frame in enumerate(frames):
+        chs = frame.channels
+        sp = [SYN.dequantize(ch, frame.rate_index) for ch in chs]
+        SYN.apply_spectral_tools(frame, sp)
+        for ci, ch in enumerate(chs):
+            SYN.apply_tns(ch, sp[ci], frame.rate_index)
+            mode = ch.ics.window_sequence
+            ops[t, ci] = (mode * 4 + int(state.prev_shape[ci]) * 2
+                          + ch.ics.window_shape)
+            state.prev_shape[ci] = ch.ics.window_shape
+            specs[t, ci] = sp[ci]
+    flat = specs.reshape(F * nch, 1024)
+    x_long = (flat @ ML) * W[ops.reshape(-1)].astype(np.float32)
+    is_short = (ops.reshape(-1) >> 2) == BS.EIGHT_SHORT
+    if is_short.any():
+        xs = np.einsum("rwk,kn->rwn",
+                       flat.reshape(-1, 8, 128), MS)             * SW[ops.reshape(-1) & 3].astype(np.float32)
+        x_short = np.zeros((F * nch, 2048), np.float32)
+        for w in range(8):
+            x_short[:, 448 + w * 128:448 + w * 128 + 256] += xs[:, w]
+        x_long = np.where(is_short[:, None], x_short, x_long)
+    x = x_long.reshape(F, nch, 2048).astype(np.float64)
+    out = np.zeros((nch, F * 1024))
+    for t in range(F):
+        out[:, t * 1024:(t + 1) * 1024] = x[t, :, :1024] + state.overlap
+        state.overlap = x[t, :, 1024:]
+    return out
+
+
 def decode_group_arrays(batch: dict, nframes: int, channels: int,
                         state: _StreamState,
                         bit_depth: int = 16) -> np.ndarray:
@@ -574,7 +620,7 @@ def _sbr_decode_frames_device(frames, state, sbr, nch):
         runner = sbr_jax.SbrDeviceRunner(sbr)
         runner.static_header = header0
         sbr._device_runner = runner
-    core = decode_frames_float(frames, state)        # (C, F*1024)
+    core = decode_frames_float_batched(frames, state)  # (C, F*1024)
     F = len(frames)
     out = np.zeros((nch, F * 2048), np.float64)
     for ch in range(nch):

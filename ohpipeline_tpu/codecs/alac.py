@@ -309,7 +309,28 @@ def _decode_element(bits: _Bits, cfg: AlacConfig,
             shift_start = bits.pos
             bits.pos += bytes_shifted * 8 * num * nch
         chans = []
+        from ohpipeline_tpu import native as _nat
+        use_native = _nat.have_alac_core()
         for c, (mode, denshift, pbf, nactive, coefs) in enumerate(params):
+            if use_native:
+                try:
+                    resid, bits.pos = _nat.alac_dyn_decomp(
+                        bits.data, bits.pos, num, chan_bits, cfg.mb,
+                        (cfg.pb * pbf) // 4, cfg.kb)
+                except ValueError:
+                    raise CodecStreamCorrupt("alac zero-run overrun")
+                co32 = np.ascontiguousarray(coefs, np.int32)
+                if mode == 0:
+                    chans.append(_nat.alac_unpc_block(
+                        resid, co32, nactive, chan_bits, denshift)
+                        .astype(np.int64))
+                else:
+                    inter = _nat.alac_unpc_block(
+                        resid, np.zeros(32, np.int32), 31, chan_bits, 0)
+                    chans.append(_nat.alac_unpc_block(
+                        inter, co32, nactive, chan_bits, denshift)
+                        .astype(np.int64))
+                continue
             resid = dyn_decomp(bits, num, chan_bits, cfg.mb,
                                (cfg.pb * pbf) // 4, cfg.kb)
             if mode == 0:

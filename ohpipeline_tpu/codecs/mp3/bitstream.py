@@ -330,6 +330,12 @@ def parse_huffman(br: BitReader, g: GranuleInfo, hdr: FrameHeader,
     region1 = int(offsets[r0])
     region2 = int(offsets[r1])
     big = min(g.big_values * 2, 576)
+    from ohpipeline_tpu import native as _nat
+    if _nat.have_mp3_core():
+        g.spectrum, br.pos = _nat.mp3_parse_huffman(
+            br.data, br.pos, end_bit, big, region1, region2,
+            tuple(g.table_select), g.count1table_select)
+        return
     i = 0
     while i < big:
         if i < region1:

@@ -1513,11 +1513,13 @@ def _fold_plc_tail(st: CeltDecoderState, N: int) -> None:
     for c in range(st.channels):
         tail = st.plc_tail[c]
         y = np.concatenate([st.hist[c][-MAX_PERIOD:], tail])
+        # the reference folds with window=NULL/overlap=0: the new
+        # (negated) post-filter applies to the whole tail, no crossfade
         _comb_filter(y, MAX_PERIOD,
                      max(st.pf_period_old, COMBFILTER_MINPERIOD),
                      max(st.pf_period, COMBFILTER_MINPERIOD), ov,
                      -st.pf_gain_old, -st.pf_gain,
-                     st.pf_tapset_old, st.pf_tapset, win, ov)
+                     st.pf_tapset_old, st.pf_tapset, win, 0)
         etmp = y[MAX_PERIOD:MAX_PERIOD + ov]
         ii = np.arange(ov // 2)
         st.carry[c] = (win[ii] * etmp[ov - 1 - ii]

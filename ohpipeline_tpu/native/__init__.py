@@ -746,3 +746,126 @@ def silk_stereo_ms_to_lr(mid: np.ndarray, side: np.ndarray,
     # dec_API.c feeds the resampler from &x[1]: the converted samples
     # live at [1, L+1) and carry the decoder's one-sample delay
     return x1[1:frame_length + 1], x2[1:frame_length + 1]
+
+
+# ---------------------------------------------------------------------------
+# ALAC hot loops (alac_core.cc): adaptive-Golomb residual decode +
+# sign-adaptive FIR prediction (ag_dec.c / dp_dec.c behaviour).
+# codecs.alac uses these when available; its pure-Python loops remain
+# the fallback.
+
+
+def _alac_lib() -> ctypes.CDLL | None:
+    lib = _load("alaccore", ["alac_core.cc"])
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.alac_dyn_decomp.restype = ctypes.c_int
+        lib.alac_dyn_decomp.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int, _i32p]
+        lib.alac_unpc_block.restype = ctypes.c_int
+        lib.alac_unpc_block.argtypes = [
+            _i32p, ctypes.c_int, _i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _i32p]
+        lib._sigs_set = True
+    return lib
+
+
+def have_alac_core() -> bool:
+    return _alac_lib() is not None
+
+
+def alac_dyn_decomp(data: bytes, bit_pos: int, num: int, chan_bits: int,
+                    mb0: int, pb: int, kb: int) -> tuple:
+    """(residuals int32[num], new_bit_pos); raises on zero-run overrun."""
+    lib = _alac_lib()
+    out = np.zeros(num, np.int32)
+    pos = ctypes.c_int64(bit_pos)
+    rc = lib.alac_dyn_decomp(data, len(data), ctypes.byref(pos), num,
+                             chan_bits, mb0, pb, kb, out)
+    if rc != 0:
+        raise ValueError("alac zero-run overrun")
+    return out, pos.value
+
+
+def alac_unpc_block(resid: np.ndarray, coefs: np.ndarray, numactive: int,
+                    chan_bits: int, denshift: int) -> np.ndarray:
+    """Prediction synthesis; mutates coefs (int32) like the adaptive
+    reference filter.  Returns int32 output."""
+    lib = _alac_lib()
+    resid = np.ascontiguousarray(resid, np.int32)
+    out = np.zeros(len(resid), np.int32)
+    lib.alac_unpc_block(resid, len(resid), coefs, numactive, chan_bits,
+                        denshift, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III Huffman spectrum decode (mp3_core.cc); the Python
+# parse_huffman in codecs/mp3/bitstream.py is the fallback/oracle.
+
+_MP3_TABLES_SET = False
+_MP3_KEEPALIVE: list = []
+
+
+def _mp3_lib() -> ctypes.CDLL | None:
+    lib = _load("mp3core", ["mp3_core.cc"])
+    if lib is None:
+        return None
+    if not getattr(lib, "_sigs_set", False):
+        lib.mp3_set_pair_table.argtypes = [
+            ctypes.c_int, ctypes.c_int, _u8p, _i32p, _i8p, ctypes.c_int]
+        lib.mp3_set_quad_table.argtypes = [
+            ctypes.c_int, ctypes.c_int, _u8p, _i32p, _i8p]
+        lib.mp3_parse_huffman.restype = ctypes.c_int
+        lib.mp3_parse_huffman.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p]
+        lib._sigs_set = True
+    global _MP3_TABLES_SET
+    if not _MP3_TABLES_SET:
+        from ..codecs.mp3 import tables as MT
+        for tid, lut in MT.PAIR_LUTS.items():
+            lens = np.ascontiguousarray(lut.lengths)
+            rows = np.ascontiguousarray(lut.rows)
+            vals = np.ascontiguousarray(
+                np.asarray(lut.vals).reshape(-1).astype(np.int8))
+            _MP3_KEEPALIVE.extend([lens, rows, vals])
+            lib.mp3_set_pair_table(tid, lut.maxlen, lens, rows, vals,
+                                   int(MT.PAIR_LINBITS[tid]))
+        for which, lut in enumerate(MT.QUAD_LUTS):
+            lens = np.ascontiguousarray(lut.lengths)
+            rows = np.ascontiguousarray(lut.rows)
+            vals = np.ascontiguousarray(
+                np.asarray(lut.vals).reshape(-1).astype(np.int8))
+            _MP3_KEEPALIVE.extend([lens, rows, vals])
+            lib.mp3_set_quad_table(which, lut.maxlen, lens, rows, vals)
+        _MP3_TABLES_SET = True
+    return lib
+
+
+def have_mp3_core() -> bool:
+    return _mp3_lib() is not None
+
+
+def mp3_parse_huffman(data: bytes, bit_pos: int, end_bit: int, big: int,
+                      region1: int, region2: int, tsel: tuple,
+                      count1table: int) -> tuple:
+    """(spectrum int32[576], new_bit_pos); EOFError/ValueError on
+    malformed data, mirroring the Python path."""
+    lib = _mp3_lib()
+    out = np.zeros(576, np.int32)
+    pos = ctypes.c_int64(bit_pos)
+    rc = lib.mp3_parse_huffman(
+        data, len(data) * 8, ctypes.byref(pos), end_bit, big,
+        region1, region2, int(tsel[0]), int(tsel[1]), int(tsel[2]),
+        count1table, out)
+    if rc == -1:
+        raise EOFError("bitstream exhausted")
+    if rc == -2:
+        raise ValueError("bad mp3 huffman code")
+    return out, pos.value
