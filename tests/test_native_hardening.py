@@ -163,3 +163,72 @@ def test_aac_rejects_cpe_shared_max_sfb():
     buf = _adts(w.payload())
     n, pos, batch = native.aac_parse_group(buf, 0, channels=2, max_frames=1)
     assert n == 0
+
+
+def test_alac_python_fallback_matches_native(monkeypatch):
+    """The pure-Python ALAC loops and the C++ core must agree
+    bit-for-bit (the fallback is the documented behaviour without a
+    toolchain)."""
+    import pathlib
+    import numpy as np
+    from ohpipeline_tpu import native
+    from ohpipeline_tpu.codecs import alac as AL
+    ORACLE = pathlib.Path(__file__).resolve().parent.parent \
+        / ".oracle_build" / "alac_oracle"
+    if not ORACLE.exists() or not native.have_alac_core():
+        import pytest
+        pytest.skip("oracle or native alac core unavailable")
+    import struct
+    import subprocess
+    import tempfile
+    rng = np.random.default_rng(4)
+    t = np.arange(44100) / 44100.0
+    x = np.clip(np.stack([
+        np.sin(2 * np.pi * 400 * t) * 12000
+        + rng.standard_normal(len(t)) * 900,
+        np.sin(2 * np.pi * 620 * t) * 9000]), -32000, 32000) \
+        .astype(np.int16)
+    with tempfile.TemporaryDirectory() as td:
+        fin = pathlib.Path(td) / "i.raw"
+        fout = pathlib.Path(td) / "o.alac"
+        np.ascontiguousarray(x.T).tofile(fin)
+        subprocess.run([str(ORACLE), "encode", str(fin), str(fout),
+                        "44100", "2"], check=True, capture_output=True)
+        raw = fout.read_bytes()
+    clen = struct.unpack("<I", raw[:4])[0]
+    cfg = AL.AlacConfig.parse(raw[4:4 + clen])
+    p = 4 + clen
+    npk = struct.unpack("<I", raw[p:p + 4])[0]
+    p += 4
+    pkts = []
+    for _ in range(npk):
+        sz = struct.unpack("<I", raw[p:p + 4])[0]
+        p += 4
+        pkts.append(raw[p:p + sz])
+        p += sz
+    native_out = [AL.decode_packet(pk, cfg) for pk in pkts[:8]]
+    monkeypatch.setattr(native, "have_alac_core", lambda: False)
+    python_out = [AL.decode_packet(pk, cfg) for pk in pkts[:8]]
+    for (pa, na), (pb, nb) in zip(native_out, python_out):
+        assert na == nb
+        np.testing.assert_array_equal(pa, pb)
+
+
+def test_mp3_python_fallback_matches_native(monkeypatch):
+    """Pure-Python MP3 Huffman decode agrees with the C++ core."""
+    import numpy as np
+    from ohpipeline_tpu import native
+    if not native.have_mp3_core():
+        import pytest
+        pytest.skip("native mp3 core unavailable")
+    from ohpipeline_tpu.codecs.mp3 import decode_mp3
+    from ohpipeline_tpu.codecs.mp3 import encoder as ENC
+    rng = np.random.default_rng(6)
+    spec = np.zeros((2, 576), np.int32)
+    m = rng.random((2, 576)) < 0.3
+    spec[m] = rng.integers(1, 13, m.sum())
+    data = ENC.build_stream([spec[0], spec[1]], nframes=12)
+    _info, a = decode_mp3(data)
+    monkeypatch.setattr(native, "have_mp3_core", lambda: False)
+    _info, b = decode_mp3(data)
+    np.testing.assert_array_equal(a, b)
