@@ -549,6 +549,10 @@ def _sbr_decode_frames(frames, state, sbr, nch,
         out = _sbr_decode_frames_device(frames, state, sbr, nch)
         if out is not None:
             return out
+    else:
+        out = _sbr_decode_frames_device_ps(frames, state, sbr)
+        if out is not None:
+            return out
     outs = []
     for fr in frames:
         core = decode_frames_float([fr], state)
@@ -570,6 +574,57 @@ def _sbr_decode_frames(frames, state, sbr, nch,
         outs.append(np.repeat(up, 2, axis=0) if ps else up)
     pcm = np.concatenate(outs, axis=1)
     return np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
+
+
+def _sbr_decode_frames_device_ps(frames, state, sbr):
+    """Batched device HE-AAC v2: mono core + device SBR + device
+    parametric stereo (sbr_jax.SbrPsDeviceRunner).  Returns None to
+    fall back to the numpy per-frame chain."""
+    from .sbr import SbrError
+    try:
+        from . import sbr_jax
+    except Exception:                                 # noqa: BLE001
+        return None
+    header0 = sbr.header
+    import copy
+    snap = (copy.deepcopy(getattr(sbr, "_parse_prev", None)),
+            getattr(sbr, "_ps_prev", None))
+    parsed = []
+    try:
+        for fr in frames:
+            if fr.sbr is None:
+                raise SbrError("missing payload in group")
+            payload, nbits, crc = fr.sbr
+            chans, _c = sbr.parse_payload(payload, nbits, stereo=False,
+                                          crc=crc)
+            if header0 is not None and sbr.header != header0:
+                raise SbrError("header change mid-group")
+            header0 = sbr.header
+            E, Q, _a = sbr.dequant(sbr.header, chans[0].grid,
+                                   chans[0].env, chans[0].noise)
+            parsed.append((chans[0], E, Q, chans[0].ps))
+    except SbrError:
+        if snap[0] is not None:
+            sbr._parse_prev = snap[0]
+        sbr._ps_prev = snap[1]
+        return None
+    runner = getattr(sbr, "_ps_device_runner", None)
+    if runner is None or runner.dec is not sbr \
+            or runner.static_header != header0:
+        runner = sbr_jax.SbrPsDeviceRunner(sbr)
+        runner.static_header = header0
+        sbr._ps_device_runner = runner
+    if runner.pdec_host.last_ps is None \
+            and parsed and parsed[0][3] is None:
+        return None              # no PS params yet: numpy handles it
+    core = decode_frames_float_batched(frames, state)   # (1, F*1024)
+    F = len(frames)
+    out = runner.decode_group(core[0].reshape(F, 1024),
+                              [p[0] for p in parsed],
+                              [p[1] for p in parsed],
+                              [p[2] for p in parsed],
+                              [p[3] for p in parsed])
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int32)
 
 
 def _sbr_decode_frames_device(frames, state, sbr, nch):

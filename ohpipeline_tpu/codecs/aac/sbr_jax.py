@@ -242,12 +242,15 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
     return cond
 
 
-def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict):
+def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
+                        ps_extras=None):
     """jit-able SBR group decode for one channel.
 
     pcm (F, 1024) f32 core samples; cond: stacked SbrFrameCond arrays;
     state: {ana_hist (320,), x_hist_re/im (6, 32), syn_state (704,),
-    filt (2, M)}.  Returns (out (F*2048,), new_state)."""
+    filt (2, M)}.  Returns (out (F*2048,), new_state); with
+    ps_extras (any non-None) returns ((Zr, Zi), new_state) so the
+    parametric-stereo stage can consume the QMF matrix."""
     import jax
     jnp = _jnp()
     F = pcm.shape[0]
@@ -438,6 +441,30 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict):
         [Yim[:, 6:, :kx], Oi[:, 6:], Yim[:, 6:, kx + M:]], axis=2)
     Zr = Zr.reshape(NS, 64)
     Zi = Zi.reshape(NS, 64)
+    if ps_extras is not None:
+        # hand the adjusted QMF matrix to the PS stage; the PS caller
+        # owns the (per-output-channel) synthesis states
+        new_state = {"ana_hist": new_ana_hist,
+                     "x_hist_re": new_x_hist[0],
+                     "x_hist_im": new_x_hist[1],
+                     "syn_state": state["syn_state"],
+                     "filt": filt}
+        return (Zr, Zi), new_state
+    out, new_syn = synthesize_slots(static, Zr, Zi, state["syn_state"])
+    new_state = {"ana_hist": new_ana_hist,
+                 "x_hist_re": new_x_hist[0],
+                 "x_hist_im": new_x_hist[1],
+                 "syn_state": new_syn,
+                 "filt": filt}
+    return out, new_state
+
+
+def synthesize_slots(static: SbrStatic, Zr, Zi, syn_state):
+    """64-band synthesis QMF for a run of slots: one matmul + 12
+    shifted adds for the 768-sample per-slot responses."""
+    import jax as _jax
+    jnp = _jnp()
+    NS = Zr.shape[0]
     contrib = jnp.dot(Zr, jnp.asarray(static.syn_re),
                       precision=_jax.lax.Precision.HIGHEST) \
         + jnp.dot(Zi, jnp.asarray(static.syn_im),
@@ -447,13 +474,8 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict):
     for j in range(12):
         acc = acc.at[j:j + NS].add(z12[:, j])
     out = acc.reshape(-1)[:NS * 64 + 704]
-    out = out.at[:704].add(state["syn_state"])
-    new_state = {"ana_hist": new_ana_hist,
-                 "x_hist_re": new_x_hist[0],
-                 "x_hist_im": new_x_hist[1],
-                 "syn_state": out[NS * 64:NS * 64 + 704],
-                 "filt": filt}
-    return out[:NS * 64], new_state
+    out = out.at[:704].add(syn_state)
+    return out[:NS * 64], out[NS * 64:NS * 64 + 704]
 
 
 class SbrDeviceRunner:
@@ -494,4 +516,380 @@ class SbrDeviceRunner:
         out, st = self._fn(jnp.asarray(pcm_frames, jnp.float32),
                            cd, self.state_dev[ch])
         self.state_dev[ch] = st
+        return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Parametric stereo on device (HE-AAC v2): hybrid filterbank as batched
+# FIR matmuls, the decorrelator as ONE lax.scan over the group's slots,
+# mixing with host-precomputed per-slot rotation matrices.  Mirrors the
+# numpy PsDecoder in sbr.py (float reformulation of fdk psdec.cpp),
+# which stays the fallback and the conformance oracle.
+
+class PsStatic:
+    """Static decorrelator/mixer conditioning built from the PS ROM
+    tables (sbr.py PsDecoder constants)."""
+
+    def __init__(self):
+        T = SBR.tables()
+        b20 = list(SBR._PS_GROUP_BORDERS20)
+        b2g = list(SBR._PS_BINS2GROUP20)
+        self.phi_sub = (T["ps_aaFractDelayPhaseFactorReSubQmf20"]
+                        + 1j * T["ps_aaFractDelayPhaseFactorImSubQmf20"])
+        phi_qmf = (T["ps_aaFractDelayPhaseFactorReQmf"]
+                   + 1j * T["ps_aaFractDelayPhaseFactorImQmf"])
+        self.phi_qmf = phi_qmf[3:23]                       # sb 3..22
+        self.phi_ser_sub = (
+            T["ps_aaFractDelayPhaseFactorSerReSubQmf20"]
+            + 1j * T["ps_aaFractDelayPhaseFactorSerImSubQmf20"]
+        ).reshape(12, 3)
+        self.phi_ser_qmf = (
+            T["ps_aaFractDelayPhaseFactorSerReQmf"]
+            + 1j * T["ps_aaFractDelayPhaseFactorSerImQmf"]
+        ).reshape(64, 3)[3:23]
+        self.decay_ser = T["ps_aAllpassLinkDecaySer"].astype(np.float32)
+        self.decay_scale = T["ps_decayScaleFactTable"][3:23] \
+            .astype(np.float32)
+        dl = T["ps_delayIndexQmf"].astype(int)
+        # per-band ring lengths for QMF sb 23..63 (the table is indexed
+        # by absolute sb); read offset in the rolled 14-deep buffer
+        self.long_read_off = (14 - dl[23:64]).astype(np.int32)
+        # power mapping (20, 12) over |hyb|^2 and (20, 61) over |qmf|^2
+        Psub = np.zeros((20, 12), np.float32)
+        for tgt, srcs in enumerate([(0, 7), (1, 6), (2,), (3,), (9,),
+                                    (8,), (10,), (11,)]):
+            for s in srcs:
+                Psub[tgt, s] = 1.0
+        Pqmf = np.zeros((20, 61), np.float32)
+        for bin_ in range(8, 20):
+            lo, hi = b20[bin_ + 2], b20[bin_ + 3]
+            Pqmf[bin_, lo - 3:hi - 3] = 1.0
+        self.Psub, self.Pqmf = Psub, Pqmf
+        # transient-bin / mixing-group per channel (73 = 12 hyb + 61)
+        grp = np.zeros(73, np.int32)
+        mask = np.zeros(73, np.float32)
+        for gr in range(10):
+            sb = b20[gr]
+            grp[sb] = gr
+            mask[sb] = 1.0
+        for gr in range(10, 22):
+            for sb in range(b20[gr], b20[gr + 1]):
+                grp[12 + sb - 3] = gr
+                mask[12 + sb - 3] = 1.0
+        self.chan_group = grp
+        self.chan_mask = mask
+        self.trans_bin = np.asarray(b2g, np.int32)         # (22,)
+        # hybrid analysis kernels (13-slot FIRs)
+        n = np.arange(13)[:, None]
+        q8 = np.arange(8)[None, :]
+        self.H8 = (SBR._PS_G8[:, None]
+                   * np.exp(1j * 2.0 * np.pi / 8.0 * (q8 + 0.5)
+                            * (6 - n))).astype(np.complex64)
+        q2 = np.arange(2)[None, :]
+        self.H2 = (SBR._PS_G2[:, None]
+                   * np.cos(np.pi * q2 * (6 - n))).astype(np.complex64)
+
+
+def ps_init_state():
+    z = np.zeros
+    c = lambda *s: (z(s, np.float32), z(s, np.float32))
+    st = {"pd": z(20, np.float32), "ppd": z(20, np.float32),
+          "pnrg": z(20, np.float32)}
+    for nm, shape in (("d2s", (2, 12)), ("d2q", (2, 20)),
+                      ("s3s", (12, 3)), ("s4s", (12, 4)),
+                      ("s5s", (12, 5)), ("s3q", (20, 3)),
+                      ("s4q", (20, 4)), ("s5q", (20, 5)),
+                      ("lng", (41, 14))):
+        st[nm + "_re"], st[nm + "_im"] = c(*shape)
+    st["hyb_hist_re"] = z((12, 3), np.float32)
+    st["hyb_hist_im"] = z((12, 3), np.float32)
+    st["dline_re"] = z((6, 61), np.float32)
+    st["dline_im"] = z((6, 61), np.float32)
+    return st
+
+
+def ps_decorrelate_mix(static: PsStatic, ps: "PsStatic", Zr, Zi,
+                       H_slots, state):
+    """Device PS stage: Z (S, 64) complex mid QMF -> (Lr, Li, Rr, Ri)
+    each (S, 64).  H_slots (S, 4, 22) f32 host-interpolated mixing
+    matrices; state from ps_init_state (returned updated)."""
+    import jax
+    jnp = _jnp()
+    S = Zr.shape[0]
+    # ---- hybrid analysis (batched 13-tap FIRs over slots) -----------
+    low_r = jnp.concatenate([state["hyb_hist_re"], Zr[:, :3]])
+    low_i = jnp.concatenate([state["hyb_hist_im"], Zi[:, :3]])
+    win_r = jnp.stack([low_r[s:s + S] for s in range(13)], axis=1)
+    win_i = jnp.stack([low_i[s:s + S] for s in range(13)], axis=1)
+    H8r, H8i = jnp.asarray(static.H8.real), jnp.asarray(static.H8.imag)
+    H2r = jnp.asarray(static.H2.real)
+    hyb_r = jnp.zeros((S, 12), jnp.float32)
+    hyb_i = jnp.zeros((S, 12), jnp.float32)
+    a_r, a_i = win_r[:, :, 0], win_i[:, :, 0]        # (S, 13)
+    HI = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jnp.dot(a, b, precision=HI)
+    hyb_r = hyb_r.at[:, 0:8].set(dot(a_r, H8r) - dot(a_i, H8i))
+    hyb_i = hyb_i.at[:, 0:8].set(dot(a_r, H8i) + dot(a_i, H8r))
+    hyb_r = hyb_r.at[:, 8:10].set(dot(win_r[:, :, 1], H2r))
+    hyb_i = hyb_i.at[:, 8:10].set(dot(win_i[:, :, 1], H2r))
+    hyb_r = hyb_r.at[:, 10:12].set(dot(win_r[:, :, 2], H2r))
+    hyb_i = hyb_i.at[:, 10:12].set(dot(win_i[:, :, 2], H2r))
+    hyb_r = hyb_r.at[:, 3].add(hyb_r[:, 4])
+    hyb_i = hyb_i.at[:, 3].add(hyb_i[:, 4])
+    hyb_r = hyb_r.at[:, 2].add(hyb_r[:, 5])
+    hyb_i = hyb_i.at[:, 2].add(hyb_i[:, 5])
+    zero45 = jnp.asarray(
+        np.array([1, 1, 1, 1, 0, 0, 1, 1, 1, 1, 1, 1], np.float32))
+    hyb_r = hyb_r * zero45
+    hyb_i = hyb_i * zero45
+    rest_r = jnp.concatenate([state["dline_re"], Zr[:, 3:]])
+    rest_i = jnp.concatenate([state["dline_im"], Zi[:, 3:]])
+    mid_r = jnp.concatenate([hyb_r, rest_r[:S]], axis=1)   # (S, 73)
+    mid_i = jnp.concatenate([hyb_i, rest_i[:S]], axis=1)
+
+    # ---- decorrelator + mixing scan over slots ----------------------
+    phi_sub_r = jnp.asarray(static.phi_sub.real.astype(np.float32))
+    phi_sub_i = jnp.asarray(static.phi_sub.imag.astype(np.float32))
+    phi_qmf_r = jnp.asarray(static.phi_qmf.real.astype(np.float32))
+    phi_qmf_i = jnp.asarray(static.phi_qmf.imag.astype(np.float32))
+    pss_r = jnp.asarray(static.phi_ser_sub.real.astype(np.float32))
+    pss_i = jnp.asarray(static.phi_ser_sub.imag.astype(np.float32))
+    psq_r = jnp.asarray(static.phi_ser_qmf.real.astype(np.float32))
+    psq_i = jnp.asarray(static.phi_ser_qmf.imag.astype(np.float32))
+    dser = jnp.asarray(static.decay_ser)
+    dsf = jnp.asarray(static.decay_scale)
+    Psub = jnp.asarray(static.Psub)
+    Pqmf = jnp.asarray(static.Pqmf)
+    cgrp = jnp.asarray(static.chan_group)
+    cmask = jnp.asarray(static.chan_mask)
+    tbin = jnp.asarray(static.trans_bin)
+    loff = jnp.asarray(static.long_read_off)
+    PK = np.float32(SBR._PS_PEAK_DECAY)
+    IC = np.float32(SBR._PS_INT_COEFF)
+    TI = np.float32(SBR._PS_TRANS_IMPACT)
+
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    def step(carry, inp):
+        (pd, ppd, pnrg, d2s_r, d2s_i, d2q_r, d2q_i,
+         sers, lng_r, lng_i) = carry
+        mr, mi, H = inp                     # (73,), (73,), (4, 22)
+        hr, hi = mr[:12], mi[:12]
+        qr, qi = mr[12:], mi[12:]
+        p = jnp.dot(Psub, hr * hr + hi * hi,
+                    precision=jax.lax.Precision.HIGHEST) \
+            + jnp.dot(Pqmf, qr * qr + qi * qi,
+                      precision=jax.lax.Precision.HIGHEST)
+        pd = jnp.maximum(pd * PK, p)
+        ppd = ppd + IC * (pd - p - ppd)
+        pnrg = jnp.maximum(0.0, pnrg + IC * (p - pnrg))
+        nrg = pnrg * TI
+        trans = jnp.where(ppd <= nrg, 1.0,
+                          nrg / jnp.maximum(ppd, 1e-30))
+        # sub channels (12): 2-slot delay + fract phase + 3 allpasses
+        r0r, r0i = cmul(d2s_r[0], d2s_i[0], phi_sub_r, phi_sub_i)
+        d2s_r = jnp.stack([d2s_r[1], hr])
+        d2s_i = jnp.stack([d2s_i[1], hi])
+        new_sers = list(sers)
+        for mi_ in range(3):
+            sr_re, sr_im = sers[mi_]        # (12, d)
+            tr_, ti_ = cmul(sr_re[:, 0], sr_im[:, 0],
+                            pss_r[:, mi_], pss_i[:, mi_])
+            tr_ = tr_ - dser[mi_] * r0r
+            ti_ = ti_ - dser[mi_] * r0i
+            wr = r0r + dser[mi_] * tr_
+            wi = r0i + dser[mi_] * ti_
+            new_sers[mi_] = (
+                jnp.concatenate([sr_re[:, 1:], wr[:, None]], axis=1),
+                jnp.concatenate([sr_im[:, 1:], wi[:, None]], axis=1))
+            r0r, r0i = tr_, ti_
+        dsub_r, dsub_i = r0r, r0i
+        # qmf sb 3..22 (20): with decay ramp
+        r0r, r0i = cmul(d2q_r[0], d2q_i[0], phi_qmf_r, phi_qmf_i)
+        d2q_r = jnp.stack([d2q_r[1], qr[:20]])
+        d2q_i = jnp.stack([d2q_i[1], qi[:20]])
+        res_r, res_i = dsf * r0r, dsf * r0i
+        for mi_ in range(3):
+            sr_re, sr_im = sers[3 + mi_]    # (20, d)
+            tr_, ti_ = cmul(sr_re[:, 0], sr_im[:, 0],
+                            psq_r[:, mi_], psq_i[:, mi_])
+            tr_ = tr_ - dser[mi_] * res_r
+            ti_ = ti_ - dser[mi_] * res_i
+            res_r, res_i = dsf * tr_, dsf * ti_
+            wr = r0r + dser[mi_] * res_r
+            wi = r0i + dser[mi_] * res_i
+            new_sers[3 + mi_] = (
+                jnp.concatenate([sr_re[:, 1:], wr[:, None]], axis=1),
+                jnp.concatenate([sr_im[:, 1:], wi[:, None]], axis=1))
+            r0r, r0i = tr_, ti_
+        dq20_r, dq20_i = r0r, r0i
+        # qmf sb 23..63 (41): plain ragged delays in a rolled buffer
+        dlong_r = jnp.take_along_axis(lng_r, loff[:, None],
+                                      axis=1)[:, 0]
+        dlong_i = jnp.take_along_axis(lng_i, loff[:, None],
+                                      axis=1)[:, 0]
+        lng_r = jnp.concatenate([lng_r[:, 1:], qr[20:61][:, None]],
+                                axis=1)
+        lng_i = jnp.concatenate([lng_i[:, 1:], qi[20:61][:, None]],
+                                axis=1)
+        d_r = jnp.concatenate([dsub_r, dq20_r, dlong_r])
+        d_i = jnp.concatenate([dsub_i, dq20_i, dlong_i])
+        tch = trans[tbin[cgrp]]
+        d_r = d_r * tch
+        d_i = d_i * tch
+        # mixing: per-channel group matrices
+        h11 = H[0][cgrp]
+        h12 = H[1][cgrp]
+        h21 = H[2][cgrp]
+        h22 = H[3][cgrp]
+        Lr = (h11 * mr + h21 * d_r) * cmask
+        Li = (h11 * mi + h21 * d_i) * cmask
+        Rr = (h12 * mr + h22 * d_r) * cmask
+        Ri = (h12 * mi + h22 * d_i) * cmask
+        carry = (pd, ppd, pnrg, d2s_r, d2s_i, d2q_r, d2q_i,
+                 tuple(new_sers), lng_r, lng_i)
+        return carry, (Lr, Li, Rr, Ri)
+
+    sers0 = tuple(
+        (state[k + "_re"], state[k + "_im"])
+        for k in ("s3s", "s4s", "s5s", "s3q", "s4q", "s5q"))
+    carry0 = (state["pd"], state["ppd"], state["pnrg"],
+              state["d2s_re"], state["d2s_im"],
+              state["d2q_re"], state["d2q_im"], sers0,
+              state["lng_re"], state["lng_im"])
+    carry, (Lr, Li, Rr, Ri) = jax.lax.scan(
+        step, carry0, (mid_r, mid_i, H_slots))
+
+    def hyb_syn(cr, ci):
+        Xr = jnp.concatenate(
+            [cr[:, 0:8].sum(axis=1, keepdims=True),
+             cr[:, 8:10].sum(axis=1, keepdims=True),
+             cr[:, 10:12].sum(axis=1, keepdims=True), cr[:, 12:]],
+            axis=1)
+        Xi = jnp.concatenate(
+            [ci[:, 0:8].sum(axis=1, keepdims=True),
+             ci[:, 8:10].sum(axis=1, keepdims=True),
+             ci[:, 10:12].sum(axis=1, keepdims=True), ci[:, 12:]],
+            axis=1)
+        return Xr, Xi
+
+    XLr, XLi = hyb_syn(Lr, Li)
+    XRr, XRi = hyb_syn(Rr, Ri)
+    new_state = dict(state)
+    new_state.update({
+        "pd": carry[0], "ppd": carry[1], "pnrg": carry[2],
+        "d2s_re": carry[3], "d2s_im": carry[4],
+        "d2q_re": carry[5], "d2q_im": carry[6],
+        "lng_re": carry[8], "lng_im": carry[9],
+        "hyb_hist_re": low_r[S:S + 12], "hyb_hist_im": low_i[S:S + 12],
+        "dline_re": rest_r[S:S + 6], "dline_im": rest_i[S:S + 6]})
+    for k, (re, im) in zip(("s3s", "s4s", "s5s", "s3q", "s4q", "s5q"),
+                           carry[7]):
+        new_state[k + "_re"] = re
+        new_state[k + "_im"] = im
+    return XLr, XLi, XRr, XRi, new_state
+
+
+def build_ps_H_slots(pdec, ps_datas: list, nsl: int = 32) -> np.ndarray:
+    """Host mirror of PsDecoder.process()'s mixing-matrix evolution for
+    a group: decodes IID/ICC with the carried delta state, interpolates
+    the type-A rotation matrices per slot.  ``pdec`` is a numpy
+    SBR.PsDecoder used ONLY for its parameter state (prev_iid/prev_icc,
+    H carry, last_ps); its DSP is never run here."""
+    F = len(ps_datas)
+    H_slots = np.zeros((F * nsl, 4, 22), np.float32)
+    for f, ps in enumerate(ps_datas):
+        if ps is None:
+            ps = SBR.PsData(header_valid=True,
+                            enable_iid=pdec.last_ps.enable_iid,
+                            mode_iid=pdec.last_ps.mode_iid,
+                            enable_icc=pdec.last_ps.enable_icc,
+                            mode_icc=pdec.last_ps.mode_icc,
+                            frame_class=0, n_env=0)
+        pdec.last_ps = ps
+        iid_rows, icc_rows, pdec.prev_iid, pdec.prev_icc = \
+            SBR.decode_ps_indices(ps, pdec.prev_iid, pdec.prev_icc)
+        fine = ps.mode_iid > 2
+        if (ps.mode_iid % 3) == 2:
+            iid_rows = [SBR._ps_map34_to_20(SBR._pad34(r))
+                        for r in iid_rows]
+        if (ps.mode_icc % 3) == 2:
+            icc_rows = [SBR._ps_map34_to_20(SBR._pad34(r))
+                        for r in icc_rows]
+        n_env = len(iid_rows)
+        borders = SBR.PsDecoder._env_borders(ps, n_env, nsl)
+        for env in range(n_env):
+            t0, t1 = borders[env], borders[env + 1]
+            if t1 <= t0:
+                continue
+            h_tgt = pdec._group_matrices(iid_rows[env], icc_rows[env],
+                                         fine)
+            dH = (h_tgt - pdec.H) / (t1 - t0)
+            H = pdec.H
+            for sl in range(t0, t1):
+                H = H + dH
+                H_slots[f * nsl + sl] = H
+            pdec.H = h_tgt
+    return H_slots
+
+
+def device_decode_group_ps(static: SbrStatic, ps_static: PsStatic,
+                           pcm, cond: dict, state: dict,
+                           ps_state: dict, syn_state_r, H_slots):
+    """HE-AAC v2 group decode: SBR reconstruction of the mono core,
+    device parametric stereo, two synthesis QMFs.  Returns
+    (out (2, F*2048), new_state, new_ps_state, new_syn_r)."""
+    jnp = _jnp()
+    (Zr, Zi), new_state = device_decode_group(static, pcm, cond, state,
+                                              ps_extras=True)
+    XLr, XLi, XRr, XRi, new_ps = ps_decorrelate_mix(
+        ps_static, ps_static, Zr, Zi, H_slots, ps_state)
+    outL, synL = synthesize_slots(static, XLr, XLi, state["syn_state"])
+    outR, synR = synthesize_slots(static, XRr, XRi, syn_state_r)
+    new_state = dict(new_state)
+    new_state["syn_state"] = synL
+    return jnp.stack([outL, outR]), new_state, new_ps, synR
+
+
+class SbrPsDeviceRunner:
+    """Device HE-AAC v2 path: mono core SBR + parametric stereo for
+    whole frame groups under one jit."""
+
+    def __init__(self, dec: "SBR.SbrDecoder"):
+        import jax
+        self.dec = dec
+        self.static = SbrStatic(dec)
+        self.ps_static = PsStatic()
+        M = self.static.M
+        self.state_host = SBR.SbrChannelState()
+        self.state_dev = {"ana_hist": np.zeros(320, np.float32),
+                          "x_hist_re": np.zeros((6, 32), np.float32),
+                          "x_hist_im": np.zeros((6, 32), np.float32),
+                          "syn_state": np.zeros(704, np.float32),
+                          "filt": np.zeros((2, M), np.float32)}
+        self.ps_state = ps_init_state()
+        self.syn_state_r = np.zeros(704, np.float32)
+        self.pdec_host = SBR.PsDecoder()
+        self.first = True
+        self._fn = jax.jit(
+            lambda pcm, cond, st, pst, synr, H:
+            device_decode_group_ps(self.static, self.ps_static, pcm,
+                                   cond, st, pst, synr, H))
+
+    def decode_group(self, pcm_frames: np.ndarray, datas: list,
+                     Es: list, Qs: list, ps_list: list) -> np.ndarray:
+        import jax.numpy as jnp
+        cond = build_frame_cond(self.dec, self.state_host, self.static,
+                                datas, Es, Qs, self.first)
+        self.first = False
+        H = build_ps_H_slots(self.pdec_host, ps_list, 32)
+        cd = {k: jnp.asarray(v) for k, v in vars(cond).items()}
+        out, st, pst, synr = self._fn(
+            jnp.asarray(pcm_frames, jnp.float32), cd, self.state_dev,
+            self.ps_state, jnp.asarray(self.syn_state_r),
+            jnp.asarray(H))
+        self.state_dev = st
+        self.ps_state = pst
+        self.syn_state_r = synr
         return np.asarray(out)
