@@ -100,3 +100,37 @@ def test_ps_device_matches_numpy():
     rms = np.sqrt((err ** 2).mean()) / np.sqrt((ref ** 2).mean() + 1e-9)
     assert rel < 5e-3, f"max rel err {rel:.2e}"
     assert rms < 1e-3, f"rms rel err {rms:.2e}"
+
+
+def test_codec_uses_device_ps_path():
+    """CodecAacAdts on a v2 stream must take the batched device route
+    (SbrPsDeviceRunner attached), not silently fall back to numpy."""
+    from ohpipeline_tpu.codecs.aac import CodecAacAdts
+    from ohpipeline_tpu.codecs.base import EndOfStream
+
+    class _Rdr:
+        def __init__(self, b):
+            self._b, self._p = b, 0
+            self.stream_bytes = len(b)
+
+        def read(self, n):
+            out = self._b[self._p:self._p + n]
+            self._p += len(out)
+            return out
+
+        def peek(self, n):
+            return self._b[self._p:self._p + n]
+
+    data = _v2_stream(1.5)
+    c = CodecAacAdts()
+    r = _Rdr(data)
+    assert c.recognise(r.peek(8192))
+    info = c.stream_initialise(r)
+    assert info.codec_name == "HE-AAC v2"
+    try:
+        while True:
+            c.process(r).resolve()
+    except EndOfStream:
+        pass
+    assert getattr(c._sbr, "_ps_device_runner", None) is not None, \
+        "v2 decode silently fell back to the numpy PS path"
