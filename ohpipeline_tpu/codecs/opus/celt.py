@@ -146,6 +146,27 @@ def _imdct_matrix(nb: int) -> np.ndarray:
     return np.cos(np.pi / nb * (nb / 2 + j + 0.5 + nb / 2) * (k + 0.5))
 
 
+try:
+    from scipy.fft import dst as _scipy_dst
+except ImportError:          # pragma: no cover - scipy is in the image
+    _scipy_dst = None
+
+
+@lru_cache(maxsize=8)
+def _dst4_sign(nb: int) -> np.ndarray:
+    return (-1.0) ** np.arange(nb)
+
+
+def _imdct(freq: np.ndarray, nb: int) -> np.ndarray:
+    """O(n log n) IMDCT: the matrix above equals a sign-twiddled DST-IV
+    (cos(a + pi(k+.5)) = -(-1)^k sin(a)), so raw = -DST4(X * (-1)^k)/2.
+    Matches the matmul to ~1e-13 relative (well under the int16
+    conformance bound)."""
+    if _scipy_dst is None:
+        return _imdct_matrix(nb) @ freq
+    return -0.5 * _scipy_dst(freq * _dst4_sign(nb), type=4)
+
+
 @dataclass
 class CeltDecoderState:
     channels: int
@@ -881,28 +902,25 @@ def _anti_collapse(mode, X, collapse_masks, LM, C, N, start, end, logE,
     return seed
 
 
-def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
-                 dec: RangeDecoder | None = None,
-                 start_band: int = 0, end_band: int = 21) -> np.ndarray:
-    """Decode one CELT frame -> (channels, frame_size) float in [-1, 1]."""
+def _use_native_celt() -> bool:
+    import os
+    if os.environ.get("OHP_CELT_PY"):
+        return False
+    from ... import native
+    return native.have_celt_core()
+
+
+def _entropy_decode_py(st: CeltDecoderState, data: bytes,
+                       dec: RangeDecoder, LM: int, M: int, N: int,
+                       start: int, end: int):
+    """Python fallback for the native entropy core: everything from the
+    frame header through anti-collapse.  Returns (X, silence,
+    is_transient, pf_pitch, pf_gain, pf_tapset, final_rng); mutates
+    st.old_ebands exactly like celt_core.cc."""
     mode = st.mode
     C = st.channels
     nb = mode.nb_ebands
     eb = mode.ebands
-    overlap = mode.overlap
-    LM = 0
-    while mode.short_mdct_size << LM != frame_size:
-        LM += 1
-        if LM > mode.max_lm:
-            raise ValueError("bad frame size")
-    M = 1 << LM
-    N = M * mode.short_mdct_size
-    start, end = start_band, end_band
-    eff_end = min(end, mode.eff_ebands)
-    if st.loss_duration == 0:
-        st.skip_plc = False              # celt_decoder.c:1106
-    if dec is None:
-        dec = RangeDecoder(data)
     total_bits = len(data) * 8
     tell = dec.tell()
     if tell >= total_bits:
@@ -1011,6 +1029,74 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
                                 st.old_logE2, a.pulses, st.rng)
     if silence:
         st.old_ebands[:] = -28.0
+    return (X, silence, is_transient, pf_pitch, pf_gain, pf_tapset,
+            dec.rng & 0xFFFFFFFF)
+
+
+def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
+                 dec: RangeDecoder | None = None,
+                 start_band: int = 0, end_band: int = 21) -> np.ndarray:
+    """Decode one CELT frame -> (channels, frame_size) float in [-1, 1].
+
+    The entropy layer (range decode -> energies -> allocation -> PVQ ->
+    anti-collapse) runs in native/celt_core.cc when available; the
+    Python path below it is the behaviour oracle (OHP_CELT_PY=1).
+    Synthesis (denormalise, IMDCT, post-filter, deemphasis) is the
+    numpy path either way."""
+    mode = st.mode
+    C = st.channels
+    nb = mode.nb_ebands
+    eb = mode.ebands
+    overlap = mode.overlap
+    LM = 0
+    while mode.short_mdct_size << LM != frame_size:
+        LM += 1
+        if LM > mode.max_lm:
+            raise ValueError("bad frame size")
+    M = 1 << LM
+    N = M * mode.short_mdct_size
+    start, end = start_band, end_band
+    eff_end = min(end, mode.eff_ebands)
+    if st.loss_duration == 0:
+        st.skip_plc = False              # celt_decoder.c:1106
+    res = None
+    if _use_native_celt() and (dec is None or dec.storage == len(data)):
+        from ... import native
+        rd_state = None if dec is None else {
+            "offs": dec.offs, "end_offs": dec.end_offs,
+            "end_window": dec.end_window, "nend_bits": dec.nend_bits,
+            "nbits_total": dec.nbits_total, "rng": dec.rng,
+            "rem": dec.rem, "val": dec.val, "error": dec.error,
+        }
+        old_backup = st.old_ebands.copy()
+        nres = native.celt_entropy_decode(
+            data, rd_state, C, LM, start, end, st.loss_duration, mode,
+            st.old_ebands, st.old_logE, st.old_logE2, st.rng)
+        if nres is None:
+            st.old_ebands[:] = old_backup
+        else:
+            (X, silence, is_transient, pf_pitch, pf_gain, pf_tapset,
+             _ac_on, _seed, rd_out) = nres
+            final_rng = rd_out["rng"] & 0xFFFFFFFF
+            if dec is not None:
+                # keep the shared (hybrid) Python decoder coherent
+                dec.offs = rd_out["offs"]
+                dec.end_offs = rd_out["end_offs"]
+                dec.end_window = rd_out["end_window"]
+                dec.nend_bits = rd_out["nend_bits"]
+                dec.nbits_total = rd_out["nbits_total"]
+                dec.rng = rd_out["rng"]
+                dec.rem = rd_out["rem"]
+                dec.val = rd_out["val"]
+                dec.error = rd_out["error"]
+            res = (X, silence, is_transient, pf_pitch, pf_gain,
+                   pf_tapset, final_rng)
+    if res is None:
+        if dec is None:
+            dec = RangeDecoder(data)
+        res = _entropy_decode_py(st, data, dec, LM, M, N, start, end)
+    (X, silence, is_transient, pf_pitch, pf_gain, pf_tapset,
+     final_rng) = res
     # ---- synthesis -------------------------------------------------------
     if st.prefilter_and_fold:
         # blend the concealed signal's tail into this frame's MDCT
@@ -1023,7 +1109,6 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
     else:
         B = 1
         NB = N
-    imdct = _imdct_matrix(NB)
     win = mode.window
     ov = overlap
     for c in range(C):
@@ -1043,7 +1128,7 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
         buf = np.zeros(N + ov, np.float64)
         buf[:ov // 2] = st.carry[c]
         for b in range(B):
-            raw = imdct @ freq[b::B] if B > 1 else imdct @ freq
+            raw = _imdct(freq[b::B] if B > 1 else freq, NB)
             base = b * NB
             # fft region [base+ov/2, base+ov/2+NB)
             prev = buf[base:base + ov // 2].copy()
@@ -1110,16 +1195,22 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
     # ---- deemphasis --------------------------------------------------------
     # the next frame's noise seed is the range coder's final range state
     # (celt_decoder.c: st->rng = dec->rng)
-    st.rng = dec.rng & 0xFFFFFFFF
+    st.rng = final_rng
     coef0 = mode.preemph[0]
     pcm = np.zeros((C, N), np.float64)
+    use_native = _use_native_celt()
+    if use_native:
+        from ... import native
     for c in range(C):
         m = st.preemph_mem[c]
         x = out[c]
-        for j in range(N):
-            tmp = x[j] + m
-            m = coef0 * tmp
-            pcm[c, j] = tmp
+        if use_native:
+            pcm[c], m = native.celt_deemphasis(x, coef0, m)
+        else:
+            for j in range(N):
+                tmp = x[j] + m
+                m = coef0 * tmp
+                pcm[c, j] = tmp
         st.preemph_mem[c] = m
     return pcm / 32768.0
 
@@ -1132,6 +1223,12 @@ def _comb_filter(x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,
     filters in place), so the tail is processed in chunks shorter than
     the lag."""
     if g0 == 0 and g1 == 0:
+        return
+    if _use_native_celt():
+        from ... import native
+        native.celt_comb_filter(x, int(off), int(T0), int(T1), int(N),
+                                float(g0), float(g1), int(tapset0),
+                                int(tapset1), window, int(overlap))
         return
     T0 = max(T0, COMBFILTER_MINPERIOD)
     T1 = max(T1, COMBFILTER_MINPERIOD)
@@ -1398,7 +1495,6 @@ def decode_lost(st: CeltDecoderState, frame_size: int) -> np.ndarray:
                 X[boffs:boffs + blen] = vals
         st.rng = seed
         # synthesis (celt_synthesis, shortBlocks=0): denormalise + IMDCT
-        imdct = _imdct_matrix(N)
         for c in range(C):
             freq = np.zeros(N)
             for i in range(eff_end):
@@ -1408,7 +1504,7 @@ def decode_lost(st: CeltDecoderState, frame_size: int) -> np.ndarray:
                     * np.exp2(min(32.0, lg))
             buf = np.zeros(N + ov)
             buf[:ov // 2] = st.carry[c]
-            raw = imdct @ freq
+            raw = _imdct(freq, N)
             prev = buf[:ov // 2].copy()
             buf[ov // 2:ov // 2 + N] = raw
             ii = np.arange(ov // 2)

@@ -22,7 +22,8 @@ _LOCK = threading.Lock()
 _LIBS: dict[str, ctypes.CDLL | None] = {}
 
 
-def _load(name: str, sources: list[str]) -> ctypes.CDLL | None:
+def _load(name: str, sources: list[str],
+          flags: list[str] | None = None) -> ctypes.CDLL | None:
     """Compile (if stale) and dlopen a helper library; None on failure."""
     with _LOCK:
         if name in _LIBS:
@@ -34,7 +35,8 @@ def _load(name: str, sources: list[str]) -> ctypes.CDLL | None:
             if not so.exists() or so.stat().st_mtime < newest:
                 _BUILD.mkdir(exist_ok=True)
                 cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                       "-std=c++17", *map(str, srcs), "-o", str(so)]
+                       "-std=c++17", *(flags or []), *map(str, srcs),
+                       "-o", str(so)]
                 subprocess.run(cmd, check=True, capture_output=True)
             _LIBS[name] = ctypes.CDLL(str(so))
         except (OSError, subprocess.CalledProcessError):
@@ -869,3 +871,140 @@ def mp3_parse_huffman(data: bytes, bit_pos: int, end_bit: int, big: int,
     if rc == -2:
         raise ValueError("bad mp3 huffman code")
     return out, pos.value
+
+
+# ------------------------------------------------------------------------
+# CELT entropy-layer core (celt_core.cc) — range decoder + coarse/fine
+# energy + allocation + PVQ band decode + anti-collapse, everything
+# between RangeDecoder init and MDCT synthesis.  codecs.opus.celt uses
+# this when available; its pure-Python path remains the fallback/oracle
+# (OHP_CELT_PY=1 forces it).
+
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+
+
+def _celt_lib() -> ctypes.CDLL | None:
+    # -ffp-contract=off: the float32 energy recursions must round every
+    # op like numpy does (no FMA contraction)
+    lib = _load("celtcore", ["celt_core.cc"], flags=["-ffp-contract=off"])
+    if lib is not None and not getattr(lib, "_celt_ready", False):
+        lib.celt_entropy_decode.restype = ctypes.c_int
+        lib.celt_entropy_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,            # data, storage
+            _i64p,                                    # rd state
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,                             # C, LM, start, end, loss
+            _i32p, ctypes.c_int, ctypes.c_int,        # ebands, nb, eff
+            _u8p, ctypes.c_int, _i32p,                # alloc_vectors, nvec, logn
+            _i32p, _u8p, _u8p, ctypes.c_int,          # cache_*, short_mdct
+            _f32p, _f32p, _f32p,                      # old_ebands, logE, logE2
+            _u32p,                                    # seed io
+            _f64p, _i32p, _f64p,                      # X, flags, pf_gain
+        ]
+        lib.celt_deemphasis.restype = None
+        lib.celt_deemphasis.argtypes = [
+            _f64p, _f64p, ctypes.c_int, ctypes.c_double, _f64p]
+        lib.celt_comb_filter.restype = None
+        lib.celt_comb_filter.argtypes = [
+            _f64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            _f64p, ctypes.c_int]
+        lib._celt_ready = True
+    return lib
+
+
+def celt_deemphasis(x: np.ndarray, coef0: float, mem: float):
+    """First-order deemphasis (celt.py decode_frame tail); returns
+    (pcm, new_mem)."""
+    lib = _celt_lib()
+    pcm = np.empty(len(x), np.float64)
+    m = np.array([mem], np.float64)
+    lib.celt_deemphasis(np.ascontiguousarray(x, np.float64), pcm,
+                        len(x), coef0, m)
+    return pcm, float(m[0])
+
+
+def celt_comb_filter(x: np.ndarray, off: int, T0: int, T1: int, n: int,
+                     g0: float, g1: float, tapset0: int, tapset1: int,
+                     window: np.ndarray, overlap: int) -> None:
+    """In-place comb post-filter over x[off:off+n] (celt.py
+    _comb_filter)."""
+    lib = _celt_lib()
+    lib.celt_comb_filter(x, off, T0, T1, n, g0, g1, tapset0, tapset1,
+                         window, overlap)
+
+
+def have_celt_core() -> bool:
+    return _celt_lib() is not None
+
+
+def _celt_mode_tables(mode) -> dict:
+    tabs = getattr(mode, "_native_tabs", None)
+    if tabs is None:
+        tabs = {
+            "ebands": np.ascontiguousarray(mode.ebands, np.int32),
+            "alloc_vectors": np.ascontiguousarray(mode.alloc_vectors,
+                                                  np.uint8),
+            "logn": np.ascontiguousarray(mode.logn, np.int32),
+            "cache_index": np.ascontiguousarray(mode.cache_index,
+                                                np.int32),
+            "cache_bits": np.ascontiguousarray(mode.cache_bits, np.uint8),
+            "cache_caps": np.ascontiguousarray(mode.cache_caps, np.uint8),
+        }
+        mode._native_tabs = tabs
+    return tabs
+
+
+def celt_entropy_decode(data: bytes, rd_state, channels: int, lm: int,
+                        start: int, end: int, loss_duration: int, mode,
+                        old_ebands: np.ndarray, old_logE: np.ndarray,
+                        old_logE2: np.ndarray, seed: int):
+    """Run the CELT entropy layer natively.
+
+    rd_state: None for a fresh RangeDecoder over `data`, else a dict of
+    the Python RangeDecoder's fields (hybrid-mode handoff).  Returns
+    (X, silence, is_transient, pf_pitch, pf_gain, pf_tapset,
+    anti_collapse_on, seed_out, rd_state_out) or None when the native
+    leaf hit an error (caller falls back to the Python path).
+    Mutates old_ebands in place (like the Python path).
+    """
+    lib = _celt_lib()
+    if lib is None:
+        return None
+    t = _celt_mode_tables(mode)
+    st64 = np.zeros(10, np.int64)
+    if rd_state is not None:
+        st64[0] = 1
+        st64[1] = rd_state["offs"]
+        st64[2] = rd_state["end_offs"]
+        st64[3] = rd_state["end_window"]
+        st64[4] = rd_state["nend_bits"]
+        st64[5] = rd_state["nbits_total"]
+        st64[6] = rd_state["rng"]
+        st64[7] = rd_state["rem"]
+        st64[8] = rd_state["val"]
+        st64[9] = rd_state["error"]
+    n = (1 << lm) * mode.short_mdct_size
+    X = np.zeros(channels * n, np.float64)
+    flags = np.zeros(6, np.int32)
+    pf_gain = np.zeros(1, np.float64)
+    seed_io = np.array([seed & 0xFFFFFFFF], np.uint32)
+    rc = lib.celt_entropy_decode(
+        data, len(data), st64, channels, lm, start, end, loss_duration,
+        t["ebands"], mode.nb_ebands, mode.eff_ebands,
+        t["alloc_vectors"], mode.alloc_vectors.shape[0], t["logn"],
+        t["cache_index"], t["cache_bits"], t["cache_caps"],
+        mode.short_mdct_size,
+        old_ebands, old_logE, old_logE2, seed_io, X, flags, pf_gain)
+    if rc != 0:
+        return None
+    rd_out = {
+        "offs": int(st64[1]), "end_offs": int(st64[2]),
+        "end_window": int(st64[3]), "nend_bits": int(st64[4]),
+        "nbits_total": int(st64[5]), "rng": int(st64[6]),
+        "rem": int(st64[7]), "val": int(st64[8]), "error": int(st64[9]),
+    }
+    return (X, int(flags[0]), int(flags[1]), int(flags[2]),
+            float(pf_gain[0]), int(flags[3]), int(flags[4]),
+            int(seed_io[0]), rd_out)
