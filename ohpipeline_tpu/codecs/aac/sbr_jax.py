@@ -478,22 +478,73 @@ def synthesize_slots(static: SbrStatic, Zr, Zi, syn_state):
     return out[:NS * 64], out[NS * 64:NS * 64 + 704]
 
 
+def _ensure_compile_cache() -> None:
+    """Persistent XLA compile cache for every package user (bench.py
+    configures the same path; repeat processes skip recompilation)."""
+    try:
+        import os as _os
+
+        import jax
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/ohpipeline_jax"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:                                 # noqa: BLE001
+        pass
+
+
+def _static_key(static: "SbrStatic") -> tuple:
+    return (static.kx, static.M, static.n_q, float(static.limgain),
+            bool(static.interpol_freq), static.patch_src.tobytes(),
+            static.patch_qi.tobytes(), static.limiter.tobytes())
+
+
+_GROUP_FNS: dict = {}
+
+
+def _group_fn(static: "SbrStatic"):
+    """Shared jitted group program keyed on the header-derived static
+    config, so fresh runner/codec instances reuse compiled code
+    instead of recompiling per stream."""
+    key = ("sbr", _static_key(static))
+    fn = _GROUP_FNS.get(key)
+    if fn is None:
+        import jax
+        _ensure_compile_cache()
+        fn = jax.jit(lambda pcm, cond, st: device_decode_group(
+            static, pcm, cond, st))
+        _GROUP_FNS[key] = fn
+    return fn
+
+
+def _group_fn_ps(static: "SbrStatic", ps_static: "PsStatic"):
+    key = ("ps", _static_key(static))   # PsStatic is ROM-derived
+    fn = _GROUP_FNS.get(key)
+    if fn is None:
+        import jax
+        _ensure_compile_cache()
+        fn = jax.jit(
+            lambda pcm, cond, st, pst, synr, H: device_decode_group_ps(
+                static, ps_static, pcm, cond, st, pst, synr, H))
+        _GROUP_FNS[key] = fn
+    return fn
+
+
 class SbrDeviceRunner:
     """Wraps an SbrDecoder to decode groups of frames on device for one
     or two channels.  Parsing, dequantisation and conditioning stay on
     the host (sbr.py); the dense math runs under jit."""
 
     def __init__(self, dec: "SBR.SbrDecoder"):
-        import jax
         self.dec = dec
         self.static = SbrStatic(dec)
         M = self.static.M
         self.state_host = [SBR.SbrChannelState(), SBR.SbrChannelState()]
         self.state_dev = [self._init_state(), self._init_state()]
         self.first = [True, True]
-        self._fn = jax.jit(
-            lambda pcm, cond, st: device_decode_group(
-                self.static, pcm, cond, st))
+        self._fn = _group_fn(self.static)
 
     def _init_state(self):
         M = self.static.M
@@ -857,7 +908,6 @@ class SbrPsDeviceRunner:
     whole frame groups under one jit."""
 
     def __init__(self, dec: "SBR.SbrDecoder"):
-        import jax
         self.dec = dec
         self.static = SbrStatic(dec)
         self.ps_static = PsStatic()
@@ -872,10 +922,7 @@ class SbrPsDeviceRunner:
         self.syn_state_r = np.zeros(704, np.float32)
         self.pdec_host = SBR.PsDecoder()
         self.first = True
-        self._fn = jax.jit(
-            lambda pcm, cond, st, pst, synr, H:
-            device_decode_group_ps(self.static, self.ps_static, pcm,
-                                   cond, st, pst, synr, H))
+        self._fn = _group_fn_ps(self.static, self.ps_static)
 
     def decode_group(self, pcm_frames: np.ndarray, datas: list,
                      Es: list, Qs: list, ps_list: list) -> np.ndarray:
