@@ -15,6 +15,7 @@ device program carrying overlap + V-FIFO state across granules.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -74,18 +75,41 @@ def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
     xr_t = np.stack(granules)                  # (Tg, C, 576)
     bt_t = np.stack(btypes)
     ops = SYN._imdct_operators().astype(np.float32)
-    pcm, ov, vf = SYN.hybrid_synthesis(
-        jnp.asarray(xr_t), jnp.asarray(bt_t),
-        jnp.asarray(state.overlap), jnp.asarray(state.vfifo),
-        jnp.asarray(ops), jnp.asarray(SYN._polyphase_matrix(),
-                                      dtype=jnp.float32),
-        jnp.asarray(SYN._window_matrix(), dtype=jnp.float32))
-    state.overlap = np.asarray(ov)
-    state.vfifo = np.asarray(vf)
-    out = np.asarray(pcm).transpose(1, 0, 2).reshape(channels, -1)
-    lo, hi = -(1 << (bit_depth - 1)), (1 << (bit_depth - 1)) - 1
-    return np.clip(np.rint(out * (1 << (bit_depth - 1))), lo,
-                   hi).astype(np.int32)
+    poly = jnp.asarray(SYN._polyphase_matrix(), dtype=jnp.float32)
+    wnd = jnp.asarray(SYN._window_matrix(), dtype=jnp.float32)
+    if os.environ.get("OHP_MP3_SCAN"):
+        # streaming-reference scan formulation (bit-identical; kept as
+        # the oracle for hybrid_synthesis_parallel)
+        pcm, ov, vf = SYN.hybrid_synthesis(
+            jnp.asarray(xr_t), jnp.asarray(bt_t),
+            jnp.asarray(state.overlap), jnp.asarray(state.vfifo),
+            jnp.asarray(ops), poly, wnd)
+        state.overlap = np.asarray(ov)
+        state.vfifo = np.asarray(vf)
+        out = np.asarray(pcm).transpose(1, 0, 2).reshape(channels, -1)
+        lo, hi = -(1 << (bit_depth - 1)), (1 << (bit_depth - 1)) - 1
+        return np.clip(np.rint(out * (1 << (bit_depth - 1))), lo,
+                       hi).astype(np.int32)
+    # parallel path: pad the granule count up to a shape bucket so jit
+    # compiles a handful of programs; n_real keeps padding out of the
+    # carried stream state.  States stay device-resident between groups
+    # (one int32 download per group, no float plane, no state fetch).
+    n_real = xr_t.shape[0]
+    tg = 32
+    while tg < n_real:
+        tg *= 2
+    if tg != n_real:
+        xr_t = np.concatenate(
+            [xr_t, np.zeros((tg - n_real, channels, 576), np.float32)])
+        bt_t = np.concatenate(
+            [bt_t, np.zeros((tg - n_real, channels, 32), np.int32)])
+    pcm_i, ov, vf = SYN.hybrid_synthesis_parallel(
+        xr_t, bt_t, state.overlap, state.vfifo,
+        jnp.asarray(ops), poly, wnd, n_real, bit_depth)
+    state.overlap = ov
+    state.vfifo = vf
+    return np.asarray(pcm_i[:n_real]).transpose(1, 0, 2) \
+        .reshape(channels, -1)
 
 
 def parse_vbr_header(buf: bytes, hdr) -> Optional[dict]:
@@ -153,12 +177,16 @@ class CodecMp3(CodecBase):
     recognition_cost = 40
     mime_types = ("audio/mpeg", "audio/mp3", "audio/x-mp3")
 
-    def __init__(self):
+    def __init__(self, group_frames: int = GROUP_FRAMES):
         self._info: Optional[PcmStreamInfo] = None
         self._stream: Optional[BS.Mp3Stream] = None
         self._state: Optional[_StreamState] = None
         self._buf = b""
         self._sample_pos = 0
+        #: frames decoded per device call — the pipeline default (16,
+        #: ~0.4 s) keeps streaming latency low; whole-buffer decode uses
+        #: larger groups to amortise per-call transfer latency
+        self._group_frames = group_frames
 
     def recognise(self, header: bytes) -> bool:
         hdr = BS.parse_frame_header(header)
@@ -197,7 +225,7 @@ class CodecMp3(CodecBase):
         return self._info
 
     def _fill(self) -> None:
-        want = self._hdr.frame_bytes * (GROUP_FRAMES + 2)
+        want = self._hdr.frame_bytes * (self._group_frames + 2)
         while len(self._buf) - self._stream.pos < want:
             chunk = self._reader.read(128 * 1024)
             if not chunk:
@@ -244,7 +272,7 @@ class CodecMp3(CodecBase):
             self._reinit_after_seek(reader)
         self._fill()
         frames = []
-        while len(frames) < GROUP_FRAMES:
+        while len(frames) < self._group_frames:
             fr = self._stream.next_frame()
             if fr is None:
                 break
@@ -264,7 +292,7 @@ class CodecMp3(CodecBase):
 def decode_mp3(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:
     """Whole-buffer decode (tests/tools)."""
     from ..base import BufferReader
-    codec = CodecMp3()
+    codec = CodecMp3(group_frames=256)
     r = BufferReader(data)
     info = codec.stream_initialise(r)
     parts = []

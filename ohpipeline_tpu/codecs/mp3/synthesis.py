@@ -32,6 +32,23 @@ CA = (_CS_CA_C / np.sqrt(1.0 + _CS_CA_C ** 2))
 
 
 @functools.lru_cache(maxsize=None)
+def _pow43_table() -> np.ndarray:
+    """|x|^(4/3) for the full quantized-value range (linbits max 13 ->
+    |x| <= 15 + 2^13 - 1 = 8206; libmad's powtab model).  Table lookup
+    replaces the per-line float pow, which dominates requantize."""
+    return np.arange(8208, dtype=np.float64) ** (4.0 / 3.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _alias_indices() -> tuple[np.ndarray, np.ndarray]:
+    """(31, 8) index pairs for the alias-reduction butterflies at every
+    long-block subband boundary; disjoint, so fully vectorizable."""
+    sb = np.arange(1, 32)[:, None] * 18
+    i = np.arange(8)[None, :]
+    return sb - 1 - i, sb + i
+
+
+@functools.lru_cache(maxsize=None)
 def _imdct_operators() -> np.ndarray:
     """(4, 18, 36) operators: windowed IMDCT per block type.
 
@@ -132,7 +149,7 @@ def requantize(g: GranuleInfo, hdr: FrameHeader) -> np.ndarray:
     Exponent model from ISO 11172-3 §2.4.3.4.7.1 (and 13818-3 for LSF):
     walk the applicable sfb-width table with linear scalefactors."""
     x = g.spectrum.astype(np.float64)
-    mag = np.abs(x) ** (4.0 / 3.0)
+    mag = _pow43_table()[np.abs(g.spectrum)]
     base = 2.0 ** (0.25 * (g.global_gain - 210))
     sf_mult = 1.0 if g.scalefac_scale else 0.5
     lin = _linear_scalefac(g)
@@ -287,13 +304,11 @@ def alias_reduce(xr: np.ndarray, block_type: int, mixed: bool) -> np.ndarray:
         return xr
     nsb = 2 if (block_type == BLOCK_SHORT and mixed) else 32
     out = xr.copy()
-    for sb in range(1, nsb):
-        base = sb * 18
-        for i in range(8):
-            a = out[base - 1 - i]
-            b = out[base + i]
-            out[base - 1 - i] = a * CS[i] - b * CA[i]
-            out[base + i] = b * CS[i] + a * CA[i]
+    ia, ib = _alias_indices()
+    ia, ib = ia[:nsb - 1], ib[:nsb - 1]
+    a, b = out[ia], out[ib]
+    out[ia] = a * CS - b * CA
+    out[ib] = b * CS + a * CA
     return out
 
 
@@ -345,3 +360,65 @@ def hybrid_synthesis(xr_t, btype_t, overlap, vfifo, imdct_ops, poly_n,
     (ov, vf), pcm = jax.lax.scan(granule, (overlap, vfifo),
                                  (xr_t, btype_t))
     return pcm, ov, vf
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def hybrid_synthesis_parallel(xr_t, btype_t, overlap, vfifo, imdct_ops,
+                              poly_n, wnd, n_real, bit_depth=16):
+    """Scan-free formulation of hybrid_synthesis: the granule recurrence
+    only ever references one-granule-old IMDCT tails (overlap-add) and a
+    16-slot window of polyphase V vectors, so both are shifted gathers —
+    everything becomes batched matmuls fully parallel over time (the
+    TPU-friendly layout; the scan version above is the streaming
+    reference and remains bit-identical, see test_mp3 parallel test).
+
+    xr_t (Tg, B, 576) may be zero-padded past n_real granules (static
+    shape bucketing); returned states are taken at the n_real boundary
+    via dynamic slicing so padding never advances the stream state.
+    Returns pcm as int32 in native bit_depth range (clip/rint on
+    device — one small download instead of a float plane)."""
+    Tg, B = xr_t.shape[0], xr_t.shape[1]
+    bands = xr_t.reshape(Tg, B, 32, 18)
+    ops = imdct_ops[btype_t]                     # (Tg, B, 32, 18, 36)
+    x36 = jnp.einsum("tbsk,tbskn->tbsn", bands, ops,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # (Tg,B,32,36)
+    heads, tails = x36[..., :18], x36[..., 18:]
+    prev_tails = jnp.concatenate(
+        [overlap.reshape(1, B, 32, 18), tails[:-1]], axis=0)
+    time_out = heads + prev_tails                # (Tg, B, 32, 18)
+    new_ov = jax.lax.dynamic_slice_in_dim(
+        tails, n_real - 1, 1, axis=0)[0].reshape(B, 576)
+    mask = (jnp.arange(32) % 2 == 1)[None, None, :, None] \
+        & (jnp.arange(18) % 2 == 1)[None, None, None, :]
+    time_out = jnp.where(mask, -time_out, time_out)
+
+    S = time_out.transpose(0, 3, 1, 2).reshape(Tg * 18, B, 32)
+    V = jnp.einsum("tbk,ki->tbi", S, poly_n,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (T, B, 64)
+    # V history (newest-first fifo rows 0..14 = v[t-1]..v[t-15]) goes
+    # oldest-first in front of the new slots
+    Vfull = jnp.concatenate([vfifo[:, :15][:, ::-1].transpose(1, 0, 2),
+                             V], axis=0)         # (15 + T, B, 64)
+    T = Tg * 18
+    # U rows at output slot t: U[2j] = V[t-2j][:32], U[2j+1] = V[t-2j-1][32:]
+    # (the scan's even/odd fifo extraction); slot t lives at Vfull[15 + t]
+    rows = []
+    for j in range(8):
+        rows.append(jax.lax.dynamic_slice_in_dim(
+            Vfull, 15 - 2 * j, T, axis=0)[..., :32])
+        rows.append(jax.lax.dynamic_slice_in_dim(
+            Vfull, 14 - 2 * j, T, axis=0)[..., 32:])
+    U = jnp.stack(rows, axis=2)                  # (T, B, 16, 32)
+    pcm = jnp.sum(U * wnd[None, None], axis=2)   # (T, B, 32)
+    pcm = pcm.reshape(Tg, 18, B, 32).transpose(0, 2, 1, 3) \
+        .reshape(Tg, B, 576)
+    # new fifo: rows 0..15 = v at slots n-1, n-2, ... n-16 (n = real slots)
+    hist = jax.lax.dynamic_slice_in_dim(Vfull, 18 * n_real - 1, 16,
+                                        axis=0)[::-1]
+    new_vf = hist.transpose(1, 0, 2)             # (B, 16, 64)
+    scale = jnp.float32(1 << (bit_depth - 1))
+    lim = 1 << (bit_depth - 1)
+    pcm_i = jnp.clip(jnp.rint(pcm * scale), -lim, lim - 1).astype(jnp.int32)
+    return pcm_i, new_ov, new_vf

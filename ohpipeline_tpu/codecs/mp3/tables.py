@@ -3,6 +3,7 @@ tools/extract_mp3_tables.py) + decode LUTs."""
 
 from __future__ import annotations
 
+import functools
 import pathlib
 
 import numpy as np
@@ -63,11 +64,17 @@ _RATE_TAG = {44100: "44100", 48000: "48000", 32000: "32000",
              11025: "11025", 12000: "12000", 8000: "8000"}
 
 
+# NpzFile.__getitem__ re-reads and decompresses from the zip on every
+# access; these run per-granule, so memoise (arrays are treated as
+# read-only by all callers).
+
+@functools.lru_cache(maxsize=None)
 def sfb_long(rate: int) -> np.ndarray:
     """Long-block scalefactor band widths (22 bands covering 576)."""
     return _NPZ[f"sfb_{_RATE_TAG[rate]}_long"].astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
 def sfb_short(rate: int) -> np.ndarray:
     """Short-block per-band widths (13 bands covering 192 lines/window).
 
@@ -77,11 +84,13 @@ def sfb_short(rate: int) -> np.ndarray:
         np.int32).reshape(-1, 3)[:, 0]
 
 
+@functools.lru_cache(maxsize=None)
 def sfb_short_interleaved(rate: int) -> np.ndarray:
     """Window-interleaved short-block widths (39 entries: sfb-major,
     window-minor) — the order scalefactors and frequency lines walk."""
     return _NPZ[f"sfb_{_RATE_TAG[rate]}_short"].astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
 def sfb_mixed(rate: int) -> np.ndarray:
     return _NPZ[f"sfb_{_RATE_TAG[rate]}_mixed"].astype(np.int32)

@@ -226,3 +226,51 @@ def test_recognition_and_real_file_smoke():
         if c.recognise(raw[:64]):       # MPEG-1 file: decode must not crash
             info, out = decode_mp3(raw)
             assert out.shape[0] == info.num_channels
+
+
+def test_parallel_filterbank_matches_scan(tmp_path, monkeypatch):
+    """hybrid_synthesis_parallel (scan-free, padded buckets, device
+    int rounding) must match the streaming scan formulation across
+    group boundaries, block-type switches and stereo — including a
+    tail group that exercises the n_real dynamic-slice state
+    extraction.  Bound is <=1 LSB: the two formulations batch the
+    polyphase matmul over different shapes, so f32 reduction order
+    (and hence borderline rints) can differ in the last bit — the
+    same tolerance the libmad conformance tests hold."""
+    from ohpipeline_tpu.codecs import BufferReader
+    from ohpipeline_tpu.codecs.mp3 import CodecMp3, EndOfStream
+
+    def _decode(data, group_frames):
+        codec = CodecMp3(group_frames=group_frames)
+        r = BufferReader(data)
+        codec.stream_initialise(r)
+        parts = []
+        while True:
+            try:
+                parts.append(codec.process(r).resolve())
+            except EndOfStream:
+                break
+        return np.concatenate(parts, axis=1)
+
+    rng = np.random.default_rng(11)
+    specs = []
+    for _ in range(2):
+        s = np.zeros((576,), np.int32)
+        m = rng.random(576) < 0.3
+        s[m] = rng.integers(-9, 10, m.sum())
+        specs.append(s)
+    long_frames = ENC.build_stream([specs[0], specs[1]], nframes=21,
+                                   global_gain=178)
+    shorts = np.zeros(576, np.int32)
+    shorts[60:66] = (8, -8, 8, -8, 8, -8)
+    short_frames = ENC.build_stream([shorts], nframes=9, global_gain=182,
+                                    block_type=2)
+    for data, gf in ((long_frames, 8), (short_frames, 5)):
+        out_par = _decode(data, gf)       # groups of gf + padded tail
+        monkeypatch.setenv("OHP_MP3_SCAN", "1")
+        out_scan = _decode(data, gf)
+        monkeypatch.delenv("OHP_MP3_SCAN")
+        assert out_par.shape == out_scan.shape
+        d = np.abs(out_par.astype(np.int64) - out_scan.astype(np.int64))
+        assert d.max() <= 1, f"max diff {d.max()}"
+        assert (d != 0).mean() < 5e-3
