@@ -677,14 +677,11 @@ def _sbr_decode_frames_device(frames, state, sbr, nch):
         sbr._device_runner = runner
     core = decode_frames_float_batched(frames, state)  # (C, F*1024)
     F = len(frames)
-    out = np.zeros((nch, F * 2048), np.float64)
-    for ch in range(nch):
-        pcm = core[ch].reshape(F, 1024)
-        datas = [p[0][ch] for p in parsed]
-        Es = [p[1][ch][0] for p in parsed]
-        Qs = [p[1][ch][1] for p in parsed]
-        out[ch] = runner.decode_group(ch, pcm, datas, Es, Qs)
-    return np.clip(np.rint(out), -32768, 32767).astype(np.int32)
+    per_ch = [([p[0][ch] for p in parsed],
+               [p[1][ch][0] for p in parsed],
+               [p[1][ch][1] for p in parsed]) for ch in range(nch)]
+    return runner.decode_group_multi(
+        core.reshape(nch, F, 1024).astype(np.float32), per_ch)
 
 
 def parse_audio_specific_config(asc: bytes) -> tuple:

@@ -519,6 +519,31 @@ def _group_fn(static: "SbrStatic"):
     return fn
 
 
+def _group_fn_multi(static: "SbrStatic"):
+    """All channels of a group in ONE device call: vmap the
+    single-channel program over a leading channel axis and round to
+    the pipeline's int32 range on device (one small download per
+    group instead of per-channel float planes)."""
+    key = ("sbr-multi", _static_key(static))
+    fn = _GROUP_FNS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        _ensure_compile_cache()
+
+        def run(pcm, cond, st):
+            out, new_st = jax.vmap(
+                lambda p, c, s: device_decode_group(static, p, c, s)
+            )(pcm, cond, st)
+            pcm_i = jnp.clip(jnp.rint(out), -32768, 32767) \
+                .astype(jnp.int32)
+            return pcm_i, new_st
+
+        fn = jax.jit(run)
+        _GROUP_FNS[key] = fn
+    return fn
+
+
 def _group_fn_ps(static: "SbrStatic", ps_static: "PsStatic"):
     key = ("ps", _static_key(static))   # PsStatic is ROM-derived
     fn = _GROUP_FNS.get(key)
@@ -567,6 +592,32 @@ class SbrDeviceRunner:
         out, st = self._fn(jnp.asarray(pcm_frames, jnp.float32),
                            cd, self.state_dev[ch])
         self.state_dev[ch] = st
+        return np.asarray(out)
+
+    def decode_group_multi(self, pcm_frames: np.ndarray,
+                           per_ch: list) -> np.ndarray:
+        """All channels in one device call.  pcm_frames (C, F, 1024)
+        core PCM; per_ch[c] = (datas, Es, Qs).  Returns (C, F*2048)
+        int32 in the pipeline's native range."""
+        import jax
+        import jax.numpy as jnp
+        nch = pcm_frames.shape[0]
+        conds = []
+        for ch in range(nch):
+            datas, Es, Qs = per_ch[ch]
+            conds.append(vars(build_frame_cond(
+                self.dec, self.state_host[ch], self.static,
+                datas, Es, Qs, self.first[ch])))
+            self.first[ch] = False
+        cd = {k: jnp.asarray(np.stack([c[k] for c in conds]))
+              for k in conds[0]}
+        st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *self.state_dev[:nch])
+        fn = _group_fn_multi(self.static)
+        out, new_st = fn(jnp.asarray(pcm_frames, jnp.float32), cd, st)
+        for ch in range(nch):
+            self.state_dev[ch] = jax.tree.map(lambda x, c=ch: x[c],
+                                              new_st)
         return np.asarray(out)
 
 
