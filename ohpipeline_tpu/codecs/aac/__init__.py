@@ -520,8 +520,30 @@ class CodecAacAdts(CodecBase):
         self._buf = self._buf[pos:]
         return frames
 
+    def _parse_native_sbr_frames(self) -> Optional[list]:
+        """HE-AAC group parse through the C++ unpacker (same hot loop as
+        the LC bench path, plus SBR fill-payload capture); rehydrated to
+        FrameData so the SBR chain downstream is unchanged.  None ->
+        caller uses the Python parser."""
+        from ... import native
+        try:
+            n, pos, batch = native.aac_parse_group_sbr(
+                self._buf, 0, channels=self._hdr.channels,
+                max_frames=GROUP_FRAMES)
+        except (RuntimeError, OSError):
+            return None
+        self._buf = self._buf[pos:]
+        frames = frames_from_arrays(batch, n, self._hdr.channels)
+        for f, fr in enumerate(frames):
+            fr.sbr = batch["sbr"][f]
+        return frames
+
     def _process_sbr(self) -> DecodedBatch:
-        frames = self._parse_python_frames()
+        frames = None
+        if self._use_native:
+            frames = self._parse_native_sbr_frames()
+        if frames is None:
+            frames = self._parse_python_frames()
         if not frames:
             raise EndOfStream
         pcm = _sbr_decode_frames(frames, self._state, self._sbr,

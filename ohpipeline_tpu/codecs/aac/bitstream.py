@@ -227,7 +227,11 @@ def _tns_decode_coeffs(raw: list[int], coef_res: int,
     vals = np.where(vals >= half, vals - (1 << bits), vals)
     iqfac = ((1 << (coef_res + 2)) - 0.5) / (np.pi / 2.0)
     iqfac_m = ((1 << (coef_res + 2)) + 0.5) / (np.pi / 2.0)
-    return np.sin(vals / np.where(vals >= 0, iqfac, iqfac_m))
+    # float32 storage matches the native unpacker's tnsc plane exactly
+    # (both compute the double sin first), keeping the two parse paths
+    # bit-identical end to end
+    return np.sin(vals / np.where(vals >= 0, iqfac, iqfac_m)) \
+        .astype(np.float32)
 
 
 def _parse_spectral(br: BitReader, ics: IcsInfo, cb: np.ndarray,

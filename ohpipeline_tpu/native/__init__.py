@@ -106,6 +106,9 @@ def _aac_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
             _i32p, _i8p, _i32p, _i32p, _u8p, _i32p, _i32p, _f32p, _i32p]
+        lib.aac_parse_group_sbr.restype = ctypes.c_int
+        lib.aac_parse_group_sbr.argtypes = \
+            lib.aac_parse_group.argtypes + [_u8p, _i32p, _i32p]
         lib.aac_prepare_rows.restype = ctypes.c_int
         lib.aac_prepare_rows.argtypes = [
             _i32p, _i8p, _i32p, _i32p, _u8p, _i32p,
@@ -218,6 +221,58 @@ def aac_parse_group(buf: bytes, byte_pos: int, *, channels: int,
     batch = dict(ics=ics, cb=cb, sf=sf, quant=quant, msmask=msmask,
                  tnsn=tnsn, tnsp=tnsp, tnsc=tnsc,
                  rate_index=int(rate_index[0]))
+    return n, pos.value, batch
+
+
+SBR_STRIDE = 272  # must match aac_unpack.cc (max FIL payload 269 bytes)
+
+
+def aac_parse_group_sbr(buf: bytes, byte_pos: int, *, channels: int,
+                        max_frames: int, out: dict = None):
+    """aac_parse_group that also captures EXT_SBR_DATA(_CRC) fill
+    payloads: batch gains ``sbr`` = list of (payload_bytes, nbits, crc)
+    or None per frame, the exact triple bitstream.parse_raw_data_block
+    produces (HE-AAC path; reference CAacDecoder_DecodeFrame feeds the
+    same fill payloads to libSBRdec)."""
+    lib = _aac_lib()
+    if lib is None:
+        raise RuntimeError("native aac unpacker unavailable")
+    F, C = max_frames, channels
+    R = F * C
+    if out is not None and out["quant"].shape == (R, 1024):
+        ics, cb, sf, quant = out["ics"], out["cb"], out["sf"], out["quant"]
+        msmask, tnsn = out["msmask"], out["tnsn"]
+        tnsp, tnsc = out["tnsp"], out["tnsc"]
+        sbr_bytes, sbr_nbits, sbr_crc = (out["_sbr_bytes"],
+                                         out["_sbr_nbits"],
+                                         out["_sbr_crc"])
+    else:
+        ics = np.zeros((R, 4), np.int32)
+        cb = np.zeros((R, SFB_SLOTS), np.int8)
+        sf = np.zeros((R, SFB_SLOTS), np.int32)
+        quant = np.zeros((R, 1024), np.int32)
+        msmask = np.zeros((F, SFB_SLOTS), np.uint8)
+        tnsn = np.zeros((R, 8), np.int32)
+        tnsp = np.zeros((R, 24, 3), np.int32)
+        tnsc = np.zeros((R, 24, 12), np.float32)
+        sbr_bytes = np.zeros((F, SBR_STRIDE), np.uint8)
+        sbr_nbits = np.zeros(F, np.int32)
+        sbr_crc = np.zeros(F, np.int32)
+    rate_index = np.zeros(1, np.int32)
+    pos = ctypes.c_int64(byte_pos)
+    n = lib.aac_parse_group_sbr(
+        buf, len(buf), ctypes.byref(pos), F, C, ics, cb, sf, quant,
+        msmask, tnsn, tnsp.reshape(-1), tnsc.reshape(-1), rate_index,
+        sbr_bytes, sbr_nbits, sbr_crc)
+    sbr = [(sbr_bytes[f, :(int(sbr_nbits[f]) + 7) // 8].tobytes(),
+            int(sbr_nbits[f]), bool(sbr_crc[f]))
+           if sbr_nbits[f] > 0 else None
+           for f in range(n)]
+    batch = dict(ics=ics, cb=cb, sf=sf, quant=quant, msmask=msmask,
+                 tnsn=tnsn, tnsp=tnsp, tnsc=tnsc,
+                 rate_index=int(rate_index[0]), sbr=sbr,
+                 _sbr_bytes=sbr_bytes, _sbr_nbits=sbr_nbits,
+                 _sbr_crc=sbr_crc)
     return n, pos.value, batch
 
 

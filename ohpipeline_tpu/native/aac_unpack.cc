@@ -380,16 +380,24 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Parse up to max_frames ADTS frames.  Returns frames parsed; *bit_pos
 // advances.  channels = expected channel count (frames with other counts
 // are skipped).  Arrays sized for max_frames (per the layout above).
-int aac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
-                    int max_frames, int channels,
-                    int32_t* ics, int8_t* cb, int32_t* sf, int32_t* quant,
-                    uint8_t* msmask, int32_t* tnsn, int32_t* tnsp,
-                    float* tnsc, int32_t* rate_index_out) {
+// When sbr_bytes is non-null, EXT_SBR_DATA(_CRC) fill payloads are
+// captured per frame: sbr_bytes row stride SBR_STRIDE (big-endian bit
+// packing, same layout the Python parser produces), sbr_nbits[f] the
+// payload bit count (0 = no payload), sbr_crc[f] 1 for EXT_SBR_DATA_CRC.
+constexpr int SBR_STRIDE = 272;   // max FIL payload 269 bytes
+
+int parse_group_impl(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
+                     int max_frames, int channels,
+                     int32_t* ics, int8_t* cb, int32_t* sf, int32_t* quant,
+                     uint8_t* msmask, int32_t* tnsn, int32_t* tnsp,
+                     float* tnsc, int32_t* rate_index_out,
+                     uint8_t* sbr_bytes, int32_t* sbr_nbits,
+                     int32_t* sbr_crc) {
     int64_t pos = *byte_pos;
     int nframes = 0;
     while (nframes < max_frames && pos + 7 <= nbytes) {
@@ -411,6 +419,7 @@ int aac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
         uint8_t* ms = &msmask[f * SFB_SLOTS];
         memset(ms, 0, SFB_SLOTS);
         ms[0] = 0xFF;                   // sentinel: no CPE mask
+        if (sbr_bytes) { sbr_nbits[f] = 0; sbr_crc[f] = 0; }
         int ch_done = 0;
         bool bad = false;
         while (!bad) {
@@ -481,7 +490,25 @@ int aac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
             } else if (el == 6) {                     // FIL
                 int cnt = br.read(4);
                 if (cnt == 15) cnt += br.read(8) - 1;
-                for (int i = 0; i < cnt; i++) br.read(8);
+                if (cnt > 0 && sbr_bytes) {
+                    int ext_type = br.read(4);
+                    int nbits = cnt * 8 - 4;
+                    if (ext_type == 13 || ext_type == 14) {
+                        uint8_t* dst = &sbr_bytes[(int64_t)f * SBR_STRIDE];
+                        int nby = nbits >> 3, rem = nbits & 7;
+                        for (int i = 0; i < nby; i++)
+                            dst[i] = (uint8_t)br.read(8);
+                        if (rem)
+                            dst[nby] = (uint8_t)(br.read(rem) << (8 - rem));
+                        sbr_nbits[f] = nbits;
+                        sbr_crc[f] = ext_type == 14;
+                    } else {
+                        for (int i = 0; i < nbits; i += 8)
+                            br.read(i + 8 <= nbits ? 8 : nbits - i);
+                    }
+                } else {
+                    for (int i = 0; i < cnt; i++) br.read(8);
+                }
             } else {
                 bad = true;                           // CCE/PCE unsupported
             }
@@ -492,6 +519,33 @@ int aac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
     }
     *byte_pos = pos;
     return nframes;
+}
+
+}  // namespace
+
+extern "C" {
+
+int aac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
+                    int max_frames, int channels,
+                    int32_t* ics, int8_t* cb, int32_t* sf, int32_t* quant,
+                    uint8_t* msmask, int32_t* tnsn, int32_t* tnsp,
+                    float* tnsc, int32_t* rate_index_out) {
+    return parse_group_impl(buf, nbytes, byte_pos, max_frames, channels,
+                            ics, cb, sf, quant, msmask, tnsn, tnsp, tnsc,
+                            rate_index_out, nullptr, nullptr, nullptr);
+}
+
+// HE-AAC variant: also captures SBR fill payloads (see parse_group_impl).
+int aac_parse_group_sbr(const uint8_t* buf, int64_t nbytes,
+                        int64_t* byte_pos, int max_frames, int channels,
+                        int32_t* ics, int8_t* cb, int32_t* sf,
+                        int32_t* quant, uint8_t* msmask, int32_t* tnsn,
+                        int32_t* tnsp, float* tnsc,
+                        int32_t* rate_index_out, uint8_t* sbr_bytes,
+                        int32_t* sbr_nbits, int32_t* sbr_crc) {
+    return parse_group_impl(buf, nbytes, byte_pos, max_frames, channels,
+                            ics, cb, sf, quant, msmask, tnsn, tnsp, tnsc,
+                            rate_index_out, sbr_bytes, sbr_nbits, sbr_crc);
 }
 
 // Assemble device-dispatch inputs for one parsed group directly into the
