@@ -26,6 +26,10 @@ from . import synthesis as SYN
 from . import tables as T
 
 GROUP_FRAMES = 32
+# HE-AAC groups are larger: the SBR device program scans over frames, so
+# program size is F-independent, and fewer exec+fetch round-trips win on
+# a remote-attached device (each RPC costs fixed latency)
+SBR_GROUP_FRAMES = 96
 
 
 class _StreamState:
@@ -445,7 +449,8 @@ class CodecAacAdts(CodecBase):
             self._buf += chunk
 
     def process(self, reader: StreamReader) -> DecodedBatch:
-        self._fill(self._hdr.frame_bytes * (GROUP_FRAMES + 2))
+        group = SBR_GROUP_FRAMES if self._sbr is not None else GROUP_FRAMES
+        self._fill(self._hdr.frame_bytes * (group + 2))
         if self._sbr is not None:
             return self._process_sbr()
         if self._use_native:
@@ -496,10 +501,11 @@ class CodecAacAdts(CodecBase):
             defer=lambda: decode_frames(frames, state),
             track_offset_samples=first)
 
-    def _parse_python_frames(self) -> list:
+    def _parse_python_frames(self,
+                             max_frames: int = SBR_GROUP_FRAMES) -> list:
         frames: list[BS.FrameData] = []
         pos = 0
-        while len(frames) < GROUP_FRAMES:
+        while len(frames) < max_frames:
             hdr = BS.parse_adts_header(self._buf, pos)
             if hdr is None:
                 nxt = self._buf.find(b"\xff", pos + 1)
@@ -529,7 +535,7 @@ class CodecAacAdts(CodecBase):
         try:
             n, pos, batch = native.aac_parse_group_sbr(
                 self._buf, 0, channels=self._hdr.channels,
-                max_frames=GROUP_FRAMES)
+                max_frames=SBR_GROUP_FRAMES)
         except (RuntimeError, OSError):
             return None
         self._buf = self._buf[pos:]
@@ -646,7 +652,7 @@ def _sbr_decode_frames_device_ps(frames, state, sbr):
                               [p[1] for p in parsed],
                               [p[2] for p in parsed],
                               [p[3] for p in parsed])
-    return np.clip(np.rint(out), -32768, 32767).astype(np.int32)
+    return out.astype(np.int32)      # rounded to int16 on device
 
 
 def _sbr_decode_frames_device(frames, state, sbr, nch):
@@ -829,7 +835,8 @@ class CodecAacMp4(CodecBase):
         if self._index >= len(self._samples):
             raise EndOfStream
         frames = []
-        while self._index < len(self._samples) and len(frames) < GROUP_FRAMES:
+        group = SBR_GROUP_FRAMES if self._sbr is not None else GROUP_FRAMES
+        while self._index < len(self._samples) and len(frames) < group:
             off, size = self._samples[self._index]
             self._index += 1
             raw = self._data[off:off + size]

@@ -91,28 +91,40 @@ class SbrStatic:
         S = T["syn64"].astype(np.float32)                     # (64,2,768)
         self.syn_re, self.syn_im = S[:, 0], S[:, 1]
         self.n_q = ft.n_q
+        # 512-entry V noise ROM + sine parity: the device regenerates
+        # the per-slot noise/sine value planes from the counter seeds
+        self.noise_tab_re = dec.noise_tab.real.astype(np.float32)
+        self.noise_tab_im = dec.noise_tab.imag.astype(np.float32)
+        self.parity = np.where((np.arange(M) + kx) & 1, -1.0, 1.0) \
+            .astype(np.float32)
 
 
 class SbrFrameCond:
     """Stacked per-frame conditioning arrays for a group (numpy)."""
 
-    def __init__(self, F: int, M: int):
+    def __init__(self, F: int, M: int, need_bid: bool = True):
         z = np.zeros
         self.Emap = z((F, MAXE, M), np.float32)
         self.Qmap = z((F, MAXE, M), np.float32)
         self.sine = z((F, MAXE, M), np.float32)        # sine bins
         self.sine_band = z((F, MAXE, M), np.float32)   # sine-in-band
         self.no_noise = z((F, MAXE), np.float32)       # 1.0 = suppress
-        self.bid = z((F, MAXE, M, NB_MAX), np.float32)  # band one-hot
+        # band one-hot: only consumed when interpol_freq == 0 (the
+        # device branch is static) — most streams never need the
+        # (F, MAXE, M, 64) plane, so skip building/uploading it
+        self.bid = z((F, MAXE, M, NB_MAX) if need_bid else (1,),
+                     np.float32)
         self.A = z((F, NSL, MAXE), np.float32)         # slot -> env
         self.Aprev = z((F, NSL, MAXE + 1), np.float32)  # smoothing src
         self.r = z((F, NSL), np.float32)               # smoothing ratio
         self.active = z((F, NSL), np.float32)          # slot processed
         self.last_env = z((F, MAXE), np.float32)       # carry pick
-        self.noise_re = z((F, NSL, M), np.float32)
-        self.noise_im = z((F, NSL, M), np.float32)
-        self.sine_re = z((F, NSL, M), np.float32)      # phase units
-        self.sine_im = z((F, NSL, M), np.float32)
+        # noise/sine value planes are generated ON DEVICE from these
+        # counter seeds (one gather from the 512-entry ROM + phase
+        # patterns) — uploading (F, NSL, M) float planes per channel
+        # cost more wire than the whole PCM result
+        self.noise_idx0 = z(1, np.int32)               # V-table seed
+        self.sine_ph0 = z(1, np.int32)                 # phase seed
         self.bwk = z((F, 64), np.float32)              # chirp per band
 
 
@@ -126,10 +138,11 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
     ft, hdr = dec.ft, dec.header
     kx, M = ft.kx, ft.M
     F = len(datas)
-    cond = SbrFrameCond(F, M)
+    need_bid = not hdr.interpol_freq
+    cond = SbrFrameCond(F, M, need_bid)
+    cond.noise_idx0[0] = st.noise_index
+    cond.sine_ph0[0] = st.sine_index
     lag = dec.ENV_LAG
-    bins = np.arange(M)
-    noise_tab = dec.noise_tab
     for f, (data, E, Q) in enumerate(zip(datas, Es, Qs)):
         g = data.grid
         # chirp factors (host recurrence, same as _reconstruct)
@@ -181,7 +194,7 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
                 lo = max(int(bands[b_]) - kx, 0)
                 hi = min(int(bands[b_ + 1]) - kx, M)
                 cond.Emap[f, e, lo:hi] = Erow[min(b_, len(Erow) - 1)]
-                if b_ < NB_MAX:
+                if need_bid and b_ < NB_MAX:
                     cond.bid[f, e, lo:hi, b_] = 1.0
             for q in range(ft.n_q):
                 lo = max(int(ft.f_noise[q]) - kx, 0)
@@ -215,27 +228,12 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
                     cond.Aprev[f, sl, e] = 1.0
                 else:
                     cond.Aprev[f, sl, MAXE] = 1.0
-                # noise values (host-advanced counter, numpy-exact)
-                idx = (st.noise_index + 1 + bins) & 511
-                st.noise_index = int(idx[-1])
-                nv = noise_tab[idx]
-                if not no_noise:
-                    cond.noise_re[f, sl] = nv.real
-                    cond.noise_im[f, sl] = nv.imag
-                ph = st.sine_index & 3
-                parity = np.where(((bins + kx) & 1) > 0, -1.0, 1.0)
-                if sine.any():
-                    if ph == 0:
-                        sre, sim = np.ones(M), np.zeros(M)
-                    elif ph == 1:
-                        sre, sim = np.zeros(M), parity
-                    elif ph == 2:
-                        sre, sim = -np.ones(M), np.zeros(M)
-                    else:
-                        sre, sim = np.zeros(M), -parity
-                    cond.sine_re[f, sl] = sre * sine
-                    cond.sine_im[f, sl] = sim * sine
-                st.sine_index = (st.sine_index + 1) & 3
+            # noise/sine counters advance per active slot (M V-table
+            # entries / one phase step each); the device regenerates the
+            # value planes from the seeds recorded above
+            nslots = sl1 - sl0
+            st.noise_index = (st.noise_index + nslots * M) & 511
+            st.sine_index = (st.sine_index + nslots) & 3
             last_processed = e
         if last_processed >= 0:
             cond.last_env[f, last_processed] = 1.0
@@ -425,12 +423,33 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
                          jnp.stack([new_gain, new_noise]), filt)
         return filt, (out_r, out_i)
 
-    # noise is only injected outside no-noise envelopes: the cond
-    # noise values are already zeroed for those slots (host side)
+    # ---- regenerate noise/sine value planes from the counter seeds --
+    # (host advances st.noise_index by M and st.sine_index by 1 per
+    # active slot, in (frame, slot) order; cumsum reproduces the walk)
+    act_flat = cond["active"].reshape(-1)               # (F*NSL,)
+    k_ord = (jnp.cumsum(act_flat) - act_flat).astype(jnp.int32)
+    nstart = cond["noise_idx0"][0] + k_ord * M          # (F*NSL,)
+    nidx = (nstart[:, None] + 1 + jnp.arange(M)[None, :]) & 511
+    nre = jnp.asarray(static.noise_tab_re)[nidx].reshape(F, NSL, M)
+    nim = jnp.asarray(static.noise_tab_im)[nidx].reshape(F, NSL, M)
+    # zero for inactive slots and inside no-noise envelopes (the host
+    # path skips writing those, but still advances the counters)
+    nn_slot = jnp.einsum("fse,fe->fs", A, cond["no_noise"])
+    nmask = (act_flat.reshape(F, NSL) * (1.0 - nn_slot))[..., None]
+    nre = nre * nmask
+    nim = nim * nmask
+    ph = (cond["sine_ph0"][0] + k_ord) & 3              # (F*NSL,)
+    ph_re = jnp.where(ph == 0, 1.0,
+                      jnp.where(ph == 2, -1.0, 0.0)).reshape(F, NSL)
+    ph_im = jnp.where(ph == 1, 1.0,
+                      jnp.where(ph == 3, -1.0, 0.0)).reshape(F, NSL)
+    sine_slot = jnp.einsum("fse,fem->fsm", A, sine_bins)
+    par = jnp.asarray(static.parity)
+    sre = ph_re[..., None] * sine_slot
+    sim = ph_im[..., None] * par[None, None, :] * sine_slot
     inputs = (gain, noise_lvl, sine_lvl, sine_bins, A, cond["Aprev"],
               cond["r"], cond["active"], cond["last_env"],
-              cond["noise_re"], cond["noise_im"],
-              cond["sine_re"], cond["sine_im"], Er, Ei)
+              nre, nim, sre, sim, Er, Ei)
     import jax as _jax
     filt, (Or, Oi) = _jax.lax.scan(frame_step, state["filt"], inputs)
 
@@ -535,8 +554,10 @@ def _group_fn_multi(static: "SbrStatic"):
             out, new_st = jax.vmap(
                 lambda p, c, s: device_decode_group(static, p, c, s)
             )(pcm, cond, st)
+            # int16 on device: halves the download (the pipeline range
+            # fits; the host widens to int32 for free)
             pcm_i = jnp.clip(jnp.rint(out), -32768, 32767) \
-                .astype(jnp.int32)
+                .astype(jnp.int16)
             return pcm_i, new_st
 
         fn = jax.jit(run)
@@ -549,10 +570,17 @@ def _group_fn_ps(static: "SbrStatic", ps_static: "PsStatic"):
     fn = _GROUP_FNS.get(key)
     if fn is None:
         import jax
+        import jax.numpy as jnp
         _ensure_compile_cache()
-        fn = jax.jit(
-            lambda pcm, cond, st, pst, synr, H: device_decode_group_ps(
-                static, ps_static, pcm, cond, st, pst, synr, H))
+
+        def run(pcm, cond, st, pst, synr, H):
+            out, new_st, new_ps, new_synr = device_decode_group_ps(
+                static, ps_static, pcm, cond, st, pst, synr, H)
+            pcm_i = jnp.clip(jnp.rint(out), -32768, 32767) \
+                .astype(jnp.int16)
+            return pcm_i, new_st, new_ps, new_synr
+
+        fn = jax.jit(run)
         _GROUP_FNS[key] = fn
     return fn
 
@@ -569,6 +597,7 @@ class SbrDeviceRunner:
         self.state_host = [SBR.SbrChannelState(), SBR.SbrChannelState()]
         self.state_dev = [self._init_state(), self._init_state()]
         self.first = [True, True]
+        self._stacked = None          # (C, ...) device state for multi
         self._fn = _group_fn(self.static)
 
     def _init_state(self):
@@ -611,14 +640,14 @@ class SbrDeviceRunner:
             self.first[ch] = False
         cd = {k: jnp.asarray(np.stack([c[k] for c in conds]))
               for k in conds[0]}
-        st = jax.tree.map(lambda *xs: jnp.stack(xs),
-                          *self.state_dev[:nch])
+        st = self._stacked
+        if st is None:
+            st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *self.state_dev[:nch])
         fn = _group_fn_multi(self.static)
         out, new_st = fn(jnp.asarray(pcm_frames, jnp.float32), cd, st)
-        for ch in range(nch):
-            self.state_dev[ch] = jax.tree.map(lambda x, c=ch: x[c],
-                                              new_st)
-        return np.asarray(out)
+        self._stacked = new_st        # stays stacked on device
+        return np.asarray(out).astype(np.int32)   # int16 wire -> int32
 
 
 # ---------------------------------------------------------------------------
