@@ -1,10 +1,13 @@
 """Vorbis codec (Ogg framing).
 
 Parity target: OpenHome/Media/Codec/Vorbis.cpp (adapter over Tremor) —
-validated against the compiled Tremor oracle.  Split: host entropy +
-floor/residue decode (LSB-first bitstream, spec-exact integer floor
-math), device batched IMDCT matmuls per block size, host lapped
-overlap-add (synthesis.Lapper).
+validated against the compiled Tremor oracle.  Split: header/floor
+entropy in Python (LSB-first bitstream, spec-exact integer floor math),
+the per-symbol residue/codebook walk in the native helper
+(native/vorbis_core.cc, Python fallback bit-for-bit identical), batched
+O(n log n) host IMDCT per block size (synthesis.imdct_many), host
+lapped overlap-add (synthesis.Lapper).  The matmul IMDCT operator
+remains for the sharded device pipeline (parallel/).
 """
 
 from __future__ import annotations
@@ -81,15 +84,14 @@ class _VorbisStream:
         for n, idxs in by_n.items():
             spec = np.stack([blocks[i][3] for i in idxs])   # (T, ch, n/2)
             T, ch, half = spec.shape
-            t = imdct_many(spec.reshape(T * ch, half).astype(np.float32), n)
+            t = imdct_many(spec.reshape(T * ch, half), n)
             times[n] = t.reshape(T, ch, n)
         pos_in_group = {n: 0 for n in by_n}
         outs = []
         for i, (n, pf, nf, _s) in enumerate(blocks):
             t = times[n][pos_in_group[n]]
             pos_in_group[n] += 1
-            outs.append(self.lapper.add_block(t.astype(np.float64), n,
-                                              pf, nf))
+            outs.append(self.lapper.add_block(t, n, pf, nf))
         return _to_int16_range(np.concatenate(outs, axis=1))
 
 

@@ -314,18 +314,14 @@ def _render_line(x0: int, y0: int, x1: int, y1: int,
         return
     ady = abs(dy)
     base = int(dy / adx)                 # truncate toward zero
-    sy = base - 1 if dy < 0 else base + 1
     ady -= abs(base) * adx
-    y = y0
-    err = 0
     n = len(v)
     if x0 < n:
-        v[x0] = y
-    for x in range(x0 + 1, min(x1, n)):
-        err += ady
-        if err >= adx:
-            err -= adx
-            y += sy
-        else:
-            y += base
-        v[x] = y
+        v[x0] = y0
+    # closed form of the integer error walk: after k steps err has
+    # carried floor(k*ady/adx) times, each carry adding sy-base = +/-1
+    hi = min(x1, n)
+    if hi > x0 + 1:
+        k = np.arange(1, hi - x0, dtype=np.int64)
+        e = 1 if dy >= 0 else -1
+        v[x0 + 1:hi] = y0 + base * k + e * (k * ady // adx)

@@ -2,10 +2,14 @@
 dot product, and the IMDCT + lapped window overlap-add.
 
 Spec §4.3; parity: Tremor mapping0.c/synthesis.c/mdct.c/window.c.  The
-IMDCTs run as batched MXU matmuls per block size (one (n/2, n) operator,
-jitted, precision-pinned like the AAC filterbank); windows and the
-variable-lap overlap-add are light host vector math on absolute sample
-positions (each block's center P advances by n_prev/4 + n_cur/4; no block
+codec's IMDCT runs on the host as a batched O(n log n) DCT-IV (the same
+sign-twiddle folding Tremor's mdct.c uses, here via scipy's FFT-based
+DCT-IV in float64) — per-group device matmuls lose far more to the
+host<->device link than the MXU gains at these sizes.  The (n/2, n)
+matmul operator `_imdct_op` remains for the sharded device pipeline
+(parallel/), where the spectra are already device-resident.  Windows and
+the variable-lap overlap-add are light host vector math on absolute
+sample positions (each block's center P advances by n_prev/4 + n_cur/4; no block
 contributes samples before its predecessor's center, so emission trails
 one center behind).
 """
@@ -13,10 +17,10 @@ one center behind).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+import scipy.fft
 
 from .bitreader import EndOfPacket, LsbBitReader, ilog
 from .codebook import VorbisError
@@ -36,18 +40,23 @@ def _imdct_op(n: int) -> np.ndarray:
                   * (k[:, None] + 0.5)).astype(np.float32)
 
 
-@jax.jit
-def _imdct_batch(spec, op):
-    return jnp.matmul(spec, op, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
 def imdct_many(spectra: np.ndarray, n: int) -> np.ndarray:
-    """(T, n/2) float32 -> (T, n) time domain on device."""
+    """(T, n/2) -> (T, n) time domain, host O(n log n).
+
+    y[j] = sum_k X[k] cos(2pi/n (j+0.5+n/4)(k+0.5)) folds onto DCT-IV:
+    with M = n/2 and t = DCT-IV(X) (t[j] = sum X[k] cos(pi/M
+    (j+0.5)(k+0.5))), the shift by M/2 plus the transform's antisymmetric
+    periodic extension give y = [t[M/2:], -t[::-1], -t[:M/2]]."""
     if spectra.shape[0] == 0:
-        return np.zeros((0, n), np.float32)
-    return np.asarray(_imdct_batch(jnp.asarray(spectra, jnp.float32),
-                                   jnp.asarray(_imdct_op(n))))
+        return np.zeros((0, n), np.float64)
+    M = n // 2
+    t = 0.5 * scipy.fft.dct(np.asarray(spectra, np.float64), type=4,
+                            axis=-1)
+    y = np.empty(spectra.shape[:-1] + (n,), np.float64)
+    y[..., :M // 2] = t[..., M // 2:]
+    y[..., M // 2:3 * M // 2] = -t[..., ::-1]
+    y[..., 3 * M // 2:] = -t[..., :M // 2]
+    return y
 
 
 @functools.lru_cache(maxsize=None)
@@ -82,6 +91,12 @@ class PacketDecoder:
         self.info = info
         self.setup = setup
         self._mode_bits = ilog(len(setup.modes) - 1)
+        self._native = None
+        if not os.environ.get("OHP_VORBIS_PY"):
+            from ...native import VorbisNativeCtx
+            ctx = VorbisNativeCtx(setup.codebooks)
+            if ctx.ok:
+                self._native = ctx
 
     def decode_spectrum(self, packet: bytes):
         """-> (n, prev_full, next_full, spectra (ch, n/2) float64) or
@@ -127,7 +142,8 @@ class PacketDecoder:
             chans = [c for c in range(ch) if mapping.mux[c] == s]
             dnd = [no_residue[c] for c in chans]
             res = setup.residues[mapping.submap_residue[s]]
-            out = decode_residue(br, res, books, dnd, half)
+            out = decode_residue(br, res, books, dnd, half,
+                                 native=self._native)
             for c, v in zip(chans, out):
                 residue_v[c] = v
 

@@ -1063,3 +1063,88 @@ def celt_entropy_decode(data: bytes, rd_state, channels: int, lm: int,
     return (X, int(flags[0]), int(flags[1]), int(flags[2]),
             float(pf_gain[0]), int(flags[3]), int(flags[4]),
             int(seed_io[0]), rd_out)
+
+
+# ---------------------------------------------------------------- vorbis
+
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _vorbis_lib() -> ctypes.CDLL | None:
+    lib = _load("vorbiscore", ["vorbis_core.cc"])
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.vorbis_ctx_create.restype = ctypes.c_void_p
+        lib.vorbis_ctx_create.argtypes = [
+            ctypes.c_int32, _i32p, _i32p, _u8p, _u8p, _f64p]
+        lib.vorbis_ctx_destroy.restype = None
+        lib.vorbis_ctx_destroy.argtypes = [ctypes.c_void_p]
+        lib.vorbis_residue_decode.restype = ctypes.c_int32
+        lib.vorbis_residue_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _i32p, ctypes.c_int32,
+            _u8p, _f64p, ctypes.c_int64]
+        lib._sigs_set = True
+    return lib
+
+
+def have_vorbis_core() -> bool:
+    return _vorbis_lib() is not None
+
+
+class VorbisNativeCtx:
+    """Native codebook set for one Vorbis stream (residue decode).
+
+    Serialises every parsed codebook (lengths -> canonical Huffman LUT
+    rebuilt in C++, VQ value tables as float64) once per stream; per
+    packet, `residue_decode` runs the full spec §8.6 partition walk in
+    C++ and advances the caller's bit position.
+    """
+
+    def __init__(self, codebooks):
+        self._lib = _vorbis_lib()
+        self._handle = None
+        if self._lib is None:
+            return
+        n = len(codebooks)
+        dims = np.array([b.dims for b in codebooks], np.int32)
+        entries = np.array([b.entries for b in codebooks], np.int32)
+        lengths = np.concatenate(
+            [np.asarray(b.lengths, np.uint8) for b in codebooks]) \
+            if n else np.zeros(0, np.uint8)
+        has_vec = np.array(
+            [1 if b.vectors is not None else 0 for b in codebooks],
+            np.uint8)
+        vecs = [np.ascontiguousarray(b.vectors, np.float64).ravel()
+                for b in codebooks if b.vectors is not None]
+        vec_cat = (np.concatenate(vecs) if vecs
+                   else np.zeros(0, np.float64))
+        h = self._lib.vorbis_ctx_create(
+            n, np.ascontiguousarray(dims), np.ascontiguousarray(entries),
+            np.ascontiguousarray(lengths), np.ascontiguousarray(has_vec),
+            vec_cat)
+        self._handle = h or None
+
+    @property
+    def ok(self) -> bool:
+        return self._handle is not None
+
+    def residue_decode(self, data_padded: bytes, nbits: int, bitpos: int,
+                       kind: int, begin: int, end: int, psize: int,
+                       classifications: int, classbook: int,
+                       res_books: np.ndarray, dnd: np.ndarray,
+                       out: np.ndarray, n: int):
+        """-> (status, new_bitpos); status 0 ok/EOP, 2/3 VorbisError."""
+        pos = ctypes.c_int64(bitpos)
+        rc = self._lib.vorbis_residue_decode(
+            self._handle, data_padded, nbits, ctypes.byref(pos), kind,
+            begin, end, psize, classifications, classbook, res_books,
+            out.shape[0], dnd, out, n)
+        return rc, pos.value
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib is not None:
+            self._lib.vorbis_ctx_destroy(self._handle)
+            self._handle = None

@@ -232,3 +232,33 @@ def test_mp3_python_fallback_matches_native(monkeypatch):
     monkeypatch.setattr(native, "have_mp3_core", lambda: False)
     _info, b = decode_mp3(data)
     np.testing.assert_array_equal(a, b)
+
+
+def test_vorbis_python_fallback_matches_native(monkeypatch):
+    """The pure-Python residue walk (codecs/vorbis/residue.py) and the
+    native vorbis_core.cc must agree bit-for-bit on decoded PCM,
+    including the partial-spectrum end-of-packet path."""
+    import numpy as np
+    import pytest
+    from ohpipeline_tpu import native
+    from ohpipeline_tpu.codecs.vorbis import decode_vorbis
+    from ohpipeline_tpu.codecs.vorbis.encoder import StreamSpec
+    if not native.have_vorbis_core():
+        pytest.skip("native vorbis core unavailable")
+    rng = np.random.default_rng(11)
+    spec = StreamSpec(channels=2, sample_rate=44100, bs0=256, bs1=1024,
+                      coupling=True)
+    blocks = []
+    for i in range(40):
+        flag = int(i % 5 != 0)
+        half = 512 if flag else 128
+        r = np.zeros((2, half), np.int64)
+        m = rng.random((2, half)) < 0.35
+        r[m] = rng.integers(-2, 3, m.sum())
+        blocks.append((flag, [(140, 120)] * 2, r))
+    data = spec.build(blocks)
+    _, native_pcm = decode_vorbis(data)
+    monkeypatch.setenv("OHP_VORBIS_PY", "1")
+    _, py_pcm = decode_vorbis(data)
+    assert np.array_equal(native_pcm, py_pcm)
+    assert native_pcm.shape[1] > 0
