@@ -9,9 +9,12 @@ tests/test_opus.py); SILK-only streams (speech; NB/MB/WB,
 mono/stereo, 10-60 ms packets, LBRR skipped) through the SILK LP
 decoder + 48 kHz resampler chain, SNR-conformant vs the reference
 (tests/test_opus_silk.py); and hybrid SWB/FB speech (WB SILK core +
-CELT bands 17+ sharing one range coder).  Packet-loss concealment
-and in-band FEC reconstruction are not implemented (lost packets
-produce silence rather than PLC extrapolation).
+CELT bands 17+ sharing one range coder).  Packet loss runs the
+reference's concealment (SILK fixed-point PLC bit-exact, CELT float
+pitch extrapolation), in-band LBRR FEC reconstructs lost SILK frames,
+and mode switches decode the RFC 6716 s4.5 CELT redundancy frames
+with smooth_fade crossfades (switch-heavy streams track opus_decode
+at >=80 dB per packet, tests/test_opus_silk.py).
 """
 
 from __future__ import annotations
@@ -129,15 +132,17 @@ class _OpusStream:
         w = celt_mode().window[:120] ** 2
         return a * (1.0 - w) + b * w
 
-    def _decode_redundant(self, data: bytes, sc: int,
-                          reset: bool) -> np.ndarray:
+    def _decode_redundant(self, data: bytes, sc: int, reset: bool,
+                          end_band: int = 21) -> np.ndarray:
         """Decode the 5 ms CELT redundancy frame appended at a mode
         switch (opus_decoder.c:822-871); start_band 0, fresh CELT
-        state when entering CELT from SILK (OPUS_RESET_STATE)."""
+        state when entering CELT from SILK (OPUS_RESET_STATE), end band
+        from the packet's signalled bandwidth (CELT_SET_END_BAND runs
+        before the redundancy decode, opus_decoder.c:500-525)."""
         if self.celt is None or reset or self.stream_channels != sc:
             self.celt = CeltDecoderState(sc)
             self.stream_channels = sc
-        return decode_frame(self.celt, data, 240)
+        return decode_frame(self.celt, data, 240, end_band=end_band)
 
     def _apply_redundancy(self, pcm: np.ndarray, red: np.ndarray,
                           celt_to_silk: bool) -> np.ndarray:
@@ -177,12 +182,17 @@ class _OpusStream:
             trans[:, F2_5:2 * F2_5], pcm[:, F2_5:2 * F2_5])
         return pcm
 
-    def _decode_silk(self, toc: OpusToc, frames: list) -> np.ndarray:
+    def _decode_silk(self, toc: OpusToc, frames: list,
+                     transition: bool = False) -> np.ndarray:
         from .range_dec import RangeDecoder
         from .silk import SilkStereoDecoder, SilkStreamDecoder
         dur = int(toc.frame_ms)
         if dur not in (10, 20, 40, 60):
             raise CodecStreamCorrupt(f"bad SILK duration {toc.frame_ms}")
+        # leaving a CELT-only run resets the whole LP layer
+        # (opus_decoder.c:389-390 silk_ResetDecoder)
+        if self.prev_mode == "celt":
+            self.silk = None
         stereo_layer = (toc.stereo or self.head.channels == 2
                         or isinstance(self.silk, SilkStereoDecoder))
         if stereo_layer:
@@ -197,7 +207,6 @@ class _OpusStream:
                     or self.silk.bw != toc.bandwidth:
                 self.silk = SilkStreamDecoder(toc.bandwidth)
         outs = []
-        self._had_redundancy = False
         for f in frames:
             dec = RangeDecoder(f)
             if stereo_layer:
@@ -210,28 +219,56 @@ class _OpusStream:
             # SILK-only redundancy: implied by leftover bits
             # (opus_decoder.c:780-806: >= 17 bits -> redundancy, the
             # duplicate CELT 5 ms frame rides the tail raw bytes)
+            redundancy = False
+            celt_to_silk = False
+            red = None
             if dec.tell() + 17 <= 8 * len(f):
                 celt_to_silk = bool(dec.dec_bit_logp(1))
                 red_bytes = len(f) - ((dec.tell() + 7) >> 3)
                 if 2 <= red_bytes <= len(f):
+                    redundancy = True
                     sc = 2 if toc.stereo else 1
                     red = self._decode_redundant(
                         f[len(f) - red_bytes:], sc,
-                        reset=not celt_to_silk) * 32768.0
-                    pcm = self._apply_redundancy(pcm, red,
-                                                 celt_to_silk)
-                    self._had_redundancy = True
+                        reset=not celt_to_silk,
+                        end_band=_END_BAND[toc.bandwidth]) * 32768.0
+            # hybrid -> SILK: decode a silence frame so the CELT MDCT
+            # fades out the high bands (opus_decoder.c:566-575)
+            if self.prev_mode == "hybrid" and self.celt is not None \
+                    and not (redundancy and celt_to_silk
+                             and self.prev_redundancy):
+                fade = decode_frame(self.celt, b"\xff\xff", 120,
+                                    start_band=0,
+                                    end_band=_END_BAND[toc.bandwidth])
+                if fade.shape[0] != pcm.shape[0]:
+                    fade = (np.repeat(fade, pcm.shape[0], axis=0)
+                            if fade.shape[0] == 1
+                            else 0.5 * (fade[:1] + fade[1:]))
+                pcm[:, :120] += fade * 32768.0
+            if red is not None and (not celt_to_silk
+                                    or self.prev_mode != "silk"
+                                    or self.prev_redundancy):
+                # a CELT->SILK redundancy frame is decoded but unused
+                # when the previous frame was already plain SILK (its
+                # own redundancy may have been lost, opus_decoder.c:601)
+                pcm = self._apply_redundancy(pcm, red, celt_to_silk)
+            if not redundancy and transition:
+                trans = self.conceal_packet(5) * 32768.0 / self.gain
+                pcm = self._apply_transition(pcm, trans)
+            transition = False
+            self.prev_mode = "silk"
+            self.prev_redundancy = redundancy and not celt_to_silk
             outs.append(pcm)
         return np.concatenate(outs, axis=1) * (1.0 / 32768.0)
 
-    def _decode_hybrid(self, toc: OpusToc, frames: list) -> np.ndarray:
+    def _decode_hybrid(self, toc: OpusToc, frames: list,
+                       transition: bool = False) -> np.ndarray:
         """Hybrid (SWB/FB speech) frame: a WB SILK core and CELT bands
         17+ share one range coder (src/opus_decoder.c:380-612); the
         outputs are summed.  Redundant CELT frames at mode switches are
         decoded and crossfaded per RFC 6716 section 4.5."""
         from .range_dec import RangeDecoder
         from .silk import SilkStereoDecoder, SilkStreamDecoder
-        self._had_redundancy = False
         dur = int(toc.frame_ms)
         if dur not in (10, 20):
             raise CodecStreamCorrupt(f"bad hybrid duration {toc.frame_ms}")
@@ -239,6 +276,10 @@ class _OpusStream:
         if self.celt is None or sc != self.stream_channels:
             self.celt = CeltDecoderState(sc)
             self.stream_channels = sc
+        # leaving a CELT-only run resets the whole LP layer
+        # (opus_decoder.c:389-390 silk_ResetDecoder)
+        if self.prev_mode == "celt":
+            self.silk = None
         outs = []
         for f in frames:
             dec = RangeDecoder(f)
@@ -265,12 +306,25 @@ class _OpusStream:
                     eff -= rb
                     dec.storage -= rb             # shrink raw-bit window
                     redundancy = True
+            # the transition concealment extrapolates the OLD mode's
+            # state, so it runs before the CELT reset below
+            # (opus_decoder.c:493-497)
+            trans = None
+            if not redundancy and transition:
+                trans = self.conceal_packet(5) * 32768.0 / self.gain
             red = None
             if redundancy and celt_to_silk:
                 # decode BEFORE the main CELT frame so the shared CELT
                 # state carries over from the previous CELT-mode packet
                 red = self._decode_redundant(
-                    f[eff:eff + rb], sc, reset=False) * 32768.0
+                    f[eff:eff + rb], sc, reset=False,
+                    end_band=_END_BAND[toc.bandwidth]) * 32768.0
+            # discard CELT state on an un-protected mode change
+            # (opus_decoder.c:551-553 OPUS_RESET_STATE)
+            if self.prev_mode not in (None, "hybrid") \
+                    and not self.prev_redundancy:
+                self.celt = CeltDecoderState(sc)
+                self.stream_channels = sc
             celt_out = decode_frame(
                 self.celt, f[:eff], int(toc.frame_ms * 48), dec=dec,
                 start_band=17, end_band=_END_BAND[toc.bandwidth])
@@ -279,10 +333,17 @@ class _OpusStream:
             pcm = silk48 + celt_out * 32768.0
             if redundancy and not celt_to_silk:
                 red = self._decode_redundant(
-                    f[eff:eff + rb], sc, reset=True) * 32768.0
-            if red is not None:
+                    f[eff:eff + rb], sc, reset=True,
+                    end_band=_END_BAND[toc.bandwidth]) * 32768.0
+            if red is not None and (not celt_to_silk
+                                    or self.prev_mode != "silk"
+                                    or self.prev_redundancy):
                 pcm = self._apply_redundancy(pcm, red, celt_to_silk)
-                self._had_redundancy = True
+            if trans is not None:
+                pcm = self._apply_transition(pcm, trans)
+            transition = False
+            self.prev_mode = "hybrid"
+            self.prev_redundancy = redundancy and not celt_to_silk
             outs.append(pcm * (1.0 / 32768.0))
         return np.concatenate(outs, axis=1)
 
@@ -293,19 +354,24 @@ class _OpusStream:
         extrapolation (celt_decode_lost), hybrid conceals the SILK
         core (the CELT 17+ band tail decays with it)."""
         from .silk import SilkStereoDecoder, SilkStreamDecoder
-        toc = self.prev_toc
         C = self.head.channels
         n48 = int(duration_ms * 48)
-        if toc is None:
+        # PLC runs the last mode, CELT if the last frame carried
+        # SILK->CELT redundancy (opus_decoder.c:299-300)
+        mode = "celt" if self.prev_redundancy else self.prev_mode
+        if mode is None:
             return np.zeros((C, n48))
-        if toc.mode in ("silk", "hybrid"):
+        if mode in ("silk", "hybrid"):
+            # the SILK PLC cannot run under 10 ms (opus_decoder.c:393);
+            # shorter conceals take the head of a 10 ms PLC frame
+            plc_ms = max(10, duration_ms)
             if isinstance(self.silk, SilkStereoDecoder):
-                pcm = self.silk.conceal_packet_48k(duration_ms)
+                pcm = self.silk.conceal_packet_48k(plc_ms)
             elif isinstance(self.silk, SilkStreamDecoder):
-                pcm = self.silk.conceal_frame_48k(duration_ms)[None, :]
+                pcm = self.silk.conceal_frame_48k(plc_ms)[None, :]
             else:
                 pcm = np.zeros((1, n48))
-            pcm = pcm * (1.0 / 32768.0) * self.gain
+            pcm = pcm[:, :n48] * (1.0 / 32768.0) * self.gain
         else:
             if self.celt is None:
                 return np.zeros((C, n48))
@@ -350,26 +416,24 @@ class _OpusStream:
             return self.conceal_packet(lost_duration_ms)
         toc, frames = split_packet_frames(packet)
         # mode transition without redundancy: conceal 5 ms of the old
-        # mode to fade from (opus_decoder.c:741-760, 962-984; entering
-        # CELT the fade only applies when the previous packet carried
-        # no redundancy)
+        # mode to fade from (opus_decoder.c:341-353; entering CELT the
+        # fade only applies when the previous packet carried no
+        # SILK->CELT redundancy).  The SILK/hybrid paths defer the
+        # concealment until this frame's redundancy bit is known
+        # (redundancy suppresses the transition, opus_decoder.c:485-489)
         transition = self.prev_mode is not None and (
             (toc.mode == "celt" and self.prev_mode != "celt"
              and not self.prev_redundancy)
             or (toc.mode != "celt" and self.prev_mode == "celt"))
-        trans_pcm = self.conceal_packet(5) if transition else None
-        self.prev_toc = toc
         if toc.mode in ("silk", "hybrid"):
-            self._had_redundancy = False
             if toc.mode == "silk":
-                pcm = self._decode_silk(toc, frames) * self.gain
+                pcm = self._decode_silk(toc, frames,
+                                        transition=transition) * self.gain
             else:
-                pcm = self._decode_hybrid(toc, frames) * self.gain
-            if trans_pcm is not None:
-                # crossfade is scale-invariant: both already carry gain
-                pcm = self._apply_transition(pcm, trans_pcm)
-            self.prev_mode = toc.mode
-            self.prev_redundancy = self._had_redundancy
+                pcm = self._decode_hybrid(toc, frames,
+                                          transition=transition) \
+                    * self.gain
+            self.prev_toc = toc
             C = self.head.channels
             if pcm.shape[0] == 1 and C == 2:
                 pcm = np.repeat(pcm, 2, axis=0)
@@ -377,12 +441,20 @@ class _OpusStream:
                 # (L+R)/2 equals the mid channel exactly
                 pcm = 0.5 * (pcm[:1] + pcm[1:])
             return pcm
+        # entering CELT: conceal before the state reset so the fade
+        # extrapolates the old mode (opus_decoder.c:355-363)
+        trans_pcm = self.conceal_packet(5) if transition else None
         sc = 2 if toc.stereo else 1
         if self.celt is None or sc != self.stream_channels:
             # stream channel switches reset the CELT state (the reference
             # re-creates its decoder on stream param changes)
             self.celt = CeltDecoderState(sc)
             self.stream_channels = sc
+        elif self.prev_mode not in (None, "celt") \
+                and not self.prev_redundancy:
+            # un-protected switch into CELT discards the stale state
+            # (opus_decoder.c:551-553 OPUS_RESET_STATE)
+            self.celt = CeltDecoderState(sc)
         frame_size = int(toc.frame_ms * 48)
         outs = [decode_frame(self.celt, f, frame_size,
                              end_band=_END_BAND[toc.bandwidth])
@@ -390,6 +462,7 @@ class _OpusStream:
         pcm = np.concatenate(outs, axis=1) * self.gain
         if trans_pcm is not None:
             pcm = self._apply_transition(pcm, trans_pcm)
+        self.prev_toc = toc
         self.prev_mode = toc.mode
         self.prev_redundancy = False
         C = self.head.channels

@@ -722,3 +722,42 @@ def test_silk_internal_rate_bit_exact_vs_probe():
         m = min(len(mine), len(ref)) - sh
         assert np.array_equal(mine[:m].astype(np.int64),
                               ref[sh:sh + m].astype(np.int64))
+
+
+def test_switch_heavy_stream_per_packet_bound():
+    """Dedicated RFC 6716 s4.5 conformance: a stream that force-switches
+    SILK -> CELT -> hybrid every 8 packets (oracle 'switchy' mode) must
+    track opus_decode per packet, including the redundancy-carrying
+    switch packets (CELT redundancy frames decode with the packet's
+    signalled end band, opus_decoder.c:500-525, and the state resets of
+    opus_decoder.c:389/551 apply)."""
+    t = np.arange(int(48000 * 4.0)) / 48000.0
+    rng = np.random.default_rng(5)
+    x = (np.sin(2 * np.pi * 220 * t)
+         * (0.5 + 0.3 * np.sin(2 * np.pi * 3 * t)) * 12000
+         + np.sin(2 * np.pi * 1800 * t) * 2000
+         + rng.standard_normal(len(t)) * 300)
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "1", "64000",
+                        "switchy"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        fo = os.path.join(td, "o.raw")
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).astype(np.float64)
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    _info, mine = decode_opus(data)
+    mine = mine.astype(np.float64)[0]
+    n = min(len(mine), len(ref))
+    a, b = mine[:n], ref[:n]
+    overall = 10 * np.log10(max((b ** 2).sum(), 1e-9)
+                            / max(((a - b) ** 2).sum(), 1e-9))
+    assert overall >= 100.0, f"overall {overall:.1f} dB"
+    for i in range(n // 960):
+        s, e = i * 960, (i + 1) * 960
+        snr = 10 * np.log10(max((b[s:e] ** 2).sum(), 1e-9)
+                            / max(((a[s:e] - b[s:e]) ** 2).sum(), 1e-9))
+        assert snr >= 80.0, f"packet window {i}: {snr:.1f} dB"

@@ -48,6 +48,9 @@ static int do_encode(const char *inp, const char *outp, int channels,
         opus_encoder_ctl(enc, OPUS_SET_INBAND_FEC(1));
         opus_encoder_ctl(enc, OPUS_SET_PACKET_LOSS_PERC(30));
     }
+    /* force_mode == 5: switch-heavy stream for the RFC 6716 s4.5
+       redundancy-crossfade tests; the mode is re-forced every 8
+       packets inside the encode loop below. */
     int preskip = 0;
     opus_encoder_ctl(enc, OPUS_GET_LOOKAHEAD(&preskip));
 
@@ -89,6 +92,25 @@ static int do_encode(const char *inp, const char *outp, int channels,
         if (n < (size_t)frame)
             memset(pcm + n * channels, 0,
                    sizeof(opus_int16) * (frame - n) * channels);
+        if (force_mode == 5) {
+            switch (((pno - 2) / 8) % 3) {
+            case 0:
+                opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_SILK_ONLY));
+                opus_encoder_ctl(enc,
+                    OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_WIDEBAND));
+                break;
+            case 1:
+                opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_CELT_ONLY));
+                opus_encoder_ctl(enc,
+                    OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_FULLBAND));
+                break;
+            default:
+                opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(MODE_HYBRID));
+                opus_encoder_ctl(enc,
+                    OPUS_SET_BANDWIDTH(OPUS_BANDWIDTH_SUPERWIDEBAND));
+                break;
+            }
+        }
         int r = opus_encode(enc, pcm, frame, packet, sizeof packet);
         if (r < 0) { fprintf(stderr, "enc %d\n", r); return 1; }
         granule += frame;
@@ -113,7 +135,8 @@ int main(int argc, char **argv) {
                          argc > 6 ? (strcmp(argv[6], "silk") == 0 ? 1 :
                                      strcmp(argv[6], "hybrid") == 0 ? 2 :
                                      strcmp(argv[6], "silkmb") == 0 ? 3 :
-                                     strcmp(argv[6], "silkfec") == 0 ? 4 : 0)
+                                     strcmp(argv[6], "silkfec") == 0 ? 4 :
+                                     strcmp(argv[6], "switchy") == 0 ? 5 : 0)
                                   : 0,
                          argc > 7 ? atoi(argv[7]) : 20);
     if (argc < 4 || strcmp(argv[1], "decode") != 0) {
