@@ -272,6 +272,102 @@ def _decode_lbrr_flags(dec: RangeDecoder, n_frames: int) -> list:
     return [(sym >> i) & 1 for i in range(n_frames)]
 
 
+# --------------------------------------------------------------------------
+# native parse fast path (native/silk_parse.cc runs the whole packet's
+# symbol schedule in C++; the Python functions below are the behaviour
+# oracle, forced with OHP_SILK_PY=1)
+
+_BW_IDX = {"nb": 0, "mb": 1, "wb": 2}
+_PARSE_BLOB = None
+
+#: table order must match the Tab enum in native/silk_parse.cc
+_BLOB_NAMES = (
+    "type_offset_VAD_iCDF", "type_offset_no_VAD_iCDF", "gain_iCDF",
+    "uniform8_iCDF", "delta_gain_iCDF", "NLSF_CB1_iCDF_NB_MB",
+    "NLSF_CB1_iCDF_WB", "NLSF_CB2_SELECT_NB_MB", "NLSF_CB2_SELECT_WB",
+    "NLSF_CB2_iCDF_NB_MB", "NLSF_CB2_iCDF_WB", "NLSF_EXT_iCDF",
+    "NLSF_interpolation_factor_iCDF", "pitch_delta_iCDF",
+    "pitch_lag_iCDF", "uniform4_iCDF", "uniform6_iCDF",
+    "pitch_contour_NB_iCDF", "pitch_contour_iCDF",
+    "pitch_contour_10_ms_NB_iCDF", "pitch_contour_10_ms_iCDF",
+    "LTP_per_index_iCDF", "LTP_gain_iCDF_0", "LTP_gain_iCDF_1",
+    "LTP_gain_iCDF_2", "LTPscale_iCDF", "rate_levels_iCDF",
+    "pulses_per_block_iCDF", "shell_code_table0", "shell_code_table1",
+    "shell_code_table2", "shell_code_table3", "shell_code_table_offsets",
+    "lsb_iCDF", "sign_iCDF", "LBRR_flags_2_iCDF", "LBRR_flags_3_iCDF",
+    "stereo_pred_joint_iCDF", "uniform3_iCDF", "uniform5_iCDF",
+    "stereo_only_code_mid_iCDF")
+
+
+def _parse_blob():
+    """(uint8 table blob, int32 offsets, int32 stereo pred quant) for
+    native.silk_parse_packet, built once from silk_tables.npz."""
+    global _PARSE_BLOB
+    if _PARSE_BLOB is None:
+        T = tables()
+        arrs = [T[n].astype(np.uint8) for n in _BLOB_NAMES]
+        offs = np.cumsum([0] + [len(a) for a in arrs])[:-1]
+        _PARSE_BLOB = (
+            np.ascontiguousarray(np.concatenate(arrs)),
+            np.ascontiguousarray(offs, dtype=np.int32),
+            np.ascontiguousarray(T["stereo_pred_quant_Q13"], np.int32))
+    return _PARSE_BLOB
+
+
+def _use_native_parse() -> bool:
+    import os
+    if os.environ.get("OHP_SILK_PY"):
+        return False
+    from ohpipeline_tpu import native
+    return native.have_silk_core()
+
+
+def _st64_from_dec(dec: RangeDecoder | None) -> np.ndarray:
+    st = np.zeros(10, np.int64)
+    if dec is not None:
+        st[0] = 1
+        st[1] = dec.offs
+        st[2] = dec.end_offs
+        st[3] = dec.end_window
+        st[4] = dec.nend_bits
+        st[5] = dec.nbits_total
+        st[6] = dec.rng
+        st[7] = dec.rem
+        st[8] = dec.val
+        st[9] = dec.error
+    return st
+
+
+def _dec_from_st64(dec: RangeDecoder, st: np.ndarray) -> None:
+    dec.offs = int(st[1])
+    dec.end_offs = int(st[2])
+    dec.end_window = int(st[3])
+    dec.nend_bits = int(st[4])
+    dec.nbits_total = int(st[5])
+    dec.rng = int(st[6])
+    dec.rem = int(st[7])
+    dec.val = int(st[8])
+    dec.error = int(st[9])
+
+
+def _ix_from_row(row: np.ndarray, pulses: np.ndarray, n_subfr: int,
+                 order: int) -> SilkFrameIndices:
+    """One 40-int32 native frame row -> SilkFrameIndices (layout
+    documented in native/silk_parse.cc)."""
+    ix = SilkFrameIndices(
+        signal_type=int(row[2]), quant_offset=int(row[3]),
+        gain_indices=[int(v) for v in row[4:4 + n_subfr]],
+        nlsf_stage1=int(row[8]),
+        nlsf_residuals=[int(v) for v in row[9:9 + order]],
+        nlsf_interp_q2=int(row[25]), lag_index=int(row[26]),
+        contour_index=int(row[27]), per_index=int(row[28]),
+        ltp_indices=[int(v) for v in row[29:29 + n_subfr]],
+        ltp_scale_index=int(row[33]), seed=int(row[34]),
+        cond_coding=bool(row[35]))
+    ix.pulses = pulses
+    return ix
+
+
 def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
                       duration_ms: int = 20,
                       dec: RangeDecoder | None = None,
@@ -286,6 +382,43 @@ def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
     data."""
     if stereo:
         raise NotImplementedError("use parse_silk_packet_stereo")
+    if duration_ms not in (10, 20, 40, 60):
+        raise NotImplementedError("only 10-60 ms SILK packets")
+    if _use_native_parse():
+        from ohpipeline_tpu import native
+        n_frames = max(1, duration_ms // 20)
+        n_subfr = 2 if duration_ms == 10 else 4
+        p = BW[bw]
+        frame_length = (duration_ms // n_frames) * p.fs_khz
+        blob, offs, pred_q = _parse_blob()
+        st64 = _st64_from_dec(dec)
+        res = native.silk_parse_packet(
+            data, st64, _BW_IDX[bw], False, n_frames, n_subfr,
+            frame_length, blob, offs, pred_q)
+        if res is not None:
+            ixs, pulses, lbrr_ix, lbrr_pulses, _misc = res
+            if dec is not None:
+                _dec_from_st64(dec, st64)
+            if lbrr_out is not None:
+                for i in range(n_frames):
+                    if lbrr_ix[i, 0]:
+                        lbrr_out.append(SilkFrame(True, _ix_from_row(
+                            lbrr_ix[i], lbrr_pulses[i], n_subfr,
+                            p.lpc_order)))
+                    else:
+                        lbrr_out.append(None)
+            return [SilkFrame(bool(ixs[i, 1]),
+                              _ix_from_row(ixs[i], pulses[i], n_subfr,
+                                           p.lpc_order))
+                    for i in range(n_frames)]
+    return _parse_silk_packet_py(data, bw, duration_ms, dec, lbrr_out)
+
+
+def _parse_silk_packet_py(data: bytes, bw: str,
+                          duration_ms: int = 20,
+                          dec: RangeDecoder | None = None,
+                          lbrr_out: list | None = None) -> list[SilkFrame]:
+    """Pure-Python packet parse (behaviour oracle for the native path)."""
     if duration_ms not in (10, 20, 40, 60):
         raise NotImplementedError("only 10-60 ms SILK packets")
     n_frames = max(1, duration_ms // 20)
@@ -1019,6 +1152,45 @@ def parse_silk_packet_stereo(data: bytes, bw: str,
     mid frame, and the side frame back to back in one range coder."""
     if duration_ms not in (10, 20, 40, 60):
         raise NotImplementedError("only 10-60 ms SILK packets")
+    if _use_native_parse():
+        from ohpipeline_tpu import native
+        n_frames = max(1, duration_ms // 20)
+        n_subfr = 2 if duration_ms == 10 else 4
+        p = BW[bw]
+        frame_length = (duration_ms // n_frames) * p.fs_khz
+        blob, offs, pred_q = _parse_blob()
+        st64 = _st64_from_dec(dec)
+        res = native.silk_parse_packet(
+            data, st64, _BW_IDX[bw], True, n_frames, n_subfr,
+            frame_length, blob, offs, pred_q)
+        if res is not None:
+            ixs, pulses, _lbrr_ix, _lbrr_pulses, misc = res
+            if dec is not None:
+                _dec_from_st64(dec, st64)
+            out = []
+            for i in range(n_frames):
+                m = 2 * i
+                fm = SilkFrame(bool(ixs[m, 1]),
+                               _ix_from_row(ixs[m], pulses[m], n_subfr,
+                                            p.lpc_order))
+                side = None
+                if ixs[m + 1, 0]:
+                    side = SilkFrame(bool(ixs[m + 1, 1]),
+                                     _ix_from_row(ixs[m + 1],
+                                                  pulses[m + 1],
+                                                  n_subfr, p.lpc_order))
+                out.append((fm, side,
+                            [int(misc[3 * i]), int(misc[3 * i + 1])],
+                            int(misc[3 * i + 2])))
+            return out
+    return _parse_silk_packet_stereo_py(data, bw, duration_ms, dec)
+
+
+def _parse_silk_packet_stereo_py(data: bytes, bw: str,
+                                 duration_ms: int = 20,
+                                 dec: RangeDecoder | None = None) -> list:
+    """Pure-Python stereo packet parse (behaviour oracle for the
+    native path)."""
     n_frames = max(1, duration_ms // 20)
     n_subfr = 2 if duration_ms == 10 else 4
     p = BW[bw]

@@ -638,8 +638,14 @@ _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 
 
 def _silk_lib() -> ctypes.CDLL | None:
-    lib = _load("silkcore", ["silk_core.cc"])
+    lib = _load("silkcore", ["silk_core.cc", "silk_parse.cc"])
     if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.silk_parse_packet.restype = ctypes.c_int
+        lib.silk_parse_packet.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, _i64p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            _i32p, _i32p, _i32p, _i16p, _i32p, _i16p, _i32p]
         lib.silk_nlsf2a.restype = None
         lib.silk_nlsf2a.argtypes = [_i16p, ctypes.c_int, _i16p, _i16p]
         lib.silk_decode_core_fix.restype = ctypes.c_int
@@ -671,6 +677,36 @@ def _silk_lib() -> ctypes.CDLL | None:
 
 def have_silk_core() -> bool:
     return _silk_lib() is not None
+
+
+def silk_parse_packet(data: bytes, st64: np.ndarray, bw: int, stereo: bool,
+                      n_frames: int, n_subfr: int, frame_length: int,
+                      tab_blob: np.ndarray, tab_offs: np.ndarray,
+                      pred_quant_q13: np.ndarray):
+    """Parse one SILK packet's LP layer natively (silk_parse.cc; the
+    Python layer in codecs/opus/silk.py is the behaviour oracle).
+
+    st64 is the 10-slot range-decoder handoff state ([0]!=0 resumes,
+    always written back).  Returns (ix, pulses, lbrr_ix, lbrr_pulses,
+    stereo_misc) — ix rows are the 40-int32 frame-index layout
+    documented in silk_parse.cc — or None when the native core is
+    unavailable."""
+    lib = _silk_lib()
+    if lib is None:
+        return None
+    nch = 2 if stereo else 1
+    ix = np.zeros((n_frames * nch, 40), np.int32)
+    pulses = np.zeros((n_frames * nch, frame_length), np.int16)
+    lbrr_ix = np.zeros((n_frames * nch, 40), np.int32)
+    lbrr_pulses = np.zeros((n_frames * nch, frame_length), np.int16)
+    stereo_misc = np.zeros(3 * max(n_frames, 1), np.int32)
+    rc = lib.silk_parse_packet(
+        data, len(data), st64, bw, int(stereo), n_frames, n_subfr,
+        frame_length, tab_blob, tab_offs, pred_quant_q13,
+        ix, pulses, lbrr_ix, lbrr_pulses, stereo_misc)
+    if rc != 0:
+        return None
+    return ix, pulses, lbrr_ix, lbrr_pulses, stereo_misc
 
 
 def silk_nlsf2a(nlsf_q15: np.ndarray, cos_tab_q12: np.ndarray) -> np.ndarray:
