@@ -19,8 +19,10 @@ large run-to-run weather):
     as zigzag nibbles at spectral positions with per-coefficient
     scalefactor bytes (long runs -> near-free)
     (tests/test_wire_formats.py proves both reconstruct exactly).
-  * ONE contiguous buffer per (codec, chunk): each separate device_put
-    costs ~20 ms of fixed overhead on the tunnel.
+  * ONE contiguous buffer per chunk carrying BOTH codecs' planes and
+    ONE merged device program per chunk: each separate device_put or
+    exec costs ~20 ms of fixed overhead on the tunnel, so the chunk
+    pipeline is one upload + one exec round trip.
   * a tiny dispatch first puts the link in its synchronous regime (async
     staging defers the real upload into the first exec at a much worse
     rate), then chunks upload interleaved with device compute while the
@@ -285,38 +287,39 @@ def main() -> int:
     else:
         Fc, SC, ACAP, MAXS, SSCAP, TNSCAP = 1, 2, 128, 8, 64, 64
 
-    # --- chunk slab layouts -------------------------------------------------
-    fslab = Slab()
-    fslab.add("lo", (Bf, stride), np.uint8)
-    fslab.add("hi", (Bf, stride // 2), np.uint8)
-    fslab.add("warm", (Bf, 32), np.int32)
-    fslab.add("coeffs", (Bf, 32), np.int16)
-    fslab.add("shift", (Bf,), np.int8)
-    fslab.add("order", (Bf,), np.int8)
-    fslab.add("wasted", (Bf,), np.int8)
-    fslab.add("assign", (S_f * Gc,), np.int8)
-    fslab.add("erow", (FCAP,), np.int32)
-    fslab.add("epos", (FCAP,), np.int32)
-    fslab.add("eval", (FCAP,), np.int32)
-    f_bufs, f_views = zip(*[fslab.alloc() for _ in range(NCH)])
-
+    # --- chunk slab layout: ONE contiguous buffer per chunk carrying BOTH
+    # codecs' planes, decoded by ONE merged device program per chunk (one
+    # upload + one exec RPC instead of two of each — each round trip costs
+    # ~20 ms of fixed overhead on the tunnel) ------------------------------
+    mslab = Slab()
+    mslab.add("lo", (Bf, stride), np.uint8)
+    mslab.add("hi", (Bf, stride // 2), np.uint8)
+    mslab.add("warm", (Bf, 32), np.int32)
+    mslab.add("coeffs", (Bf, 32), np.int16)
+    mslab.add("shift", (Bf,), np.int8)
+    mslab.add("order", (Bf,), np.int8)
+    mslab.add("wasted", (Bf,), np.int8)
+    mslab.add("assign", (S_f * Gc,), np.int8)
+    mslab.add("erow", (FCAP,), np.int32)
+    mslab.add("epos", (FCAP,), np.int32)
+    mslab.add("eval", (FCAP,), np.int32)
     if S_a:
-        aslab = Slab()
-        aslab.add("q4", (Fc, SC, 512), np.uint8)
-        aslab.add("sfb", (Fc, SC, 64), np.uint8)
-        aslab.add("msb", (Fc, SC // 2, 128), np.uint8)
-        aslab.add("opx", (Fc, SC), np.uint8)
-        aslab.add("ssf", (SSCAP, 1024), np.uint8)
-        aslab.add("ssr", (SSCAP,), np.int32)
-        aslab.add("epak", (ACAP,), np.int32)    # row*1024+pos, -1 pad
-        aslab.add("eva2", (ACAP,), np.int16)    # |q|<=8191 fits int16
-        aslab.add("side", (MAXS, 1024), np.float32)
-        aslab.add("srow", (MAXS,), np.int32)
-        aslab.add("tfi", (TNSCAP, 1024), np.uint8)
-        aslab.add("tco", (TNSCAP, 24, 12), np.float32)
-        aslab.add("tdir", (TNSCAP, 24), np.uint8)
-        aslab.add("trow", (TNSCAP,), np.int32)
-        a_bufs, a_views = zip(*[aslab.alloc() for _ in range(NCH)])
+        mslab.add("q4", (Fc, SC, 512), np.uint8)
+        mslab.add("sfb", (Fc, SC, 64), np.uint8)
+        mslab.add("msb", (Fc, SC // 2, 128), np.uint8)
+        mslab.add("opx", (Fc, SC), np.uint8)
+        mslab.add("ssf", (SSCAP, 1024), np.uint8)
+        mslab.add("ssr", (SSCAP,), np.int32)
+        mslab.add("epak", (ACAP,), np.int32)    # row*1024+pos, -1 pad
+        mslab.add("eva2", (ACAP,), np.int16)    # |q|<=8191 fits int16
+        mslab.add("side", (MAXS, 1024), np.float32)
+        mslab.add("srow", (MAXS,), np.int32)
+        mslab.add("tfi", (TNSCAP, 1024), np.uint8)
+        mslab.add("tco", (TNSCAP, 24, 12), np.float32)
+        mslab.add("tdir", (TNSCAP, 24), np.uint8)
+        mslab.add("trow", (TNSCAP,), np.int32)
+    m_bufs, m_views = zip(*[mslab.alloc() for _ in range(NCH)])
+    f_views = a_views = m_views
 
     counts = {"flac_samples": 0, "aac": 0}
     state = {"fail": None}
@@ -461,9 +464,8 @@ def main() -> int:
             va["eva2"][ne:] = 0
             a_done[c].set()
 
-    # --- device programs: one scan-free program per codec chunk ------------
-    def flac_chunk_fn(buf):
-        v = fslab.unpack(buf)
+    # --- device program: ONE merged scan-free program per chunk ------------
+    def flac_part(v):
         pcm = _synthesise_group_zz(
             v["lo"], v["hi"], v["warm"], v["erow"], v["epos"], v["eval"],
             v["coeffs"].astype(jnp.int32), v["shift"].astype(jnp.int32),
@@ -471,10 +473,6 @@ def main() -> int:
             v["assign"].astype(jnp.int32), nch)
         return jnp.max(jnp.abs(pcm))
 
-    flac_exec = jax.jit(flac_chunk_fn).lower(
-        jax.ShapeDtypeStruct(f_bufs[0].shape, np.uint8)).compile()
-
-    aac_exec = None
     if S_a:
         W, SW = ASYN.window_bank()
         aac_consts = [jnp.asarray(ASYN._imdct_matrix(2048)),
@@ -485,20 +483,25 @@ def main() -> int:
             # all bench content is 44.1 kHz (rate_index 4)
             4)))
 
-        def aac_chunk_fn(buf, ov, ml, ms_, w_, sw_, esf):
-            v = aslab.unpack(buf)
+        def merged_chunk_fn(buf, ov, ml, ms_, w_, sw_, esf):
+            v = mslab.unpack(buf)
+            pk_f = flac_part(v)
             pcm, ov2 = ASYN.decode_chunk_zz(
                 v["q4"], v["sfb"], v["ssf"], v["ssr"], v["msb"], v["opx"],
                 v["epak"], None, v["eva2"],
                 v["side"], v["srow"], ov, ml, ms_, w_, sw_, esf,
                 v["tfi"], v["tco"], v["tdir"], v["trow"])
-            return jnp.max(jnp.abs(pcm)), ov2
+            return jnp.maximum(pk_f, jnp.max(jnp.abs(pcm))), ov2
 
-        aac_exec = jax.jit(aac_chunk_fn).lower(
-            jax.ShapeDtypeStruct(a_bufs[0].shape, np.uint8),
+        merged_exec = jax.jit(merged_chunk_fn).lower(
+            jax.ShapeDtypeStruct(m_bufs[0].shape, np.uint8),
             jax.ShapeDtypeStruct((SC, 1024), np.float32),
             *[jax.ShapeDtypeStruct(c.shape, c.dtype)
               for c in aac_consts]).compile()
+    else:
+        merged_exec = jax.jit(
+            lambda buf: flac_part(mslab.unpack(buf))).lower(
+            jax.ShapeDtypeStruct(m_bufs[0].shape, np.uint8)).compile()
 
     warm_exec = jax.jit(lambda x: jnp.sum(x)).lower(
         jax.ShapeDtypeStruct((128, 128), jnp.float32)).compile()
@@ -508,12 +511,14 @@ def main() -> int:
     # (minutes for these program sizes) — run each once on the zeroed
     # slabs before any timed pass
     float(warm_exec(jnp.asarray(np.ones((128, 128), np.float32))))
-    float(flac_exec(jnp.asarray(f_bufs[0])))
     if S_a:
-        pk0, ov0_ = aac_exec(jnp.asarray(a_bufs[0]),
-                             jnp.asarray(np.zeros((SC, 1024), np.float32)),
-                             *aac_consts)
+        pk0, ov0_ = merged_exec(jnp.asarray(m_bufs[0]),
+                                jnp.asarray(np.zeros((SC, 1024),
+                                                     np.float32)),
+                                *aac_consts)
         float(pk0)
+    else:
+        float(merged_exec(jnp.asarray(m_bufs[0])))
 
     # --- timed passes -------------------------------------------------------
     def timed_pass():
@@ -530,29 +535,22 @@ def main() -> int:
         ov = jnp.asarray(np.zeros((SC, 1024), np.float32)) if S_a else None
         for c in range(NCH):
             fq[c].wait()
+            if S_a:
+                aq[c].wait()
             if state["fail"]:
                 th.join()
                 return None, None
             t1 = time.perf_counter()
-            dev = jnp.asarray(f_bufs[c])
+            dev = jnp.asarray(m_bufs[c])
             t2 = time.perf_counter()
-            peaks.append(flac_exec(dev))
-            t3 = time.perf_counter()
-            trace.append(("f", c, round(t1 - t0, 2), round(t2 - t1, 2),
-                          round(t3 - t2, 2)))
             if S_a:
-                aq[c].wait()
-                if state["fail"]:
-                    th.join()
-                    return None, None
-                t1 = time.perf_counter()
-                adev = jnp.asarray(a_bufs[c])
-                t2 = time.perf_counter()
-                pk, ov = aac_exec(adev, ov, *aac_consts)
-                t3 = time.perf_counter()
-                peaks.append(pk)
-                trace.append(("a", c, round(t1 - t0, 2), round(t2 - t1, 2),
-                              round(t3 - t2, 2)))
+                pk, ov = merged_exec(dev, ov, *aac_consts)
+            else:
+                pk = merged_exec(dev)
+            t3 = time.perf_counter()
+            peaks.append(pk)
+            trace.append(("m", c, round(t1 - t0, 2), round(t2 - t1, 2),
+                          round(t3 - t2, 2)))
         th.join()
         peak = max(float(p) for p in peaks)
         if os.environ.get("BENCH_TRACE"):
@@ -566,31 +564,24 @@ def main() -> int:
         t0 = time.perf_counter()
         parse_all(fq, aq)
         t_parse = time.perf_counter() - t0
-        t_ftx = t_fex = t_atx = t_aex = 0.0
+        t_tx = t_ex = 0.0
         ov = jnp.asarray(np.zeros((SC, 1024), np.float32)) if S_a else None
         for c in range(NCH):
             t0 = time.perf_counter()
-            dev = jnp.asarray(f_bufs[c])
+            dev = jnp.asarray(m_bufs[c])
             jax.block_until_ready(dev)
-            t_ftx += time.perf_counter() - t0
+            t_tx += time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(flac_exec(dev))
-            t_fex += time.perf_counter() - t0
             if S_a:
-                t0 = time.perf_counter()
-                adev = jnp.asarray(a_bufs[c])
-                jax.block_until_ready(adev)
-                t_atx += time.perf_counter() - t0
-                t0 = time.perf_counter()
-                pk, ov = aac_exec(adev, ov, *aac_consts)
-                float(pk)
-                t_aex += time.perf_counter() - t0
+                pk, ov = merged_exec(dev, ov, *aac_consts)
+            else:
+                pk = merged_exec(dev)
+            float(pk)
+            t_ex += time.perf_counter() - t0
         print(json.dumps({
             "parse_s": round(t_parse, 2),
-            "tx_flac_s": round(t_ftx, 2), "tx_aac_s": round(t_atx, 2),
-            "exec_flac_s": round(t_fex, 2), "exec_aac_s": round(t_aex, 2),
-            "flac_mb": round(f_bufs[0].nbytes * NCH / 1e6, 1),
-            "aac_mb": round((a_bufs[0].nbytes * NCH / 1e6) if S_a else 0, 1),
+            "tx_s": round(t_tx, 2), "exec_s": round(t_ex, 2),
+            "slab_mb": round(m_bufs[0].nbytes * NCH / 1e6, 1),
             "FCAP": FCAP, "ACAP": ACAP, "MAXS": MAXS, "SSCAP": SSCAP,
             "TNSCAP": TNSCAP,
             "Gc": Gc, "Fc": Fc}))

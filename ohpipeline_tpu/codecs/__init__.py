@@ -16,16 +16,17 @@ from .aac import CodecAacAdts, CodecAacMp4
 from .mp3 import CodecMp3
 from .alac import CodecAlac
 from .vorbis import CodecVorbis
-from .opus import CodecOpus
+from .opus import CodecOpus, CodecOpusMp4
 
 for _f in (CodecWav, CodecAiff, CodecAifc, CodecDsdDsf, CodecDsdDff,
-           CodecFlac, CodecAlac, CodecAacMp4, CodecAacAdts, CodecOpus,
-           CodecVorbis, CodecMp3):
+           CodecFlac, CodecAlac, CodecAacMp4, CodecOpusMp4, CodecAacAdts,
+           CodecOpus, CodecVorbis, CodecMp3):
     default_registry.add(_f)
 
 __all__ = [
     "BufferReader", "CodecBase", "CodecRegistry", "CodecStreamCorrupt",
     "DecodedBatch", "EndOfStream", "StreamReader", "default_registry",
     "CodecWav", "CodecAiff", "CodecAifc", "CodecPcm", "CodecDsdDsf",
-    "CodecDsdDff", "CodecDsdRaw", "CodecVorbis", "CodecOpus", "parse_wav", "write_wav", "write_aiff",
+    "CodecDsdDff", "CodecDsdRaw", "CodecVorbis", "CodecOpus",
+    "CodecOpusMp4", "parse_wav", "write_wav", "write_aiff",
 ]

@@ -555,6 +555,138 @@ class CodecOpus(CodecBase):
                             track_offset_samples=first)
 
 
+def parse_dops(body: bytes) -> OpusHead:
+    """OpusSpecificBox ('dOps') payload -> OpusHead-equivalent params
+    (opus-in-isobmff section 4.3.2; the reference reads the same 11
+    bytes, Media/Codec/Opus.cpp:72-84,391-430).  Big-endian, unlike the
+    little-endian Ogg OpusHead."""
+    if len(body) < 11:
+        raise CodecStreamCorrupt("short dOps box")
+    version = body[0]
+    if version != 0:
+        raise CodecStreamCorrupt(f"dOps version {version}")
+    channels = body[1]
+    pre_skip = int.from_bytes(body[2:4], "big")
+    input_rate = int.from_bytes(body[4:8], "big")
+    output_gain_q8 = int.from_bytes(body[8:10], "big", signed=True)
+    mapping_family = body[10]
+    return OpusHead(version=0, channels=channels, pre_skip=pre_skip,
+                    input_rate=input_rate, output_gain_q8=output_gain_q8,
+                    mapping_family=mapping_family)
+
+
+class CodecOpusMp4(CodecBase):
+    """Opus in MP4/ISO-BMFF ('Opus' sample entry + 'dOps' config) —
+    the flavour the reference's CodecOpus actually decodes: Opus served
+    under (fragmented) MPEG-4/DASH, one Opus packet per MP4 sample,
+    sample sizes from the moov tables or re-read per moof fragment
+    (Media/Codec/Opus.cpp:94-98,158-281).  Plain .opus (Ogg) streams are
+    handled by CodecOpus above (beyond-reference: the reference punts on
+    those, Opus.cpp:102-110)."""
+
+    name = "Opus-MP4"
+    recognition_cost = 26
+    mime_types = ("audio/x-opus-mpeg", "audio/mp4; codecs=opus")
+
+    def __init__(self):
+        self._info: Optional[PcmStreamInfo] = None
+
+    def recognise(self, header: bytes) -> bool:
+        if len(header) < 12 or header[4:8] != b"ftyp":
+            return False
+        from ...containers.mpeg4 import find_audio_track
+        try:
+            track = find_audio_track(header)
+        except Exception:                                 # noqa: BLE001
+            return False
+        return track is not None and track.codec == "Opus"
+
+    def stream_initialise(self, reader: StreamReader) -> PcmStreamInfo:
+        from ...containers.mpeg4 import (find_audio_track,
+                                         iter_fragment_samples)
+        self._data = reader.read(reader.stream_bytes or (1 << 30))
+        track = find_audio_track(self._data)
+        if track is None or track.codec != "Opus":
+            raise CodecStreamCorrupt("no Opus track")
+        self._head = parse_dops(track.codec_config)
+        if self._head.mapping_family != 0:
+            raise CodecStreamCorrupt("opus surround mapping unsupported")
+        # moov sample tables when present; fragmented streams carry the
+        # sizes in each moof's trun instead (reference: TryReadSizeTable
+        # per fragment, Opus.cpp:264-281)
+        self._samples = list(track.sample_offsets())
+        if not self._samples:
+            self._samples = list(iter_fragment_samples(self._data))
+        self._index = 0
+        self._stream = _OpusStream(self._head)
+        self._skip = self._head.pre_skip
+        self._sample_pos = 0
+        # Opus always decodes at 48 kHz; mdhd duration counts timescale
+        # ticks (usually 48000 for Opus tracks)
+        total_jiffies = 0
+        self._total_48k = 0
+        if track.duration and track.timescale:
+            self._total_48k = (track.duration * 48000
+                               + track.timescale - 1) // track.timescale
+            total_jiffies = int(track.duration * Jiffies.kPerSecond
+                                // track.timescale)
+        self._info = PcmStreamInfo(
+            sample_rate=48000, bit_depth=16,
+            num_channels=self._head.channels, codec_name="Opus",
+            lossless=False, seekable=False, bitrate=0,
+            track_length_jiffies=total_jiffies)
+        return self._info
+
+    def process(self, reader: StreamReader) -> DecodedBatch:
+        if self._index >= len(self._samples):
+            raise EndOfStream
+        packets = []
+        while (self._index < len(self._samples)
+               and len(packets) < GROUP_PACKETS):
+            off, size = self._samples[self._index]
+            self._index += 1
+            packets.append(self._data[off:off + size])
+        stream = self._stream
+        first = self._sample_pos
+        skip = self._skip
+        last = self._index >= len(self._samples)
+
+        def run():
+            parts = [stream.decode_packet(p) for p in packets]
+            out = np.concatenate(parts, axis=1)
+            if skip:
+                drop = min(skip, out.shape[1])
+                out = out[:, drop:]
+                self._skip = skip - drop
+            if last and self._total_48k:
+                keep = max(0, self._total_48k - self._head.pre_skip
+                           - first)
+                if out.shape[1] > keep:
+                    out = out[:, :keep]
+            self._sample_pos = first + out.shape[1]
+            return np.clip(np.rint(out * 32768.0),
+                           -32768, 32767).astype(np.int32)
+
+        return DecodedBatch(self._info, defer=run,
+                            track_offset_samples=first)
+
+
+def decode_opus_mp4(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:
+    """Whole-buffer Opus-in-MP4 decode (tests/tools)."""
+    from ..base import BufferReader
+    codec = CodecOpusMp4()
+    r = BufferReader(data)
+    info = codec.stream_initialise(r)
+    parts = []
+    while True:
+        try:
+            parts.append(codec.process(r).resolve())
+        except EndOfStream:
+            break
+    return info, (np.concatenate(parts, axis=1) if parts
+                  else np.zeros((info.num_channels, 0), np.int32))
+
+
 def decode_opus(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:
     """Whole-buffer Ogg Opus decode (tests/tools)."""
     from ..base import BufferReader

@@ -1,8 +1,8 @@
 """Ogg Opus framing headers (RFC 7845): OpusHead/OpusTags parse and the
-TOC byte decode — groundwork for CodecOpus (reference
-Media/Codec/Opus.cpp over thirdparty/opus-1.5.2; decode lands in a later
-round, see NEXT.md).  The opus oracle (tools/opus_oracle.c) provides
-both encode and decode ground truth."""
+TOC byte decode, shared by CodecOpus (Ogg) and CodecOpusMp4 (dOps)
+(reference Media/Codec/Opus.cpp over thirdparty/opus-1.5.2).  The opus
+oracle (tools/opus_oracle.c) provides both encode and decode ground
+truth."""
 
 from __future__ import annotations
 

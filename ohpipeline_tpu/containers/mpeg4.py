@@ -168,7 +168,8 @@ def parse_moov(data: bytes, moov_start: int, moov_end: int) -> list[Mpeg4Track]:
                     for ct, c0, c1 in iter_boxes(data, e0 + 28, e1):
                         if ct == b"esds":
                             tr.codec_config = _parse_esds(data[c0:c1])
-                        elif ct in (b"alac", b"dfLa", b"wave"):
+                        elif ct in (b"alac", b"dfLa", b"wave", b"dOps"):
+                            # dOps: OpusSpecificBox (opus-in-isobmff 4.3.2)
                             tr.codec_config = data[c0:c1]
                     break
             elif sbt == b"stts":
@@ -291,6 +292,8 @@ def write_m4a(samples: list[bytes], codec_config: bytes, sample_rate: int,
         dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + b"\x00" * 11 + dsi
         esd = bytes([0x03, 3 + len(dcd)]) + b"\x00\x00\x00" + dcd
         cfg = box(b"esds", b"\x00\x00\x00\x00" + esd)
+    elif codec == "Opus":
+        cfg = box(b"dOps", codec_config)
     else:
         cfg = box(codec.encode(), codec_config)
     entry = box(codec.encode() if codec != "mp4a" else b"mp4a",
@@ -332,12 +335,108 @@ def write_m4a(samples: list[bytes], codec_config: bytes, sample_rate: int,
     return ftyp + moov + box(b"mdat", payload)
 
 
+def write_fragmented_m4a(fragments: list[list[bytes]], codec_config: bytes,
+                         sample_rate: int, channels: int,
+                         codec: str = "Opus",
+                         samples_per_frame: int = 960) -> bytes:
+    """Minimal fragmented-MP4 muxer (tests): an init segment (ftyp +
+    moov with empty sample tables + mvex) followed by one moof+mdat per
+    fragment — the dOps/DASH shape the reference's CodecOpus consumes
+    (Codec/Opus.cpp:94-98)."""
+    import struct as _s
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return _s.pack(">I4s", len(body) + 8, t) + body
+
+    if codec == "mp4a":
+        dsi = bytes([0x05, len(codec_config)]) + codec_config
+        dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + b"\x00" * 11 + dsi
+        esd = bytes([0x03, 3 + len(dcd)]) + b"\x00\x00\x00" + dcd
+        cfg = box(b"esds", b"\x00\x00\x00\x00" + esd)
+    elif codec == "Opus":
+        cfg = box(b"dOps", codec_config)
+    else:
+        cfg = box(codec.encode(), codec_config)
+    entry = box(codec.encode() if codec != "mp4a" else b"mp4a",
+                b"\x00" * 6 + b"\x00\x01" + b"\x00" * 8
+                + _s.pack(">HH", channels, 16) + b"\x00" * 4
+                + _s.pack(">HH", sample_rate, 0) + cfg)
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    stbl = box(b"stbl", stsd + box(b"stts", b"\x00" * 8)
+               + box(b"stsc", b"\x00" * 8)
+               + box(b"stsz", b"\x00" * 12) + box(b"stco", b"\x00" * 8))
+    n_total = sum(len(f) for f in fragments)
+    mdhd = box(b"mdhd", _s.pack(">IIIII", 0, 0, 0, sample_rate,
+                                n_total * samples_per_frame) + b"\x00" * 4)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"\x00")
+    minf = box(b"minf", box(b"smhd", b"\x00" * 8)
+               + box(b"dinf", box(b"dref", b"\x00" * 4 + _s.pack(">I", 1)
+                                  + box(b"url ", b"\x00\x00\x00\x01")))
+               + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", _s.pack(">II", 7, 0) + b"\x00" * 72)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", _s.pack(">IIIII", 0, 0, 0, sample_rate,
+                                n_total * samples_per_frame) + b"\x00" * 80)
+    trex = box(b"trex", _s.pack(">IIIIII", 0, 1, 1,
+                                samples_per_frame, 0, 0))
+    moov = box(b"moov", mvhd + trak + box(b"mvex", trex))
+    ftyp = box(b"ftyp", b"iso5\x00\x00\x00\x01iso5dash")
+    out = [ftyp, moov]
+    for samples in fragments:
+        # trun flags: data-offset (0x01) + sample-size (0x200)
+        trun_body = _s.pack(">II", 0x000201, len(samples))
+        payload = b"".join(samples)
+        sizes = b"".join(_s.pack(">I", len(s)) for s in samples)
+        tfhd = box(b"tfhd", _s.pack(">II", 0, 1))   # track 1, no flags
+        # data offset = moof header .. mdat body; trun body is
+        # 8 (box hdr) + 8 (flags+count) + 4 (offset) + sizes
+        trun_sz = 8 + 8 + 4 + len(sizes)
+        traf_sz = 8 + len(tfhd) + trun_sz
+        moof_sz = 8 + 16 + traf_sz                  # mfhd is 16
+        data_off = moof_sz + 8                      # past mdat header
+        trun = box(b"trun", trun_body + _s.pack(">i", data_off) + sizes)
+        traf = box(b"traf", tfhd + trun)
+        mfhd = box(b"mfhd", _s.pack(">II", 0, 1))
+        moof = box(b"moof", mfhd + traf)
+        assert len(moof) == moof_sz
+        out.append(moof)
+        out.append(box(b"mdat", payload))
+    return b"".join(out)
+
+
 def find_audio_track(data: bytes) -> Optional[Mpeg4Track]:
     moov = find_box(data, [b"moov"])
     if moov is None:
         return None
     tracks = parse_moov(data, moov[0], moov[1])
     for t in tracks:
-        if t.codec in ("mp4a", "alac", "fLaC") and t.sample_rate:
+        if t.codec in ("mp4a", "alac", "fLaC", "Opus") and t.sample_rate:
             return t
     return tracks[0] if tracks else None
+
+
+def iter_fragment_samples(data: bytes) -> Iterator[tuple[int, int]]:
+    """Yield (offset, size) for every sample carried in moof fragments
+    (fragmented MP4 / DASH media segments, reference Mpeg4.cpp moof +
+    SampleSizeTable re-read per fragment — Codec/Opus.cpp:264-281)."""
+    pos = 0
+    end = len(data)
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        if btype == b"moof":
+            for frag in parse_moof(data, pos + hdr, pos + size, pos):
+                off = frag.data_offset
+                for sz in frag.sizes:
+                    yield off, sz
+                    off += sz
+        pos += size

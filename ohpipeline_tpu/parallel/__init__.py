@@ -92,6 +92,20 @@ def example_step_args(nframes: int = 8, n: int = 1024, num_channels: int = 2,
             ramp_end, gain)
 
 
+def room_fanout(mesh: Mesh, x):
+    """OHM-style multiroom fan-out as an ICI collective (the Songcast
+    OhmSender analogue, Av/Songcast/OhmSender — SURVEY.md §2.7/§5.8):
+    master audio (or meters) sharded over `dp` is all-gathered so every
+    device ("room") holds the full master mix.  Returns (full, peak):
+    the replicated array plus its peak meter.  Used by both the
+    sharded pipeline step and the driver's multichip dryrun."""
+    spec = P("dp", *([None] * (x.ndim - 1))) if x.ndim else P()
+    x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    full = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P()))        # all-gather to every room
+    return full, jnp.max(jnp.abs(full))
+
+
 def sharded_pipeline_step(mesh: Mesh, num_channels: int = 2):
     """jit the full decode->render->multiroom step over `mesh`.
 
@@ -132,8 +146,7 @@ def sharded_pipeline_step(mesh: Mesh, num_channels: int = 2):
         vorbis_time = jax.lax.with_sharding_constraint(
             vorbis_time, NamedSharding(mesh, P("dp", "sp")))
         # multiroom fan-out: every chip sees the whole room's meters
-        room_meters = jax.lax.with_sharding_constraint(
-            peaks, NamedSharding(mesh, P()))
+        room_meters, _peak = room_fanout(mesh, peaks)
         return rendered, room_meters, aac_pcm, aac_ov, vorbis_time
 
     aac_sh = NamedSharding(mesh, P(None, "dp", None))
