@@ -31,7 +31,7 @@ large run-to-run weather):
     decode, three MXU matmuls (IMDCT + one-hot windows), overlap-add as
     a shifted slice (codecs/aac/synthesis.decode_chunk_zz,
     codecs/flac._synthesise_group_zz).
-  * the timed phase runs --passes times (default 12); best wall is
+  * the timed phase runs --passes times (default 16); best wall is
     reported (documented tunnel variance: identical code measures up to
     ~1.5x apart run to run — more passes sample the weather better).
 
@@ -171,7 +171,7 @@ def main() -> int:
     ap.add_argument("--aac-streams", type=int, default=48)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--chunks", type=int, default=8)
-    ap.add_argument("--passes", type=int, default=12)
+    ap.add_argument("--passes", type=int, default=16)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -587,6 +587,16 @@ def main() -> int:
             "Gc": Gc, "Fc": Fc}))
         return 0
 
+    # untimed tunnel-weather probe: one 16 MB incompressible upload.
+    # The link's effective bandwidth varies by ~5x run to run / VM to VM
+    # (documented in NEXT.md); reporting it alongside the metric lets a
+    # reader separate code speed from link weather.
+    probe = np.random.default_rng(0).integers(0, 256, 16 << 20, np.uint8) \
+        if not args.smoke else np.zeros(1 << 20, np.uint8)
+    t0p = time.perf_counter()
+    jax.block_until_ready(jnp.asarray(probe))
+    tunnel_mbps = probe.nbytes / 1e6 / max(time.perf_counter() - t0p, 1e-9)
+
     walls = []
     peak = 0.0
     for _ in range(max(1, args.passes)):
@@ -644,7 +654,8 @@ def main() -> int:
             "vs_baseline": round(value / 500.0, 3),
             "flac_audio_s": round(flac_audio, 1),
             "aac_audio_s": round(aac_audio, 1),
-            "wall_s": round(wall, 2)}
+            "wall_s": round(wall, 2),
+            "tunnel_mbps": round(tunnel_mbps, 1)}
     if args.smoke:
         line["bit_exact_flac"] = ok
         line["peak"] = peak

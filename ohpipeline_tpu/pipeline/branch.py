@@ -142,6 +142,72 @@ class SongcastBranch(Pushable):
                 self._pending = None
 
 
+class IciBranch(Pushable):
+    """Multiroom distribution over the device mesh: the Songcast sender
+    semantics (SongcastBranch above; reference Av/Songcast/OhmSender)
+    carried by an ICI all-gather instead of UDP multicast — attach to a
+    Brancher exactly like SongcastBranch, but the master mix reaches
+    every device ("room") of a jax.sharding.Mesh through
+    parallel.room_fanout (SURVEY.md §2.7/§5.8).
+
+    Branch PCM accumulates into fixed-shape tiles (static shapes keep
+    ONE compiled fan-out program; partial tail tiles are zero-padded on
+    halt), each tile rides the collective, and rooms() exposes the
+    per-device replicas of the last tile plus its peak meter for
+    observers/tests."""
+
+    TILE = 1024
+
+    def __init__(self, mesh, channels: int = 2):
+        import jax
+        from .. import parallel
+        self._mesh = mesh
+        self._ch = channels
+        self._pending = None
+        self._last = None
+        self._peak = 0.0
+        self.tiles_sent = 0
+        self._fn = jax.jit(lambda t: parallel.room_fanout(mesh, t))
+
+    def push(self, e: ev.Event) -> None:
+        if e.kind == "decoded_stream":
+            self._ch = e.info.num_channels
+        elif isinstance(e, ev.AudioPcmEvent):
+            samples = np.asarray(e.samples, np.float32)
+            if self._pending is not None:
+                samples = np.concatenate([self._pending, samples], axis=1)
+            pos = 0
+            while samples.shape[1] - pos >= self.TILE:
+                self._send(samples[:, pos:pos + self.TILE])
+                pos += self.TILE
+            self._pending = samples[:, pos:] if pos < samples.shape[1] \
+                else None
+        elif e.kind == "halt" and self._pending is not None:
+            tile = np.zeros((self._pending.shape[0], self.TILE),
+                            np.float32)
+            tile[:, :self._pending.shape[1]] = self._pending
+            self._pending = None
+            self._send(tile)
+
+    def _send(self, tile: np.ndarray) -> None:
+        with self._mesh:
+            full, peak = self._fn(tile)
+        self._last = full
+        self._peak = float(peak)
+        self.tiles_sent += 1
+
+    def rooms(self) -> list:
+        """Per-device replicas of the last distributed tile (every room
+        must hold the identical full master mix)."""
+        if self._last is None:
+            return []
+        return [np.asarray(s.data) for s in self._last.addressable_shards]
+
+    @property
+    def peak(self) -> float:
+        return self._peak
+
+
 class AsyncTrackObserver(Element):
     """Out-of-band track/metadata injection for async sources
     (AsyncTrackObserver.cpp): external callers post track/metadata that

@@ -4,6 +4,9 @@ import numpy as np
 import jax
 
 from ohpipeline_tpu import parallel
+from ohpipeline_tpu.core import events as ev
+from ohpipeline_tpu.core.streaminfo import PcmStreamInfo
+from ohpipeline_tpu.pipeline.branch import Brancher, IciBranch
 
 
 class TestShardedStep:
@@ -37,3 +40,47 @@ class TestShardedStep:
         from ohpipeline_tpu.codecs.vorbis.synthesis import imdct_many
         ref = imdct_many(v_spec, 2048)
         np.testing.assert_allclose(np.asarray(vtime), ref, atol=1e-3)
+
+
+class _Up:
+    def __init__(self, events):
+        self._ev = list(events)
+
+    def pull(self):
+        return self._ev.pop(0)
+
+
+class TestIciBranch:
+    """Multiroom distribution THROUGH the pipeline: a Brancher tee feeds
+    IciBranch, whose fan-out collective must land the identical master
+    mix on every device of the mesh (the OhmSender semantics of
+    Av/Songcast over ICI instead of UDP)."""
+
+    def test_pipeline_multiroom_fanout(self):
+        mesh = parallel.make_mesh(8)
+        info = PcmStreamInfo(sample_rate=44100, bit_depth=16,
+                             num_channels=2)
+        rng = np.random.default_rng(11)
+        pcm = rng.integers(-30000, 30000, (2, 2500)).astype(np.int32)
+        events = [
+            ev.DecodedStreamEvent(stream_id=1, info=info),
+            # uneven event sizes exercise the tile re-blocking
+            ev.AudioPcmEvent(pcm[:, :700], info),
+            ev.AudioPcmEvent(pcm[:, 700:], info),
+            ev.HaltEvent(),
+        ]
+        tee = Brancher(_Up(events), "tee")
+        ici = IciBranch(mesh, channels=2)
+        tee.attach(ici)
+        for _ in range(len(events)):
+            tee.pull()
+
+        # 2500 samples = 2 full tiles + a zero-padded halt tile
+        assert ici.tiles_sent == 3
+        rooms = ici.rooms()
+        assert len(rooms) == 8
+        tail = np.zeros((2, IciBranch.TILE), np.float32)
+        tail[:, :2500 - 2048] = pcm[:, 2048:].astype(np.float32)
+        for room in rooms:
+            np.testing.assert_array_equal(room, tail)
+        assert ici.peak == float(np.abs(tail).max())
