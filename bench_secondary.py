@@ -108,6 +108,31 @@ def main() -> int:
     results["opus_hybrid"] = bench_one(
         "opus_hybrid", data, decode_opus, secs)
 
+    # --- Opus CELT multi-stream device synthesis (the serving shape:
+    # entropy on host, denorm/IMDCT/comb/deemph batched on the chip —
+    # codecs/opus/celt_jax.py) -----------------------------------------
+    try:
+        from ohpipeline_tpu.codecs.opus import celt_jax
+        celt_streams = []
+        for i in range(16):
+            def b(i=i):
+                pcm = _content(secs, 48000, stereo=True)
+                pcm = np.roll(pcm, 31 * i, axis=1)     # distinct streams
+                return _oracle_encode("opus_oracle", pcm,
+                                      ["2", "96000", "celt"])
+            celt_streams.append(_cached(f"opus_celt16_{i}", b))
+        celt_jax.decode_celt_streams_device(celt_streams)   # warm jit
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = celt_jax.decode_celt_streams_device(celt_streams)
+            best = min(best, time.perf_counter() - t0)
+        results["opus_celt_16stream_device"] = \
+            out.shape[0] * out.shape[2] / 48000.0 / best
+    except Exception as e:                             # noqa: BLE001
+        results["opus_celt_16stream_device"] = -1.0
+        print(f"# celt device bench failed: {e}", file=sys.stderr)
+
     # --- HE-AAC v1 (device SBR group path) ---------------------------
     def he_build():
         pcm = _content(secs, 44100, stereo=True)

@@ -1035,7 +1035,8 @@ def _entropy_decode_py(st: CeltDecoderState, data: bytes,
 
 def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
                  dec: RangeDecoder | None = None,
-                 start_band: int = 0, end_band: int = 21) -> np.ndarray:
+                 start_band: int = 0, end_band: int = 21,
+                 synthesis: bool = True):
     """Decode one CELT frame -> (channels, frame_size) float in [-1, 1].
 
     The entropy layer (range decode -> energies -> allocation -> PVQ ->
@@ -1097,8 +1098,36 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
         res = _entropy_decode_py(st, data, dec, LM, M, N, start, end)
     (X, silence, is_transient, pf_pitch, pf_gain, pf_tapset,
      final_rng) = res
+    capture = None
+    if not synthesis:
+        # entropy-only mode (the device group-synthesis path,
+        # celt_jax.py): capture everything the synthesis stage needs
+        # and perform ONLY the state bookkeeping below — the synthesis
+        # state (TDAC carry, comb history, deemphasis memory) lives on
+        # the device.  Callers guarantee no PLC interplay
+        # (prefilter_and_fold / loss_duration handling stays host-only).
+        assert not st.prefilter_and_fold
+        gmat = np.zeros((C, nb), np.float32)
+        if not silence:
+            for c in range(C):
+                for i in range(start, eff_end):
+                    gmat[c, i] = np.exp2(
+                        min(32.0, float(st.old_ebands[c * nb + i])
+                            + float(E_MEANS[i])))
+        st.pf_period = max(st.pf_period, COMBFILTER_MINPERIOD)
+        st.pf_period_old = max(st.pf_period_old, COMBFILTER_MINPERIOD)
+        capture = {
+            "X": np.asarray(X, np.float64).reshape(C, N).copy(),
+            "gains": gmat,
+            "is_transient": bool(is_transient),
+            "silence": bool(silence),
+            "pf": ((st.pf_period_old, st.pf_gain_old, st.pf_tapset_old),
+                   (st.pf_period, st.pf_gain, st.pf_tapset),
+                   (max(pf_pitch, COMBFILTER_MINPERIOD), pf_gain,
+                    pf_tapset)),
+        }
     # ---- synthesis -------------------------------------------------------
-    if st.prefilter_and_fold:
+    if synthesis and st.prefilter_and_fold:
         # blend the concealed signal's tail into this frame's MDCT
         # overlap (celt_decoder.c:1296)
         _fold_plc_tail(st, N)
@@ -1111,7 +1140,7 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
         NB = N
     win = mode.window
     ov = overlap
-    for c in range(C):
+    for c in range(C if synthesis else 0):
         # denormalise
         freq = np.zeros(N, np.float64)
         bound = M * int(eb[eff_end])
@@ -1142,22 +1171,26 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
     # ---- post-filter (comb) ----------------------------------------------
     st.pf_period = max(st.pf_period, COMBFILTER_MINPERIOD)
     st.pf_period_old = max(st.pf_period_old, COMBFILTER_MINPERIOD)
-    for c in range(C):
+    for c in range(C if synthesis else 0):
         hist = st.hist[c]
         # the reference filters in place over the synthesis buffer, so a
-        # comb read at lag T sees already-filtered samples
-        y = np.concatenate([hist[-MAX_PERIOD:], out[c]])
-        _comb_filter(y, MAX_PERIOD, st.pf_period_old, st.pf_period,
+        # comb read at lag T sees already-filtered samples.  History
+        # covers MAX_PERIOD + 2: the widest tap is T + 2 and T itself
+        # can reach MAX_PERIOD (a bare MAX_PERIOD slice would wrap
+        # x[-2] to the buffer end / read OOB in the native filter).
+        HP = MAX_PERIOD + 2
+        y = np.concatenate([hist[-HP:], out[c]])
+        _comb_filter(y, HP, st.pf_period_old, st.pf_period,
                      mode.short_mdct_size, st.pf_gain_old, st.pf_gain,
                      st.pf_tapset_old, st.pf_tapset, win, ov)
         if LM != 0:
-            _comb_filter(y, MAX_PERIOD + mode.short_mdct_size,
+            _comb_filter(y, HP + mode.short_mdct_size,
                          st.pf_period, max(pf_pitch,
                                            COMBFILTER_MINPERIOD),
                          N - mode.short_mdct_size,
                          st.pf_gain, pf_gain, st.pf_tapset, pf_tapset,
                          win, ov)
-        out[c] = y[MAX_PERIOD:]
+        out[c] = y[HP:]
         st.hist[c] = np.concatenate([hist, out[c]])[-len(hist):]
     st.pf_period_old = st.pf_period
     st.pf_gain_old = st.pf_gain
@@ -1196,6 +1229,8 @@ def decode_frame(st: CeltDecoderState, data: bytes, frame_size: int,
     # the next frame's noise seed is the range coder's final range state
     # (celt_decoder.c: st->rng = dec->rng)
     st.rng = final_rng
+    if not synthesis:
+        return capture
     coef0 = mode.preemph[0]
     pcm = np.zeros((C, N), np.float64)
     use_native = _use_native_celt()
@@ -1606,17 +1641,18 @@ def _fold_plc_tail(st: CeltDecoderState, N: int) -> None:
     mode = st.mode
     ov = mode.overlap
     win = mode.window
+    HP = MAX_PERIOD + 2               # taps reach T + 2, T <= MAX_PERIOD
     for c in range(st.channels):
         tail = st.plc_tail[c]
-        y = np.concatenate([st.hist[c][-MAX_PERIOD:], tail])
+        y = np.concatenate([st.hist[c][-HP:], tail])
         # the reference folds with window=NULL/overlap=0: the new
         # (negated) post-filter applies to the whole tail, no crossfade
-        _comb_filter(y, MAX_PERIOD,
+        _comb_filter(y, HP,
                      max(st.pf_period_old, COMBFILTER_MINPERIOD),
                      max(st.pf_period, COMBFILTER_MINPERIOD), ov,
                      -st.pf_gain_old, -st.pf_gain,
                      st.pf_tapset_old, st.pf_tapset, win, 0)
-        etmp = y[MAX_PERIOD:MAX_PERIOD + ov]
+        etmp = y[HP:HP + ov]
         ii = np.arange(ov // 2)
         st.carry[c] = (win[ii] * etmp[ov - 1 - ii]
                        + win[ov - 1 - ii] * etmp[ii])
