@@ -350,10 +350,48 @@ def _dec_from_st64(dec: RangeDecoder, st: np.ndarray) -> None:
     dec.error = int(st[9])
 
 
+#: dequant-table blob for native.silk_synth_frame_fix (order must match
+#: the DqTab enum in native/silk_synth.cc)
+_DQ_NAMES = (
+    "NLSF_CB2_SELECT_NB_MB", "NLSF_CB2_SELECT_WB",
+    "NLSF_PRED_NB_MB_Q8", "NLSF_PRED_WB_Q8",
+    "NLSF_CB1_NB_MB_Q8", "NLSF_CB1_WB_Q8",
+    "NLSF_CB1_Wght_Q9", "NLSF_CB1_WB_Wght_Q9",
+    "NLSF_DELTA_MIN_NB_MB_Q15", "NLSF_DELTA_MIN_WB_Q15",
+    "CB_lags_stage2", "CB_lags_stage3",
+    "CB_lags_stage2_10_ms", "CB_lags_stage3_10_ms",
+    "LTP_gain_vq_0", "LTP_gain_vq_1", "LTP_gain_vq_2",
+    "LTPScales_table_Q14")
+_DQ_BLOB = None
+_COS16 = None
+
+
+def _dq_blob():
+    global _DQ_BLOB
+    if _DQ_BLOB is None:
+        T = tables()
+        arrs = [np.ascontiguousarray(T[n], dtype=np.int32)
+                for n in _DQ_NAMES]
+        offs = np.cumsum([0] + [len(a) for a in arrs])[:-1]
+        _DQ_BLOB = (np.ascontiguousarray(np.concatenate(arrs), np.int32),
+                    np.ascontiguousarray(offs, dtype=np.int32))
+    return _DQ_BLOB
+
+
+def _cos16() -> np.ndarray:
+    global _COS16
+    if _COS16 is None:
+        _COS16 = tables()["LSFCosTab_FIX_Q12"].astype(np.int16)
+    return _COS16
+
+
 def _ix_from_row(row: np.ndarray, pulses: np.ndarray, n_subfr: int,
                  order: int) -> SilkFrameIndices:
     """One 40-int32 native frame row -> SilkFrameIndices (layout
-    documented in native/silk_parse.cc)."""
+    documented in native/silk_parse.cc).  The raw row rides along as
+    ``ix.row`` so synthesis can take the fused native path
+    (silk_synth.cc) without re-marshalling."""
+    voiced = int(row[2]) == 2
     ix = SilkFrameIndices(
         signal_type=int(row[2]), quant_offset=int(row[3]),
         gain_indices=[int(v) for v in row[4:4 + n_subfr]],
@@ -361,10 +399,12 @@ def _ix_from_row(row: np.ndarray, pulses: np.ndarray, n_subfr: int,
         nlsf_residuals=[int(v) for v in row[9:9 + order]],
         nlsf_interp_q2=int(row[25]), lag_index=int(row[26]),
         contour_index=int(row[27]), per_index=int(row[28]),
-        ltp_indices=[int(v) for v in row[29:29 + n_subfr]],
+        ltp_indices=[int(v) for v in row[29:29 + n_subfr]]
+        if voiced else [],
         ltp_scale_index=int(row[33]), seed=int(row[34]),
         cond_coding=bool(row[35]))
     ix.pulses = pulses
+    ix.row = np.ascontiguousarray(row)
     return ix
 
 
@@ -928,10 +968,41 @@ class SilkStreamDecoder:
         """Parsed frame indices -> PCM at the internal rate
         (silk_decode_frame over silk_decode_core; 4 subframes for
         20 ms frames, 2 for 10 ms).  Fixed-point int16 output on the
-        native path, float on the fallback."""
+        native path, float on the fallback.  Frames parsed natively
+        carry their raw index row and take the fused dequant+synthesis
+        call (silk_synth.cc); Python-parsed frames dequantise here."""
         if self.fix:
+            row = getattr(ix, "row", None)
+            if row is not None:
+                return self._synthesise_fix_row(ix, row)
             return self._synthesise_fix(ix)
         return self._synthesise_float(ix)
+
+    def _synthesise_fix_row(self, ix, row: np.ndarray) -> np.ndarray:
+        """Fused native path: one silk_synth_frame_fix call does the
+        whole gains/NLSF/pitch/LTP dequant + core synthesis, with the
+        inter-frame dequant state round-tripped through this object
+        (single source of truth with the non-row path)."""
+        from ohpipeline_tpu import native
+        n_subfr = len(ix.gain_indices)
+        dq, dqo = _dq_blob()
+        pgi = np.array([self.prev_gain_ind], np.int32)
+        pn = np.zeros(16, np.int16)
+        have = np.zeros(1, np.int32)
+        if self.prev_nlsf is not None:
+            pn[:self.order] = self.prev_nlsf
+            have[0] = 1
+        xq = native.silk_synth_frame_fix(
+            row, np.asarray(ix.pulses, np.int16), _BW_IDX[self.bw],
+            n_subfr, self.subfr_len, self.order, self.ltp_mem,
+            self.fs_khz, dq, dqo, _cos16(), pgi, pn, have,
+            self._out_buf_i, self._s_lpc_q14, self._prev_gain_q16,
+            self._plc)
+        self.prev_gain_ind = int(pgi[0])
+        self.prev_nlsf = pn[:self.order].copy()
+        self._last_exc = self._plc.exc
+        self.first = False
+        return xq
 
     def _synthesise_fix(self, ix) -> np.ndarray:
         """Bit-exact integer synthesis (silk/decode_core.c via

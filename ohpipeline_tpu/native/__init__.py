@@ -638,8 +638,17 @@ _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 
 
 def _silk_lib() -> ctypes.CDLL | None:
-    lib = _load("silkcore", ["silk_core.cc", "silk_parse.cc"])
+    lib = _load("silkcore", ["silk_core.cc", "silk_parse.cc",
+                             "silk_synth.cc"])
     if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.silk_synth_frame_fix.restype = ctypes.c_int
+        lib.silk_synth_frame_fix.argtypes = [
+            _i32p, _i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p, _i32p, _i16p,
+            _i32p, _i16p, _i32p,
+            _i16p, _i32p, _i32p, _i32p, _i32p, _i16p, _i32p, _i16p,
+            _i32p, _i16p]
         lib.silk_parse_packet.restype = ctypes.c_int
         lib.silk_parse_packet.argtypes = [
             ctypes.c_char_p, ctypes.c_int, _i64p, ctypes.c_int,
@@ -766,6 +775,37 @@ def silk_frame_fix(lost: bool, pulses: np.ndarray, subfr_length: int,
         xq)
     if rc != 0:
         raise ValueError("silk_frame_fix failed")
+    return xq
+
+
+def silk_synth_frame_fix(row: np.ndarray, pulses: np.ndarray, bw: int,
+                         nb_subfr: int, subfr_length: int,
+                         lpc_order: int, ltp_mem: int, fs_khz: int,
+                         dq: np.ndarray, dqo: np.ndarray,
+                         cos_tab_q12: np.ndarray,
+                         prev_gain_ind: np.ndarray,
+                         prev_nlsf: np.ndarray, have_prev: np.ndarray,
+                         out_buf: np.ndarray, s_lpc_q14: np.ndarray,
+                         prev_gain_q16: np.ndarray,
+                         plc: "SilkPlcState") -> np.ndarray:
+    """Fused dequant + synthesis of one parsed SILK frame row
+    (silk_synth.cc): gains/NLSF/pitch/LTP dequant + silk_frame_fix in
+    one native call.  Mutates all state arrays in place; returns xq
+    int16."""
+    lib = _silk_lib()
+    frame_length = subfr_length * nb_subfr
+    xq = np.zeros(frame_length, np.int16)
+    rc = lib.silk_synth_frame_fix(
+        np.ascontiguousarray(row, np.int32),
+        np.ascontiguousarray(pulses, np.int16), bw, nb_subfr,
+        subfr_length, lpc_order, ltp_mem, fs_khz, dq, dqo,
+        np.ascontiguousarray(cos_tab_q12, np.int16),
+        prev_gain_ind, prev_nlsf, have_prev,
+        out_buf, s_lpc_q14, prev_gain_q16, plc.exc,
+        plc.plc_i32, plc.plc_i16, plc.cng_i32, plc.cng_i16, plc.misc,
+        xq)
+    if rc != 0:
+        raise ValueError("silk_synth_frame_fix failed")
     return xq
 
 

@@ -117,8 +117,12 @@ def test_native_parse_lbrr_frames_match(monkeypatch):
                     np.asarray(b.indices.pulses, np.int64))
             for a, b in zip(fr_nat, fr_py):
                 assert a.vad == b.vad
-                assert a.indices.__dict__.keys() == \
-                    b.indices.__dict__.keys()
+                import dataclasses
+                for fld in dataclasses.fields(a.indices):
+                    if fld.name == "pulses":
+                        continue
+                    assert getattr(a.indices, fld.name) \
+                        == getattr(b.indices, fld.name), fld.name
                 np.testing.assert_array_equal(
                     np.asarray(a.indices.pulses, np.int64),
                     np.asarray(b.indices.pulses, np.int64))
