@@ -616,7 +616,8 @@ class CodecOpusMp4(CodecBase):
         # per fragment, Opus.cpp:264-281)
         self._samples = list(track.sample_offsets())
         if not self._samples:
-            self._samples = list(iter_fragment_samples(self._data))
+            self._samples = list(iter_fragment_samples(
+                self._data, track_id=track.track_id))
         self._index = 0
         self._stream = _OpusStream(self._head)
         self._skip = self._head.pre_skip

@@ -30,8 +30,6 @@ comb_filter/deemphasis over OpenHome/Media/Codec/Opus.cpp.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from .celt import (COMB_GAINS, COMBFILTER_MINPERIOD, MAX_PERIOD,
@@ -70,7 +68,6 @@ def _tdac_batch(freqs: np.ndarray, carries: np.ndarray,
     return buf
 
 
-@dataclass
 class CeltDeviceStatic:
     """Per-process constants for the device group program (f32)."""
 
@@ -267,12 +264,12 @@ def _open_capture(data: bytes):
     return sc, gen()
 
 
-def capture_stream(data: bytes, group: int = 32):
-    """Host side: Ogg Opus -> per-frame entropy captures for the device
-    path.  Only CELT-only 20 ms streams are supported (anything else
-    raises — callers fall back to the host decoder)."""
+def capture_stream(data: bytes):
+    """Host side: Ogg Opus -> (channels, per-frame entropy captures)
+    for the device path.  Only CELT-only 20 ms streams are supported
+    (anything else raises — callers fall back to the host decoder)."""
     sc, gen = _open_capture(data)
-    return None, sc, list(gen)
+    return sc, list(gen)
 
 
 def _pack_captures(caps, channels: int):
@@ -297,7 +294,7 @@ def decode_celt_stream_device(data: bytes, group: int = 32) -> np.ndarray:
     (channels, n) int16 PCM at 48 kHz (no pre-skip/gain trimming —
     this is the synthesis-path conformance/throughput surface; the
     product path is CodecOpus)."""
-    head, ch, caps = capture_stream(data, group)
+    ch, caps = capture_stream(data)
     fn = _group_fn(False)
     st = _static()
     h = np.zeros((ch, HLEN), np.float32)
@@ -377,10 +374,12 @@ def decode_celt_streams_device(streams: list, group: int = 32):
     import jax.numpy as jnp
     gens = []
     ch0 = None
-    for s in streams:
+    for i, s in enumerate(streams):
         ch, gen = _open_capture(s)
         ch0 = ch0 or ch
-        assert ch == ch0
+        if ch != ch0:
+            raise ValueError(
+                f"stream {i}: {ch} channels, batch is {ch0}-channel")
         gens.append(gen)
     S = len(gens)
     st = _static()
@@ -405,29 +404,31 @@ def decode_celt_streams_device(streams: list, group: int = 32):
     th = threading.Thread(target=drain, daemon=True)
     th.start()
     F = 0
-    while True:
-        chunks = [list(itertools.islice(g, group)) for g in gens]
-        n = min(len(cchunk) for cchunk in chunks)
-        if n == 0:
-            break
-        F += n
-        buf = np.zeros(total, np.uint8)
-        views = {}
-        for nm, (off, shape, dt) in lay.items():
-            nbytes = int(np.prod(shape)) * dt.itemsize
-            views[nm] = buf[off:off + nbytes].view(dt).reshape(shape)
-        for si, cchunk in enumerate(chunks):
-            X, gains, op, Tv, gt = _pack_captures(cchunk[:n], ch0)
-            views["X"][si, :n] = X
-            views["gains"][si, :n] = gains
-            views["op"][si, :n] = op
-            views["Tv"][si, :n] = Tv
-            views["gt"][si, :n] = gt
-        pcm16, (h, c, m) = fn(jnp.asarray(buf), h, c, m)
-        q.put(pcm16)
-        if n < group:
-            break
-    q.put(None)
-    th.join()
+    try:
+        while True:
+            chunks = [list(itertools.islice(g, group)) for g in gens]
+            n = min(len(cchunk) for cchunk in chunks)
+            if n == 0:
+                break
+            F += n
+            buf = np.zeros(total, np.uint8)
+            views = {}
+            for nm, (off, shape, dt) in lay.items():
+                nbytes = int(np.prod(shape)) * dt.itemsize
+                views[nm] = buf[off:off + nbytes].view(dt).reshape(shape)
+            for si, cchunk in enumerate(chunks):
+                X, gains, op, Tv, gt = _pack_captures(cchunk[:n], ch0)
+                views["X"][si, :n] = X
+                views["gains"][si, :n] = gains
+                views["op"][si, :n] = op
+                views["Tv"][si, :n] = Tv
+                views["gt"][si, :n] = gt
+            pcm16, (h, c, m) = fn(jnp.asarray(buf), h, c, m)
+            q.put(pcm16)
+            if n < group:
+                break
+    finally:
+        q.put(None)
+        th.join()
     pcm = np.concatenate(results, axis=1)[:, :F]        # (S, F, CH, N)
     return pcm.transpose(0, 2, 1, 3).reshape(S, ch0, -1)

@@ -212,6 +212,11 @@ def decode_excitation(dec: RangeDecoder, signal_type: int,
         _icdf(T["rate_levels_iCDF"][(signal_type >> 1) * 9:
                                     (signal_type >> 1) * 9 + 9]), 8)
     niter = frame_length // SHELL_FRAME
+    if niter * SHELL_FRAME < frame_length:
+        # 10 ms @ 12 kHz (MB): 120 samples round UP to 8 shell blocks;
+        # the tail block's extra samples are decoded and discarded
+        # (decode_pulses.c:57-61, code_signs.c:91)
+        niter += 1
     ppb = T["pulses_per_block_iCDF"].reshape(10, 18)
     sum_pulses = []
     n_lshifts = []
@@ -224,7 +229,7 @@ def decode_excitation(dec: RangeDecoder, signal_type: int,
             s = dec.dec_icdf(_icdf(row), 8)
         sum_pulses.append(s)
         n_lshifts.append(shifts)
-    pulses = np.zeros(frame_length, np.int64)
+    pulses = np.zeros(niter * SHELL_FRAME, np.int64)
     for i, s in enumerate(sum_pulses):
         if s > 0:
             pulses[i * SHELL_FRAME:(i + 1) * SHELL_FRAME] = \
@@ -251,7 +256,7 @@ def decode_excitation(dec: RangeDecoder, signal_type: int,
             if blk[k] > 0:
                 if dec.dec_icdf(icdf, 8) == 0:
                     blk[k] = -blk[k]
-    return pulses
+    return pulses[:frame_length]
 
 
 @dataclass
@@ -424,7 +429,11 @@ def parse_silk_packet(data: bytes, bw: str, stereo: bool = False,
         raise NotImplementedError("use parse_silk_packet_stereo")
     if duration_ms not in (10, 20, 40, 60):
         raise NotImplementedError("only 10-60 ms SILK packets")
-    if _use_native_parse():
+    if _use_native_parse() and (dec is None or (dec.buf is data
+                                                and dec.storage
+                                                == len(data))):
+        # a shared decoder must be reading THIS buffer for its state
+        # offsets to transplant (same guard as celt.py's native handoff)
         from ohpipeline_tpu import native
         n_frames = max(1, duration_ms // 20)
         n_subfr = 2 if duration_ms == 10 else 4
@@ -1223,7 +1232,9 @@ def parse_silk_packet_stereo(data: bytes, bw: str,
     mid frame, and the side frame back to back in one range coder."""
     if duration_ms not in (10, 20, 40, 60):
         raise NotImplementedError("only 10-60 ms SILK packets")
-    if _use_native_parse():
+    if _use_native_parse() and (dec is None or (dec.buf is data
+                                                and dec.storage
+                                                == len(data))):
         from ohpipeline_tpu import native
         n_frames = max(1, duration_ms // 20)
         n_subfr = 2 if duration_ms == 10 else 4

@@ -53,6 +53,7 @@ def find_box(data: bytes, path: list[bytes], start: int = 0,
 @dataclass(slots=True)
 class Mpeg4Track:
     codec: str = ""                 # 'mp4a' (AAC), 'alac', 'fLaC', ...
+    track_id: int = 0               # tkhd track_ID (matches moof tfhd)
     channels: int = 0
     sample_rate: int = 0
     bits: int = 16
@@ -141,6 +142,12 @@ def parse_moov(data: bytes, moov_start: int, moov_end: int) -> list[Mpeg4Track]:
         if btype != b"trak":
             continue
         tr = Mpeg4Track()
+        tkhd = find_box(data, [b"tkhd"], b0, b1)
+        if tkhd:
+            ver = data[tkhd[0]]
+            tr.track_id = int.from_bytes(
+                data[tkhd[0] + (20 if ver == 1 else 12):
+                     tkhd[0] + (24 if ver == 1 else 16)], "big")
         mdhd = find_box(data, [b"mdia", b"mdhd"], b0, b1)
         if mdhd:
             ver = data[mdhd[0]]
@@ -209,6 +216,7 @@ class Fragment:
     handling)."""
     data_offset: int
     sizes: list
+    track_id: int = 0               # tfhd track_ID
 
 
 def parse_moof(data: bytes, moof_start: int, moof_end: int,
@@ -220,8 +228,10 @@ def parse_moof(data: bytes, moof_start: int, moof_end: int,
         base = moof_file_pos
         tfhd = find_box(data, [b"tfhd"], b0, b1)
         dsize = default_size
+        tid = 0
         if tfhd:
             flags = int.from_bytes(data[tfhd[0] + 1:tfhd[0] + 4], "big")
+            tid = int.from_bytes(data[tfhd[0] + 4:tfhd[0] + 8], "big")
             p = tfhd[0] + 8
             if flags & 0x01:
                 base = struct.unpack_from(">Q", data, p)[0]
@@ -257,7 +267,7 @@ def parse_moof(data: bytes, moof_start: int, moof_end: int,
                 p += 4
             if flags & 0x800:
                 p += 4
-        frags.append(Fragment(offset, sizes))
+        frags.append(Fragment(offset, sizes, tid))
     return frags
 
 
@@ -374,7 +384,7 @@ def write_fragmented_m4a(fragments: list[list[bytes]], codec_config: bytes,
                                   + box(b"url ", b"\x00\x00\x00\x01")))
                + stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
-    tkhd = box(b"tkhd", _s.pack(">II", 7, 0) + b"\x00" * 72)
+    tkhd = box(b"tkhd", _s.pack(">IIII", 7, 0, 0, 1) + b"\x00" * 64)
     trak = box(b"trak", tkhd + mdia)
     mvhd = box(b"mvhd", _s.pack(">IIIII", 0, 0, 0, sample_rate,
                                 n_total * samples_per_frame) + b"\x00" * 80)
@@ -416,10 +426,13 @@ def find_audio_track(data: bytes) -> Optional[Mpeg4Track]:
     return tracks[0] if tracks else None
 
 
-def iter_fragment_samples(data: bytes) -> Iterator[tuple[int, int]]:
+def iter_fragment_samples(data: bytes,
+                          track_id: int = 0) -> Iterator[tuple[int, int]]:
     """Yield (offset, size) for every sample carried in moof fragments
     (fragmented MP4 / DASH media segments, reference Mpeg4.cpp moof +
-    SampleSizeTable re-read per fragment — Codec/Opus.cpp:264-281)."""
+    SampleSizeTable re-read per fragment — Codec/Opus.cpp:264-281).
+    With ``track_id`` set, only that track's trafs contribute (multi-
+    track muxes interleave e.g. video runs)."""
     pos = 0
     end = len(data)
     while pos + 8 <= end:
@@ -435,6 +448,8 @@ def iter_fragment_samples(data: bytes) -> Iterator[tuple[int, int]]:
             return
         if btype == b"moof":
             for frag in parse_moof(data, pos + hdr, pos + size, pos):
+                if track_id and frag.track_id != track_id:
+                    continue
                 off = frag.data_offset
                 for sz in frag.sizes:
                     yield off, sz

@@ -312,10 +312,19 @@ void shell_decode(RD& dec, const Tabs& T, int total, int16_t* out) {
 
 // decode_pulses.c + code_signs.c
 void decode_excitation(RD& dec, const Tabs& T, int signal_type,
-                       int quant_offset, int frame_length, int16_t* pulses) {
+                       int quant_offset, int frame_length,
+                       int16_t* pulses_out) {
     const uint8_t* rate_tab = T.get(T_RATE_LEVELS) + (signal_type >> 1) * 9;
     int rate_level = dec.dec_icdf(rate_tab, 8);
     int niter = frame_length / SHELL_FRAME;
+    if (niter * SHELL_FRAME < frame_length) {
+        // 10 ms @ 12 kHz (MB): 120 samples round UP to 8 shell blocks;
+        // the tail block's extras are decoded then discarded
+        // (decode_pulses.c:57-61, code_signs.c:91)
+        niter += 1;
+    }
+    int16_t padded[20 * SHELL_FRAME];
+    int16_t* pulses = padded;
     const uint8_t* ppb = T.get(T_PULSES_PER_BLOCK);
     int sum_pulses[20];
     int n_lshifts[20];
@@ -330,7 +339,7 @@ void decode_excitation(RD& dec, const Tabs& T, int signal_type,
         sum_pulses[i] = s;
         n_lshifts[i] = shifts;
     }
-    memset(pulses, 0, frame_length * sizeof(int16_t));
+    memset(pulses, 0, niter * SHELL_FRAME * sizeof(int16_t));
     for (int i = 0; i < niter; i++)
         if (sum_pulses[i] > 0)
             shell_decode(dec, T, sum_pulses[i],
@@ -362,6 +371,7 @@ void decode_excitation(RD& dec, const Tabs& T, int signal_type,
             if (blk[k] > 0 && dec.dec_icdf(icdf, 8) == 0)
                 blk[k] = (int16_t)(-blk[k]);
     }
+    memcpy(pulses_out, padded, frame_length * sizeof(int16_t));
 }
 
 // dec_API.c:238-250 per-frame LBRR flags (after the channel LBRR bit)

@@ -158,11 +158,10 @@ class IciBranch(Pushable):
 
     TILE = 1024
 
-    def __init__(self, mesh, channels: int = 2):
+    def __init__(self, mesh):
         import jax
         from .. import parallel
         self._mesh = mesh
-        self._ch = channels
         self._pending = None
         self._last = None
         self._peak = 0.0
@@ -171,7 +170,9 @@ class IciBranch(Pushable):
 
     def push(self, e: ev.Event) -> None:
         if e.kind == "decoded_stream":
-            self._ch = e.info.num_channels
+            # new stream format: drop any partial tile of the previous
+            # track (its channel count may differ)
+            self._pending = None
         elif isinstance(e, ev.AudioPcmEvent):
             samples = np.asarray(e.samples, np.float32)
             if self._pending is not None:

@@ -94,7 +94,7 @@ def test_device_covers_transients_and_postfilter():
     if not ORACLE.exists():
         pytest.skip("opus oracle unavailable")
     data = _encode(_content(1.5, 2), 96000)
-    _, _, caps = celt_jax.capture_stream(data)
+    _, caps = celt_jax.capture_stream(data)
     assert any(c["is_transient"] for c in caps)
     assert any(c["pf"][1][1] > 0 for c in caps)   # current gain active
 

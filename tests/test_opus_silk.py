@@ -761,3 +761,39 @@ def test_switch_heavy_stream_per_packet_bound():
         snr = 10 * np.log10(max((b[s:e] ** 2).sum(), 1e-9)
                             / max(((a[s:e] - b[s:e]) ** 2).sum(), 1e-9))
         assert snr >= 80.0, f"packet window {i}: {snr:.1f} dB"
+
+
+def test_silk_mb_10ms_shell_block_roundup():
+    """10 ms @ 12 kHz (MB) frames: 120 samples round UP to 8 shell
+    blocks (decode_pulses.c:57-61 — the only frame size where
+    iter*16 < frame_length); a truncating parser desyncs the range
+    decoder and every later symbol.  Conformance: direct-aligned SNR
+    vs the reference decoder, like the mode-switch test above."""
+    t = np.arange(int(48000 * 2.0)) / 48000.0
+    rng = np.random.default_rng(13)
+    x = (np.sin(2 * np.pi * 260 * t)
+         * (0.5 + 0.4 * np.sin(2 * np.pi * 2 * t)) * 12000
+         + rng.standard_normal(len(t)) * 250)
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.opus")
+        np.clip(x, -32000, 32000).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "1", "20000",
+                        "silkmb", "10"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+        fo = os.path.join(td, "o.raw")
+        subprocess.run([ORACLE, "decode", fout, fo], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fo, np.int16).astype(np.float64)
+    rdr = OggReader(_R(data))
+    tocs = [parse_toc(p) for i, p in enumerate(rdr.packets()) if i >= 2]
+    assert {t_.frame_ms for t_ in tocs} == {10}
+    assert "mb" in {t_.bandwidth for t_ in tocs}
+    from ohpipeline_tpu.codecs.opus import decode_opus
+    _info, mine = decode_opus(data)
+    mine = mine.astype(np.float64)[0]
+    n = min(len(mine), len(ref))
+    a, b = mine[:n], ref[:n]
+    overall = 10 * np.log10(max((b ** 2).sum(), 1e-9)
+                            / max(((a - b) ** 2).sum(), 1e-9))
+    assert overall >= 90.0, f"MB 10 ms overall {overall:.1f} dB"

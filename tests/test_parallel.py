@@ -70,7 +70,7 @@ class TestIciBranch:
             ev.HaltEvent(),
         ]
         tee = Brancher(_Up(events), "tee")
-        ici = IciBranch(mesh, channels=2)
+        ici = IciBranch(mesh)
         tee.attach(ici)
         for _ in range(len(events)):
             tee.pull()
