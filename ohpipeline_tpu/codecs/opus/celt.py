@@ -1642,17 +1642,26 @@ def _fold_plc_tail(st: CeltDecoderState, N: int) -> None:
     ov = mode.overlap
     win = mode.window
     HP = MAX_PERIOD + 2               # taps reach T + 2, T <= MAX_PERIOD
+    T1 = max(st.pf_period, COMBFILTER_MINPERIOD)
+    g = -st.pf_gain
+    t0, t1, t2 = COMB_GAINS[st.pf_tapset]
     for c in range(st.channels):
         tail = st.plc_tail[c]
         y = np.concatenate([st.hist[c][-HP:], tail])
-        # the reference folds with window=NULL/overlap=0: the new
-        # (negated) post-filter applies to the whole tail, no crossfade
-        _comb_filter(y, HP,
-                     max(st.pf_period_old, COMBFILTER_MINPERIOD),
-                     max(st.pf_period, COMBFILTER_MINPERIOD), ov,
-                     -st.pf_gain_old, -st.pf_gain,
-                     st.pf_tapset_old, st.pf_tapset, win, 0)
-        etmp = y[HP:HP + ov]
+        # the reference folds with window=NULL/overlap=0: no crossfade,
+        # only the new (negated) post-filter params apply — and the
+        # comb runs OUT-of-place (comb_filter(etmp, decode_mem+..)),
+        # so every lag tap reads the UNfiltered input, unlike the
+        # in-place feedback comb of the normal decode path
+        # (celt_decoder.c:532-540 over celt.c comb_filter_const_c)
+        idx = HP + np.arange(ov)
+        if g != 0.0:
+            etmp = (y[idx]
+                    + g * t0 * y[idx - T1]
+                    + g * t1 * (y[idx - T1 + 1] + y[idx - T1 - 1])
+                    + g * t2 * (y[idx - T1 + 2] + y[idx - T1 - 2]))
+        else:
+            etmp = y[idx]
         ii = np.arange(ov // 2)
         st.carry[c] = (win[ii] * etmp[ov - 1 - ii]
                        + win[ov - 1 - ii] * etmp[ii])

@@ -121,7 +121,9 @@ def test_silk_fec_bit_exact():
 def test_celt_plc_bounded():
     """CELT packet loss: pitch-based extrapolation tracks
     celt_decode_lost within float tolerances — concealed frames >=
-    40 dB, recovery frames >= 25 dB, clean frames unaffected."""
+    55 dB, recovery frames >= 60 dB (the out-of-place
+    prefilter_and_fold comb matters: in-place filtering cost ~40 dB
+    on the recovery frame), clean frames unaffected."""
     data = _encode(("2", "96000", "celt"), kind="music", ch=2)
     lost = {20, 41, 42}
     ref = _oracle_decode(data, "20,41,42", 2)
@@ -138,9 +140,9 @@ def test_celt_plc_bounded():
                             / max((err ** 2).sum(), 1e-9))
         recovery = (i - 1 in lost) or (i - 2 in lost)
         if i in lost:
-            assert snr >= 40.0, f"concealed pkt {i}: {snr:.1f} dB"
+            assert snr >= 55.0, f"concealed pkt {i}: {snr:.1f} dB"
         elif recovery:
-            assert snr >= 25.0, f"recovery pkt {i}: {snr:.1f} dB"
+            assert snr >= 60.0, f"recovery pkt {i}: {snr:.1f} dB"
         else:
             assert snr >= 60.0, f"clean pkt {i}: {snr:.1f} dB"
 
