@@ -262,3 +262,52 @@ def test_vorbis_python_fallback_matches_native(monkeypatch):
     _, py_pcm = decode_vorbis(data)
     assert np.array_equal(native_pcm, py_pcm)
     assert native_pcm.shape[1] > 0
+
+
+def test_silk_parse_survives_random_bytes():
+    """The native SILK packet parser consumes attacker-controlled
+    bytes; random garbage must terminate (all symbol loops are
+    bounded: shell recursion depth 4, LSB shifts capped at 10, shell
+    blocks <= 20) and must agree with the Python parse on every parsed
+    field — the two paths share failure semantics, not just success
+    semantics."""
+    import os
+    if not native.have_silk_core():
+        pytest.skip("native silk core unavailable")
+    from ohpipeline_tpu.codecs.opus import silk as S
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        n = int(rng.integers(1, 200))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        for stereo in (False, True):
+            for dur in (10, 20, 40, 60):
+                bw = ("nb", "mb", "wb")[trial % 3]
+                if stereo:
+                    nat = S.parse_silk_packet_stereo(data, bw, dur)
+                    os.environ["OHP_SILK_PY"] = "1"
+                    try:
+                        py = S._parse_silk_packet_stereo_py(data, bw, dur)
+                    finally:
+                        del os.environ["OHP_SILK_PY"]
+                    assert len(nat) == len(py)
+                    for (fm_a, fs_a, pred_a, mo_a), \
+                            (fm_b, fs_b, pred_b, mo_b) in zip(nat, py):
+                        assert pred_a == pred_b and mo_a == mo_b
+                        np.testing.assert_array_equal(
+                            np.asarray(fm_a.indices.pulses, np.int64),
+                            np.asarray(fm_b.indices.pulses, np.int64))
+                        assert (fs_a is None) == (fs_b is None)
+                else:
+                    nat = S.parse_silk_packet(data, bw, duration_ms=dur)
+                    os.environ["OHP_SILK_PY"] = "1"
+                    try:
+                        py = S._parse_silk_packet_py(data, bw, dur)
+                    finally:
+                        del os.environ["OHP_SILK_PY"]
+                    assert len(nat) == len(py)
+                    for a, b in zip(nat, py):
+                        assert a.indices.gain_indices \
+                            == b.indices.gain_indices
+                        np.testing.assert_array_equal(
+                            np.asarray(a.indices.pulses, np.int64),
+                            np.asarray(b.indices.pulses, np.int64))
