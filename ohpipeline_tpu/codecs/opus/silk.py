@@ -13,8 +13,13 @@ This file carries the complete SILK decoder: the entropy layer above,
 parameter dequantisation (NLSF -> LPC, gains, LTP), and the synthesis
 stack (LTP + LPC filters, stereo mid/side unmixing, resampling to the
 API rate) — codecs.opus.CodecOpus plays SILK and hybrid frames through
-it.  Reference product path: OpenHome/Media/Codec/Opus.cpp over
-thirdparty/opus-1.5.2 (silk/decode_core.c et al.).
+it.  On the default native path both layers run in C++ (the whole
+packet parse in native/silk_parse.cc, fused per-frame dequant +
+fixed-point synthesis in native/silk_synth.cc + silk_core.cc); the
+Python code here is the behaviour oracle, forced with OHP_SILK_PY=1
+(parse) / OHP_SILK_FLOAT=1 (float synthesis).  Reference product
+path: OpenHome/Media/Codec/Opus.cpp over thirdparty/opus-1.5.2
+(silk/decode_core.c et al.).
 """
 
 from __future__ import annotations
