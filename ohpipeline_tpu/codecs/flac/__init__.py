@@ -122,6 +122,33 @@ def _synthesise_group_zz(lo, hi, warm, esc_row, esc_pos, esc_val,
                              num_channels)
 
 
+def _synthesise_group_rice(bits, gcur, gk, ocur, okk, omode, ocnt, orow,
+                           opos, cfrow, cfval, cfn, warm,
+                           esc_row, esc_pos, esc_val,
+                           coeffs, shift, order, wasted, assign,
+                           num_channels):
+    """_synthesise_group fed by the rice wire: the entropy-coded stream
+    bytes themselves (native.flac_parse_group_rice) — the device decodes
+    the rice codes (rice_jax.decode_units), then patches escapes and
+    warm-up samples and synthesises as usual.  ~0.7 bytes/sample on the
+    link instead of the zigzag planes' 1.5."""
+    from . import rice_jax
+    d = rice_jax.decode_units(bits, gcur, gk, ocur, okk, omode, ocnt,
+                              orow, opos, cfrow, cfval, cfn)
+    B, stride = d.shape
+    flat = d.reshape(-1)
+    dummy = B * stride
+    eidx = jnp.where(esc_row >= 0, esc_row * stride + esc_pos, dummy)
+    flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+    flat = flat.at[eidx].set(esc_val)
+    d = flat[:dummy].reshape(B, stride)
+    pos = jnp.arange(32)
+    d = d.at[:, :32].set(jnp.where(pos[None, :] < order[:, None],
+                                   warm, d[:, :32]))
+    return _synthesise_group(d, coeffs, shift, order, wasted, assign,
+                             num_channels)
+
+
 def synthesise_batch(batch: dict, num_channels: int,
                      nframes: int) -> np.ndarray:
     """Run the fused device program over a parsed batch dict (layout of

@@ -73,6 +73,17 @@ def _flac_lib() -> ctypes.CDLL | None:
         lib.flac_parse_group_zz.argtypes = _common + [
             _u8, _u8, _i32p, _i32p, _i32p, _i32p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int64]
+        _i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.flac_parse_group_rice.restype = ctypes.c_int
+        lib.flac_parse_group_rice.argtypes = _common + [
+            _i32p,                                    # warm
+            _i32p, _i8,                               # gcur, gk
+            _i32p, _i8, _i8, _i8, _i32p, _i32p,       # overflow units
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, _i32p, _i32p,                      # const fills
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, _i32p, _i32p,                      # escapes
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int64]
         lib._sigs_set = True
     return lib
 
@@ -542,6 +553,95 @@ def flac_parse_group_zz(buf: bytes, bit_pos: int, lo: np.ndarray,
                  assign=assign, blocksize=blocksize,
                  sample_number=sample_number, data=scratch)
     return n, pos.value, status.value, batch
+
+
+class RiceOverflow:
+    """Overflow units for the rice wire (flac_parse_group_rice):
+    partial/unaligned unit runs the grid planes can't hold — bit cursor,
+    rice parameter (or raw width), mode (0 rice / 1 verbatim), sample
+    count (<= 64), global destination row and position."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.cur = np.zeros(cap, np.int32)
+        self.k = np.zeros(cap, np.int8)
+        self.mode = np.zeros(cap, np.int8)
+        self.cnt = np.zeros(cap, np.int8)
+        self.row = np.full(cap, -1, np.int32)
+        self.pos = np.zeros(cap, np.int32)
+        self.count = ctypes.c_int32(0)
+
+    def reset(self):
+        self.row[:] = -1
+        self.count.value = 0
+
+
+class RiceConstFill:
+    """Constant-subframe fills for the rice wire: (global row, value,
+    blocksize) triples the device broadcasts into the residual plane."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.row = np.full(cap, -1, np.int32)
+        self.val = np.zeros(cap, np.int32)
+        self.n = np.zeros(cap, np.int32)
+        self.count = ctypes.c_int32(0)
+
+    def reset(self):
+        self.row[:] = -1
+        self.count.value = 0
+
+
+def flac_parse_group_rice(buf: bytes, bit_pos: int, gcur: np.ndarray,
+                          gk: np.ndarray, warm: np.ndarray,
+                          scratch: np.ndarray, over: RiceOverflow,
+                          cfill: RiceConstFill, esc: EscapeList,
+                          row0: int, *,
+                          sample_rate: int, bits_per_sample: int,
+                          max_blocksize: int, channels: int,
+                          max_frames: int, check_crc16: bool = True):
+    """flac_parse_group for the rice wire: the entropy-coded stream bytes
+    themselves ship to the device (caller copies buf[byte0:byte1] into its
+    slab; cursors are bit offsets relative to byte0) and the device
+    decodes the rice codes (codecs/flac/rice_jax.decode_units).  ``gcur``/
+    ``gk`` are (B, stride//64) planes of per-aligned-unit cursors and rice
+    parameters (gk = -1 marks an empty slot); partial units go to
+    ``over``, constant subframes to ``cfill``, over-window codewords to
+    ``esc`` (all using global rows offset by row0).  Returns
+    (nframes, new_bit_pos, status, batch, (byte0, byte1))."""
+    lib = _flac_lib()
+    if lib is None:
+        raise RuntimeError("native flac unpacker unavailable")
+    if max_blocksize % 64:
+        raise ValueError("flac_parse_group_rice requires a 64-multiple "
+                         "max_blocksize")
+    stride = max_blocksize
+    B = max_frames * channels
+    coeffs = np.zeros((B, 32), np.int32)
+    shift = np.zeros(B, np.int32)
+    order = np.zeros(B, np.int32)
+    wasted = np.zeros(B, np.int32)
+    assign = np.zeros(max_frames, np.int32)
+    blocksize = np.zeros(max_frames, np.int32)
+    sample_number = np.zeros(max_frames, np.int64)
+    pos = ctypes.c_int64(bit_pos)
+    status = ctypes.c_int(0)
+    n = lib.flac_parse_group_rice(
+        buf, len(buf), ctypes.byref(pos), sample_rate, bits_per_sample,
+        max_blocksize, channels, max_frames, stride, int(check_crc16),
+        scratch, coeffs, shift, order, wasted, assign, blocksize,
+        sample_number, ctypes.byref(status),
+        warm.reshape(-1), gcur.reshape(-1), gk.reshape(-1),
+        over.cur, over.k, over.mode, over.cnt, over.row, over.pos,
+        ctypes.byref(over.count), over.cap,
+        cfill.row, cfill.val, cfill.n, ctypes.byref(cfill.count), cfill.cap,
+        esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap, row0)
+    batch = dict(coeffs=coeffs, shift=shift, order=order, wasted=wasted,
+                 assign=assign, blocksize=blocksize,
+                 sample_number=sample_number, data=scratch)
+    byte0 = bit_pos >> 3
+    byte1 = (pos.value + 7) >> 3
+    return n, pos.value, status.value, batch, (byte0, byte1)
 
 
 def aac_tns_group(specs: np.ndarray, batch: dict, nrows: int) -> None:

@@ -229,7 +229,75 @@ int parse_frame_header(BitReader& br, int si_rate, int si_bps,
     return 0;
 }
 
-int read_residuals(BitReader& br, int blocksize, int order, int32_t* out) {
+// ---- rice-wire unit sink ----------------------------------------------
+//
+// The rice-wire variant (flac_parse_group_rice) ships the *entropy-coded
+// bytes themselves* to the device and decodes the rice codes there
+// (codecs/flac/rice_jax.py), instead of expanding residuals into byte
+// planes on the host.  The parser walks every codeword exactly as the
+// plane variants do, but instead of storing sample bytes it emits
+// fixed-size "units": up to 64 consecutive residuals sharing one rice
+// parameter and a start bit cursor.  Aligned full units land in a dense
+// grid (row x stride/64 slots -> the device reshapes its scan output
+// straight into the residual plane); partial/unaligned units go to a
+// small overflow list that the device scatters.  Codewords the device
+// window cannot hold (quotient > 15 or quotient+1+k > 32 bits) become
+// escape triples and split the unit around themselves.
+struct UnitSink {
+    int64_t base_bit;          // entry bit (byte aligned); cursors relative
+    int slots;                 // stride / 64
+    int32_t* gcur; int8_t* gk; // grid planes, row-local indexing
+    int32_t* ocur; int8_t* okk; int8_t* omode; int8_t* ocnt;
+    int32_t* orow; int32_t* opos;
+    int32_t* ocount; int ocap;
+    int32_t* cfrow; int32_t* cfval; int32_t* cfn;
+    int32_t* cfcount; int cfcap;
+    int32_t* esc_row; int32_t* esc_pos; int32_t* esc_val;
+    int32_t* esc_count; int esc_cap;
+    int64_t row0;              // global row base for overflow/escape rows
+    int fail = 0;              // -9 esc, -10 unit, -11 cfill overflow
+
+    // emit residuals [a, b) of (local) row r decoded from bit `bit`
+    inline void unit(int mode, int k, int a, int b, int64_t bit, int64_t r) {
+        int n = b - a;
+        if (n <= 0 || fail) return;
+        int32_t rel = (int32_t)(bit - base_bit);
+        if (mode == 0 && n == 64 && (a & 63) == 0) {
+            gcur[r * slots + (a >> 6)] = rel;
+            gk[r * slots + (a >> 6)] = (int8_t)k;
+            return;
+        }
+        if (*ocount >= ocap) { fail = -10; return; }
+        int j = (*ocount)++;
+        ocur[j] = rel;
+        okk[j] = (int8_t)k;
+        omode[j] = (int8_t)mode;
+        ocnt[j] = (int8_t)n;
+        orow[j] = (int32_t)(row0 + r);
+        opos[j] = a;
+    }
+
+    inline void escape(int64_t r, int pos, int32_t v) {
+        if (fail) return;
+        if (*esc_count >= esc_cap) { fail = -9; return; }
+        int j = (*esc_count)++;
+        esc_row[j] = (int32_t)(row0 + r);
+        esc_pos[j] = pos;
+        esc_val[j] = v;
+    }
+
+    inline void cfill(int64_t r, int32_t v, int n) {
+        if (fail) return;
+        if (*cfcount >= cfcap) { fail = -11; return; }
+        int j = (*cfcount)++;
+        cfrow[j] = (int32_t)(row0 + r);
+        cfval[j] = v;
+        cfn[j] = n;
+    }
+};
+
+int read_residuals(BitReader& br, int blocksize, int order, int32_t* out,
+                   UnitSink* sink = nullptr, int64_t row = 0) {
     int method = (int)br.read(2);
     if (method > 1) return -1;
     int plen = 4 + method;
@@ -243,14 +311,49 @@ int read_residuals(BitReader& br, int blocksize, int order, int32_t* out) {
         int param = (int)br.read(plen);
         if (param == escape) {
             int raw = (int)br.read(5);
-            if (raw)
-                for (int i = 0; i < n; i++)
-                    out[idx + i] = (int32_t)br.read_signed(raw);
-            else
+            if (raw) {
+                int ustart = idx;
+                int64_t ubit = (int64_t)br.pos;
+                for (int i = 0; i < n; i++) {
+                    int j = idx + i;
+                    if (sink && (j & 63) == 0 && j > ustart) {
+                        sink->unit(1, raw, ustart, j, ubit, row);
+                        ustart = j;
+                        ubit = (int64_t)br.pos;
+                    }
+                    out[j] = (int32_t)br.read_signed(raw);
+                }
+                if (sink) sink->unit(1, raw, ustart, idx + n, ubit, row);
+            } else {
                 memset(out + idx, 0, sizeof(int32_t) * n);
+                // no bits; device residual plane defaults to zero
+            }
         } else {
-            for (int i = 0; i < n; i++)
-                out[idx + i] = (int32_t)br.read_rice(param);
+            int ustart = idx;
+            int64_t ubit = (int64_t)br.pos;
+            for (int i = 0; i < n; i++) {
+                int j = idx + i;
+                if (sink && (j & 63) == 0 && j > ustart) {
+                    sink->unit(0, param, ustart, j, ubit, row);
+                    ustart = j;
+                    ubit = (int64_t)br.pos;
+                }
+                int32_t v = (int32_t)br.read_rice(param);
+                out[j] = v;
+                if (sink) {
+                    uint32_t zz = ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
+                    uint32_t q = zz >> param;
+                    if (q > 15 || (int)q + 1 + param > 32) {
+                        // device window can't hold it: close the unit
+                        // before this codeword and escape the sample
+                        sink->unit(0, param, ustart, j, ubit, row);
+                        sink->escape(row, j, v);
+                        ustart = j + 1;
+                        ubit = (int64_t)br.pos;
+                    }
+                }
+            }
+            if (sink) sink->unit(0, param, ustart, idx + n, ubit, row);
         }
         idx += n;
         if (!br.ok) return -3;
@@ -260,7 +363,8 @@ int read_residuals(BitReader& br, int blocksize, int order, int32_t* out) {
 
 int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
                    int32_t* coeffs, int32_t* shift, int32_t* order,
-                   int32_t* wasted) {
+                   int32_t* wasted, UnitSink* sink = nullptr,
+                   int64_t row = 0) {
     if (br.read(1)) return -1;
     int stype = (int)br.read(6);
     int w = 0;
@@ -274,11 +378,22 @@ int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
     if (stype == 0) {
         int32_t v = (int32_t)br.read_signed(bps);
         for (int i = 0; i < blocksize; i++) data[i] = v;
+        if (sink) sink->cfill(row, v, blocksize);
         return br.ok ? 0 : -3;
     }
     if (stype == 1) {
-        for (int i = 0; i < blocksize; i++)
+        if (sink && bps > 32) return -11;  // device window holds 32 bits
+        int ustart = 0;
+        int64_t ubit = (int64_t)br.pos;
+        for (int i = 0; i < blocksize; i++) {
+            if (sink && (i & 63) == 0 && i > ustart) {
+                sink->unit(1, bps, ustart, i, ubit, row);
+                ustart = i;
+                ubit = (int64_t)br.pos;
+            }
             data[i] = (int32_t)br.read_signed(bps);
+        }
+        if (sink) sink->unit(1, bps, ustart, blocksize, ubit, row);
         return br.ok ? 0 : -3;
     }
     if (stype >= 8 && stype <= 12) {
@@ -288,7 +403,7 @@ int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
             data[i] = (int32_t)br.read_signed(bps);
         for (int i = 0; i < o; i++) coeffs[i] = kFixedCoeffs[o][i];
         *order = o;
-        int r = read_residuals(br, blocksize, o, data);
+        int r = read_residuals(br, blocksize, o, data, sink, row);
         return (r == 0 && br.ok) ? 0 : -4;
     }
     if (stype >= 32) {
@@ -304,27 +419,24 @@ int parse_subframe(BitReader& br, int blocksize, int bps, int32_t* data,
             coeffs[i] = (int32_t)br.read_signed(precision);
         *order = o;
         *shift = sh;
-        int r = read_residuals(br, blocksize, o, data);
+        int r = read_residuals(br, blocksize, o, data, sink, row);
         return (r == 0 && br.ok) ? 0 : -7;
     }
     return -8;
 }
 
-}  // namespace
-
-extern "C" {
-
 // Parse up to max_frames frames starting at *bit_pos.  Returns the number
 // of frames parsed; updates *bit_pos.  status: 0 = ok/EOF-of-buffer,
 // 1 = lost sync (bad frame skipped via resync), negative = corrupt.
-int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
+// With a UnitSink, additionally emits rice-wire units (see above).
+int parse_group_core(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
                      int si_rate, int si_bps, int si_max_blocksize,
                      int channels, int max_frames, int64_t stride,
                      int check_crc16,
                      int32_t* data, int32_t* coeffs, int32_t* shift,
                      int32_t* order, int32_t* wasted, int32_t* assign,
                      int32_t* blocksize, int64_t* sample_number,
-                     int* status) {
+                     int* status, UnitSink* sink = nullptr) {
     BitReader br{buf, (size_t)nbytes, (size_t)*bit_pos};
     int nframes = 0;
     *status = 0;
@@ -361,6 +473,12 @@ int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
         }
         bool bad = false;
         int64_t b0 = (int64_t)nframes * channels;
+        int32_t save_oc = 0, save_cc = 0, save_ec = 0;
+        if (sink) {
+            save_oc = *sink->ocount;
+            save_cc = *sink->cfcount;
+            save_ec = *sink->esc_count;
+        }
         for (int c = 0; c < channels && !bad; c++) {
             int bps = h.bps;
             if ((h.assign == 8 && c == 1) || (h.assign == 9 && c == 0) ||
@@ -369,9 +487,10 @@ int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
             int64_t b = b0 + c;
             if (parse_subframe(br, h.blocksize, bps, data + b * stride,
                                coeffs + b * 32, shift + b, order + b,
-                               wasted + b) != 0)
+                               wasted + b, sink, b) != 0)
                 bad = true;
         }
+        if (sink && sink->fail) { *status = sink->fail; break; }
         if (!bad) {
             br.align_byte();
             size_t end_byte = br.pos >> 3;
@@ -383,6 +502,15 @@ int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
                 bad = true;
         }
         if (bad) {
+            if (sink) {
+                // roll back units/escapes/cfills of the dropped frame and
+                // clear any grid slots its rows touched
+                *sink->ocount = save_oc;
+                *sink->cfcount = save_cc;
+                *sink->esc_count = save_ec;
+                memset(sink->gk + b0 * sink->slots, 0xFF,
+                       (size_t)channels * sink->slots);
+            }
             if (!br.ok) { br.pos = frame_start; break; }  // need more bytes
             br.pos = frame_start + 8;  // skip a byte; resync next loop
             *status = 1;
@@ -395,6 +523,24 @@ int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
     }
     *bit_pos = (int64_t)br.pos;
     return nframes;
+}
+
+}  // namespace
+
+extern "C" {
+
+int flac_parse_group(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
+                     int si_rate, int si_bps, int si_max_blocksize,
+                     int channels, int max_frames, int64_t stride,
+                     int check_crc16,
+                     int32_t* data, int32_t* coeffs, int32_t* shift,
+                     int32_t* order, int32_t* wasted, int32_t* assign,
+                     int32_t* blocksize, int64_t* sample_number,
+                     int* status) {
+    return parse_group_core(buf, nbytes, bit_pos, si_rate, si_bps,
+                            si_max_blocksize, channels, max_frames, stride,
+                            check_crc16, data, coeffs, shift, order, wasted,
+                            assign, blocksize, sample_number, status);
 }
 
 // As flac_parse_group, but additionally narrows the residual/warmup data
@@ -566,6 +712,89 @@ int flac_parse_group_zz(const uint8_t* buf, int64_t nbytes, int64_t* bit_pos,
     }
     memset(lo + rows * stride, 0, (size_t)((cap_rows - rows) * stride));
     memset(hi + rows * hbytes, 0, (size_t)((cap_rows - rows) * hbytes));
+    memset(warm + rows * 32, 0, (size_t)((cap_rows - rows) * 32) * 4);
+    return n;
+}
+
+// Rice-wire variant: instead of expanding residuals into byte planes, the
+// *entropy-coded stream bytes themselves* go to the device (the caller
+// copies buf[(*bit_pos>>3) at entry : (*bit_pos>>3) at exit] into its
+// transfer slab) and the device decodes the rice codes
+// (codecs/flac/rice_jax.py).  This function emits the decode plan:
+//
+//   gcur/gk [cap_rows x stride/64]  bit cursor (relative to the entry
+//           byte) + rice parameter per aligned full 64-sample unit;
+//           gk = -1 marks an empty slot
+//   o*      overflow units (cursor, k, mode 0=rice/1=verbatim, count,
+//           global row, dst position) for partial/unaligned units
+//   cf*     constant-subframe fills (global row, value, blocksize)
+//   esc_*   escape triples for codewords the 32-bit device window cannot
+//           hold (quotient > 15 or quotient+1+k > 32), as in the plane
+//           variants
+//   warm    [cap_rows x 32] int32 warm-up samples
+//
+// `data` stays fully decoded (host fallback/oracle); it is NOT shipped.
+// status: -9/-10/-11 = esc/unit/cfill capacity exceeded.
+int flac_parse_group_rice(const uint8_t* buf, int64_t nbytes,
+                          int64_t* bit_pos,
+                          int si_rate, int si_bps, int si_max_blocksize,
+                          int channels, int max_frames, int64_t stride,
+                          int check_crc16,
+                          int32_t* data, int32_t* coeffs, int32_t* shift,
+                          int32_t* order, int32_t* wasted, int32_t* assign,
+                          int32_t* blocksize, int64_t* sample_number,
+                          int* status,
+                          int32_t* warm,
+                          int32_t* gcur, int8_t* gk,
+                          int32_t* ocur, int8_t* okk, int8_t* omode,
+                          int8_t* ocnt, int32_t* orow, int32_t* opos,
+                          int32_t* ocount, int ocap,
+                          int32_t* cfrow, int32_t* cfval, int32_t* cfn,
+                          int32_t* cfcount, int cfcap,
+                          int32_t* esc_row, int32_t* esc_pos,
+                          int32_t* esc_val,
+                          int32_t* esc_count, int esc_cap, int64_t row0) {
+    if (stride % 64) { *status = -12; return 0; }
+    int slots = (int)(stride / 64);
+    int64_t cap_rows = (int64_t)max_frames * channels;
+    memset(gk, 0xFF, (size_t)(cap_rows * slots));
+    memset(gcur, 0, (size_t)(cap_rows * slots) * 4);
+    UnitSink sink;
+    sink.base_bit = (*bit_pos >> 3) << 3;   // entry byte, bit units
+    sink.slots = slots;
+    sink.gcur = gcur;
+    sink.gk = gk;
+    sink.ocur = ocur;
+    sink.okk = okk;
+    sink.omode = omode;
+    sink.ocnt = ocnt;
+    sink.orow = orow;
+    sink.opos = opos;
+    sink.ocount = ocount;
+    sink.ocap = ocap;
+    sink.cfrow = cfrow;
+    sink.cfval = cfval;
+    sink.cfn = cfn;
+    sink.cfcount = cfcount;
+    sink.cfcap = cfcap;
+    sink.esc_row = esc_row;
+    sink.esc_pos = esc_pos;
+    sink.esc_val = esc_val;
+    sink.esc_count = esc_count;
+    sink.esc_cap = esc_cap;
+    sink.row0 = row0;
+    int n = parse_group_core(buf, nbytes, bit_pos, si_rate, si_bps,
+                             si_max_blocksize, channels, max_frames, stride,
+                             check_crc16, data, coeffs, shift, order, wasted,
+                             assign, blocksize, sample_number, status,
+                             &sink);
+    int64_t rows = (int64_t)n * channels;
+    for (int64_t r = 0; r < rows; r++) {
+        const int32_t* src = data + r * stride;
+        int o = order[r];
+        for (int i = 0; i < 32; i++)
+            warm[r * 32 + i] = i < o ? src[i] : 0;
+    }
     memset(warm + rows * 32, 0, (size_t)((cap_rows - rows) * 32) * 4);
     return n;
 }
