@@ -195,7 +195,7 @@ def main() -> int:
     from ohpipeline_tpu.codecs import flac
     from ohpipeline_tpu.codecs.aac import synthesis as ASYN
     from ohpipeline_tpu.codecs.flac import (frames as FF,
-                                            _synthesise_group_zz)
+                                            _synthesise_group_rice)
 
     if not native.have_flac_unpack() or not native.have_aac_unpack():
         print(json.dumps({"metric": "flac_aac_decode_realtime_x",
@@ -223,26 +223,42 @@ def main() -> int:
                for m in metas]
     Gc = -(-max(fframes) // NCH)            # FLAC frames/stream/chunk
     Bf = S_f * Gc * nch                     # FLAC rows per chunk
+    SLOTS = stride // 64                    # rice units per row
     survey_esc = native.EscapeList(4 << 20)
+    survey_ov = native.RiceOverflow(4 << 20)
+    survey_cf = native.RiceConstFill(1 << 20)
     scr = np.zeros((Gc * nch, stride), np.int32)
-    lo_t = np.zeros((Gc * nch, stride), np.uint8)
-    hi_t = np.zeros((Gc * nch, stride // 2), np.uint8)
+    gc_t = np.zeros((Gc * nch, SLOTS), np.int32)
+    gk_t = np.zeros((Gc * nch, SLOTS), np.int8)
     wm_t = np.zeros((Gc * nch, 32), np.int32)
     f_esc = np.zeros((S_f, NCH), np.int64)   # escapes per (stream, chunk)
+    f_ov = np.zeros((S_f, NCH), np.int64)
+    f_cf = np.zeros((S_f, NCH), np.int64)
+    f_by = np.zeros((S_f, NCH), np.int64)    # slab bytes per (stream, chunk)
     for s, data in enumerate(flac_streams):
         m = metas[s]
         pos = m.header_bytes * 8
         for c in range(NCH):
             survey_esc.count.value = 0
-            n, pos, st, _b = native.flac_parse_group_zz(
-                data, pos, lo_t, hi_t, wm_t, scr, survey_esc, 0,
+            survey_ov.count.value = 0
+            survey_cf.count.value = 0
+            n, pos, st, _b, (b0, b1) = native.flac_parse_group_rice(
+                data, pos, gc_t, gk_t, wm_t, scr, survey_ov, survey_cf,
+                survey_esc, 0,
                 sample_rate=m.streaminfo.sample_rate,
                 bits_per_sample=m.streaminfo.bits_per_sample,
                 max_blocksize=stride, channels=nch, max_frames=Gc)
             f_esc[s, c] = survey_esc.count.value
+            f_ov[s, c] = survey_ov.count.value
+            f_cf[s, c] = survey_cf.count.value
+            f_by[s, c] = b1 - b0
             if n == 0:
                 break
     FCAP = int(max(256, f_esc.sum(axis=0).max()))
+    OCAP = int(max(256, -(-(f_ov.sum(axis=0).max() + 32) // 256) * 256))
+    CCAP = int(max(64, -(-(f_cf.sum(axis=0).max() + 8) // 64) * 64))
+    # raw stream bytes per chunk slab, padded for the device's word loads
+    BITCAP = int(-(-(f_by.sum(axis=0).max() + 64) // 4096) * 4096)
 
     if S_a:
         aframes = []
@@ -292,8 +308,22 @@ def main() -> int:
     # upload + one exec RPC instead of two of each — each round trip costs
     # ~20 ms of fixed overhead on the tunnel) ------------------------------
     mslab = Slab()
-    mslab.add("lo", (Bf, stride), np.uint8)
-    mslab.add("hi", (Bf, stride // 2), np.uint8)
+    # FLAC rides the rice wire: the entropy-coded stream bytes themselves
+    # (~0.7 B/sample) plus the decode plan (grid cursors, overflow/const
+    # fills), decoded on device by codecs/flac/rice_jax.decode_units —
+    # not expanded residual planes (1.5 B/sample)
+    mslab.add("bits", (BITCAP,), np.uint8)
+    mslab.add("gcur", (Bf, SLOTS), np.int32)
+    mslab.add("gk", (Bf, SLOTS), np.int8)
+    mslab.add("ocur", (OCAP,), np.int32)
+    mslab.add("okk", (OCAP,), np.int8)
+    mslab.add("omode", (OCAP,), np.int8)
+    mslab.add("ocnt", (OCAP,), np.int8)
+    mslab.add("orow", (OCAP,), np.int32)
+    mslab.add("opos", (OCAP,), np.int32)
+    mslab.add("cfrow", (CCAP,), np.int32)
+    mslab.add("cfval", (CCAP,), np.int32)
+    mslab.add("cfn", (CCAP,), np.int32)
     mslab.add("warm", (Bf, 32), np.int32)
     mslab.add("coeffs", (Bf, 32), np.int16)
     mslab.add("shift", (Bf,), np.int8)
@@ -331,6 +361,29 @@ def main() -> int:
             import ctypes
             v["erow"][:] = -1
             self.row, self.pos, self.val = v["erow"], v["epos"], v["eval"]
+            self.cap = len(self.row)
+            self.count = ctypes.c_int32(0)
+
+    class _OvView:
+        """RiceOverflow backed by one chunk's slab sections."""
+
+        def __init__(self, v):
+            import ctypes
+            v["orow"][:] = -1
+            v["ocnt"][:] = 0
+            self.cur, self.k = v["ocur"], v["okk"]
+            self.mode, self.cnt = v["omode"], v["ocnt"]
+            self.row, self.pos = v["orow"], v["opos"]
+            self.cap = len(self.row)
+            self.count = ctypes.c_int32(0)
+
+    class _CfView:
+        """RiceConstFill backed by one chunk's slab sections."""
+
+        def __init__(self, v):
+            import ctypes
+            v["cfrow"][:] = -1
+            self.row, self.val, self.n = v["cfrow"], v["cfval"], v["cfn"]
             self.cap = len(self.row)
             self.count = ctypes.c_int32(0)
 
@@ -383,19 +436,34 @@ def main() -> int:
         for c in range(NCH):
             v = f_views[c]
             esc = _View(v)
+            over = _OvView(v)
+            cfl = _CfView(v)
+            bbase = 0
             for s in range(S_f):
                 m = metas[s]
                 r0 = s * Gc * nch
-                n, fpos[s], st, b = native.flac_parse_group_zz(
+                oc0 = over.count.value
+                n, fpos[s], st, b, (b0, b1) = native.flac_parse_group_rice(
                     flac_streams[s], fpos[s],
-                    v["lo"][r0:r0 + Gc * nch], v["hi"][r0:r0 + Gc * nch],
-                    v["warm"][r0:r0 + Gc * nch], scr, esc, r0,
+                    v["gcur"][r0:r0 + Gc * nch], v["gk"][r0:r0 + Gc * nch],
+                    v["warm"][r0:r0 + Gc * nch], scr, over, cfl, esc, r0,
                     sample_rate=m.streaminfo.sample_rate,
                     bits_per_sample=m.streaminfo.bits_per_sample,
                     max_blocksize=stride, channels=nch, max_frames=Gc)
-                if st == -9:
-                    state["fail"] = "flac escape overflow"
+                if st < 0:
+                    state["fail"] = f"flac rice wire status {st}"
                     return
+                nb = b1 - b0
+                if bbase + nb > BITCAP:
+                    state["fail"] = "flac bits slab overflow"
+                    return
+                v["bits"][bbase:bbase + nb] = np.frombuffer(
+                    flac_streams[s], np.uint8, nb, b0)
+                if bbase:
+                    gsl = v["gcur"][r0:r0 + Gc * nch]
+                    gsl[v["gk"][r0:r0 + Gc * nch] >= 0] += bbase * 8
+                    over.cur[oc0:over.count.value] += bbase * 8
+                bbase += nb
                 rows = n * nch
                 counts["flac_samples"] += int(b["blocksize"][:n].sum()) * nch
                 v["coeffs"][r0:r0 + rows] = b["coeffs"][:rows]
@@ -408,6 +476,7 @@ def main() -> int:
                 v["wasted"][r0 + rows:r0 + Gc * nch] = 0
                 v["assign"][s * Gc:s * Gc + n] = b["assign"][:n]
                 v["assign"][s * Gc + n:(s + 1) * Gc] = 0
+            v["bits"][bbase:] = 0
             f_done[c].set()
             if not S_a:
                 continue
@@ -466,8 +535,11 @@ def main() -> int:
 
     # --- device program: ONE merged scan-free program per chunk ------------
     def flac_part(v):
-        pcm = _synthesise_group_zz(
-            v["lo"], v["hi"], v["warm"], v["erow"], v["epos"], v["eval"],
+        pcm = _synthesise_group_rice(
+            v["bits"], v["gcur"], v["gk"],
+            v["ocur"], v["okk"], v["omode"], v["ocnt"], v["orow"],
+            v["opos"], v["cfrow"], v["cfval"], v["cfn"],
+            v["warm"], v["erow"], v["epos"], v["eval"],
             v["coeffs"].astype(jnp.int32), v["shift"].astype(jnp.int32),
             v["order"].astype(jnp.int32), v["wasted"].astype(jnp.int32),
             v["assign"].astype(jnp.int32), nch)
@@ -623,6 +695,23 @@ def main() -> int:
         info, out = flac.decode_flac(flac_streams[0])
         track0 = make_track(args.seconds, rate, seed=7)
         ok = bool(np.array_equal(out, track0))
+        # the DEVICE rice path must match the host decode sample-exactly:
+        # re-run chunk 0's planes through _synthesise_group_rice alone
+        # and compare stream 0's rows against decode_flac
+        v0 = f_views[0]
+        pcm_r = np.asarray(jax.jit(
+            lambda *a: _synthesise_group_rice(*a, nch))(
+            v0["bits"], v0["gcur"], v0["gk"], v0["ocur"], v0["okk"],
+            v0["omode"], v0["ocnt"], v0["orow"], v0["opos"], v0["cfrow"],
+            v0["cfval"], v0["cfn"], v0["warm"], v0["erow"], v0["epos"],
+            v0["eval"], v0["coeffs"].astype(np.int32),
+            v0["shift"].astype(np.int32), v0["order"].astype(np.int32),
+            v0["wasted"].astype(np.int32), v0["assign"].astype(np.int32)))
+        nf0 = min(Gc, out.shape[1] // stride + 1)
+        got = pcm_r[:nf0].transpose(1, 0, 2).reshape(nch, -1)
+        ok = ok and bool(np.array_equal(
+            got[:, :min(got.shape[1], out.shape[1])],
+            out[:, :min(got.shape[1], out.shape[1])]))
         if S_a:
             # decode chunk 0 on the zz device path and gate it against the
             # float64 reference decode of the same wire: the device must

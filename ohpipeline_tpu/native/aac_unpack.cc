@@ -330,30 +330,41 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
             if (n < 0 || pos + n > 1024) return false;  // defensive bound
             if (c == 0 || c == 12 || c >= 13) { pos += n; continue; }
             const Lut& lut = g_spec[c];
-            for (int i = 0; i < n; i += lut.dim) {
-                uint32_t w = br.peek(lut.maxlen);
-                uint8_t len = lut.lengths[w];
+            const int dim = lut.dim, maxlen = lut.maxlen;
+            const uint8_t* lengths = lut.lengths;
+            const int32_t* rows = lut.rows;
+            const int8_t* vals = lut.vals;
+            const int uns = lut.is_unsigned;
+            const size_t endbit = br.nbytes * 8;
+            for (int i = 0; i < n; i += dim) {
+                // one 64-bit window serves the codeword lookup AND the
+                // sign bits that follow it (len + signs <= 56 always)
+                uint64_t w64 = br.window();
+                uint32_t w = (uint32_t)(w64 >> (64 - maxlen));
+                uint8_t len = lengths[w];
                 if (!len) return false;
-                br.skip(len);
-                const int8_t* v = &lut.vals[g_spec[c].rows[w] * lut.dim];
+                const int8_t* v = &vals[rows[w] * dim];
                 int32_t vv[4];
-                if (lut.is_unsigned) {
-                    // batch the sign bits into one read (1 window load
-                    // instead of one per nonzero coefficient)
+                int adv = len;
+                if (uns) {
                     int nz = 0;
-                    for (int d = 0; d < lut.dim; d++) nz += v[d] != 0;
-                    uint32_t signs = nz ? br.read(nz) : 0;
+                    for (int d = 0; d < dim; d++) nz += v[d] != 0;
+                    uint32_t signs =
+                        nz ? (uint32_t)((w64 << len) >> (64 - nz)) : 0;
+                    adv += nz;
                     int bit = nz;
-                    for (int d = 0; d < lut.dim; d++) {
+                    for (int d = 0; d < dim; d++) {
                         vv[d] = v[d];
                         if (v[d] != 0 && ((signs >> --bit) & 1))
                             vv[d] = -vv[d];
                     }
                 } else {
-                    for (int d = 0; d < lut.dim; d++) vv[d] = v[d];
+                    for (int d = 0; d < dim; d++) vv[d] = v[d];
                 }
+                if (br.pos + (size_t)adv > endbit) return false;
+                br.pos += adv;
                 if (c == 11) {
-                    for (int d = 0; d < lut.dim; d++) {
+                    for (int d = 0; d < dim; d++) {
                         if (vv[d] == 16 || vv[d] == -16) {
                             int e = 4;
                             while (br.read(1)) {
@@ -366,10 +377,10 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
                             vv[d] = vv[d] > 0 ? mag : -mag;
                         }
                     }
+                    if (!br.ok) return false;
                 }
-                for (int d = 0; d < lut.dim && i + d < n; d++)
+                for (int d = 0; d < dim && i + d < n; d++)
                     out.quant[pos + i + d] = vv[d];
-                if (!br.ok) return false;
             }
             pos += n;
         }
