@@ -7,7 +7,10 @@ the per-symbol residue/codebook walk in the native helper
 (native/vorbis_core.cc, Python fallback bit-for-bit identical), batched
 O(n log n) host IMDCT per block size (synthesis.imdct_many), host
 lapped overlap-add (synthesis.Lapper).  The matmul IMDCT operator
-remains for the sharded device pipeline (parallel/).
+remains for the sharded device pipeline (parallel/), and the
+multi-stream serving shape has a full batched device synthesis path
+(vorbis_jax.py: IMDCT+window as per-config MXU matmuls, overlap-add
+as one scatter, vmapped over streams) with this host path as oracle.
 """
 
 from __future__ import annotations
