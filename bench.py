@@ -602,28 +602,50 @@ def main() -> int:
         aq = [threading.Event() for _ in range(NCH)]
         th = threading.Thread(target=parse_all, args=(fq, aq), daemon=True)
         th.start()
+        # uploads ride their own thread so chunk c+1's transfer overlaps
+        # chunk c's exec: the exec RPC blocks its caller through the
+        # tunnel, but the link carries the next slab while the device
+        # computes (the ~0.6 s reclaim identified in NEXT.md)
+        devs: list = [None] * NCH
+        upev = [threading.Event() for _ in range(NCH)]
+
+        def uploader():
+            for c in range(NCH):
+                fq[c].wait()
+                if S_a:
+                    aq[c].wait()
+                if state["fail"]:
+                    upev[c].set()
+                    return
+                d = jnp.asarray(m_bufs[c])
+                jax.block_until_ready(d)
+                devs[c] = d
+                upev[c].set()
+
+        up = threading.Thread(target=uploader, daemon=True)
+        up.start()
         peaks = []
         trace = []
         ov = jnp.asarray(np.zeros((SC, 1024), np.float32)) if S_a else None
         for c in range(NCH):
-            fq[c].wait()
-            if S_a:
-                aq[c].wait()
+            t1 = time.perf_counter()
+            upev[c].wait()
             if state["fail"]:
                 th.join()
+                up.join()
                 return None, None
-            t1 = time.perf_counter()
-            dev = jnp.asarray(m_bufs[c])
             t2 = time.perf_counter()
+            dev = devs[c]
+            devs[c] = None
             if S_a:
                 pk, ov = merged_exec(dev, ov, *aac_consts)
             else:
                 pk = merged_exec(dev)
             t3 = time.perf_counter()
             peaks.append(pk)
-            trace.append(("m", c, round(t1 - t0, 2), round(t2 - t1, 2),
-                          round(t3 - t2, 2)))
+            trace.append(("m", c, round(t2 - t1, 2), round(t3 - t2, 2)))
         th.join()
+        up.join()
         peak = max(float(p) for p in peaks)
         if os.environ.get("BENCH_TRACE"):
             print(json.dumps({"trace": trace}))

@@ -25,12 +25,17 @@ class MediaPlayerInitParams:
     def __init__(self, room: str = "Main Room", name: str = "ohpipeline-tpu",
                  store_path: Optional[str] = None,
                  volume_profile: Optional[VolumeProfile] = None,
-                 pipeline_params: Optional[PipelineInitParams] = None):
+                 pipeline_params: Optional[PipelineInitParams] = None,
+                 shell_port: Optional[int] = None):
         self.room = room
         self.name = name
         self.store_path = store_path
         self.volume_profile = volume_profile or VolumeProfile()
         self.pipeline_params = pipeline_params or PipelineInitParams()
+        #: ohNet InitialisationParams::SetEnableShell analogue: when set
+        #: (0 = ephemeral port), start() opens the TCP debug shell with
+        #: the ohPipeline command set (net/shell.py)
+        self.shell_port = shell_port
 
 
 class MediaPlayer:
@@ -62,6 +67,8 @@ class MediaPlayer:
         # volume drives the render gain chain: wire the sink multiplier to
         # the pipeline attenuator (device-side gain application)
         self.volumes.sink.add_gain_listener(self._on_gain)
+        self.shell = None                # Shell, when p.shell_port is set
+        self._shell_port = p.shell_port
         self._started = False
 
     def add_source(self, source) -> None:
@@ -92,9 +99,17 @@ class MediaPlayer:
             return
         self.config.close()
         self.product.start()
+        if self._shell_port is not None:
+            from ..net.shell import Shell, attach_media_player
+            self.shell = Shell(port=self._shell_port)
+            attach_media_player(self.shell, self)
+            self.shell.start()
         self._started = True
 
     def quit(self) -> None:
+        if self.shell is not None:
+            self.shell.stop()
+            self.shell = None
         self.pipeline.quit()
         if isinstance(self.store, FileStore):
             self.store.flush()
