@@ -219,6 +219,39 @@ def main() -> int:
         results["vorbis"] = -1.0
         print(f"# vorbis bench failed: {e}", file=sys.stderr)
 
+    # --- Vorbis multi-stream device synthesis (the serving shape:
+    # entropy on host, IMDCT/window/overlap-add batched on the chip —
+    # codecs/vorbis/vorbis_jax.py) -------------------------------------
+    try:
+        from ohpipeline_tpu.codecs.vorbis import vorbis_jax
+
+        def vb(i):
+            def build():
+                from ohpipeline_tpu.codecs.vorbis.encoder import StreamSpec
+                rng = np.random.default_rng(100 + i)
+                spec = StreamSpec(channels=2, sample_rate=44100, bs0=256,
+                                  bs1=1024, coupling=True)
+                blocks = []
+                for _ in range(int(secs * 44100 / 512)):
+                    r = np.zeros((2, 512), np.int64)
+                    m = rng.random((2, 512)) < 0.3
+                    r[m] = rng.integers(-2, 3, m.sum())
+                    blocks.append((1, [(140, 120)] * 2, r))
+                return spec.build(blocks)
+            return build
+        v_streams = [_cached(f"vorbis16_{i}", vb(i)) for i in range(16)]
+        vorbis_jax.decode_vorbis_streams_device(v_streams)      # warm jit
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = vorbis_jax.decode_vorbis_streams_device(v_streams)
+            best = min(best, time.perf_counter() - t0)
+        results["vorbis_16stream_device"] = \
+            sum(o.shape[1] for o in outs) / 44100.0 / best
+    except Exception as e:                             # noqa: BLE001
+        results["vorbis_16stream_device"] = -1.0
+        print(f"# vorbis device bench failed: {e}", file=sys.stderr)
+
     # --- ALAC (oracle cookie+packet container -> decode_packet) ------
     def alac_build():
         pcm = _content(secs, 44100, stereo=True)
