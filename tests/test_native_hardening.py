@@ -311,3 +311,52 @@ def test_silk_parse_survives_random_bytes():
                         np.testing.assert_array_equal(
                             np.asarray(a.indices.pulses, np.int64),
                             np.asarray(b.indices.pulses, np.int64))
+
+
+def test_vorbis_residue_survives_random_packets(monkeypatch):
+    """Hostile audio packets through the native residue/codebook walk
+    (vorbis_core.cc): bounded termination and result-exact agreement
+    with the pure-Python fallback — shared FAILURE semantics (same
+    reject/partial-spectrum behaviour), not just success semantics."""
+    import numpy as np
+    import pytest
+    from ohpipeline_tpu import native
+    from ohpipeline_tpu.codecs.vorbis.encoder import StreamSpec
+    from ohpipeline_tpu.codecs.vorbis.headers import (parse_identification,
+                                                      parse_setup)
+    from ohpipeline_tpu.codecs.vorbis.synthesis import PacketDecoder
+    if not native.have_vorbis_core():
+        pytest.skip("native vorbis core unavailable")
+    spec = StreamSpec(channels=2, sample_rate=44100, bs0=256, bs1=1024,
+                      coupling=True)
+    info = parse_identification(spec.id_packet())
+    setup = parse_setup(spec.setup_packet(), info.channels)
+    dec_nat = PacketDecoder(info, setup)
+    assert dec_nat._native is not None
+    monkeypatch.setenv("OHP_VORBIS_PY", "1")
+    dec_py = PacketDecoder(info, setup)
+    assert dec_py._native is None
+    rng = np.random.default_rng(4242)
+    decoded = 0
+    for trial in range(300):
+        n = int(rng.integers(1, 120))
+        pkt = bytearray(rng.integers(0, 256, n, dtype=np.uint8))
+        if trial % 2:
+            pkt[0] &= 0xFE              # force the audio-packet bit
+        pkt = bytes(pkt)
+        outs = []
+        for dec in (dec_nat, dec_py):
+            try:
+                outs.append(("ok", dec.decode_spectrum(pkt)))
+            except Exception as e:      # noqa: BLE001 — kinds compared
+                outs.append((type(e).__name__, None))
+        (ka, ra), (kb, rb) = outs
+        assert ka == kb, (trial, ka, kb)
+        if ka == "ok" and ra is not None:
+            assert rb is not None, trial
+            assert ra[:3] == rb[:3], trial
+            np.testing.assert_array_equal(ra[3], rb[3])
+            decoded += 1
+        elif ka == "ok":
+            assert rb is None, trial
+    assert decoded > 10                 # the comparison actually bites
