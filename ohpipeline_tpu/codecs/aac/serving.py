@@ -1,0 +1,206 @@
+"""Multi-stream batched device AAC-LC decode over the zigzag-nibble
+wire — bench.py's AAC half as a framework API (sibling of
+codecs/flac/serving.py, opus/celt_jax and vorbis/vorbis_jax's
+*_streams_device functions).
+
+ADTS streams sharing a sample rate and channel count decode in groups:
+the native unpacker (native.aac_prepare_rows_zz) lays quantized
+coefficients at their spectral positions as zigzag nibbles with
+per-band scalefactor bytes and M/S bitmasks, short-window rows pool
+per-coefficient scalefactors, |q|>7 values become escape triples,
+TNS-only rows emit device-side filter conditioning planes, and the
+remaining exceptional rows (PNS/intensity/short-specials) ride a
+host-prepared f32 side plane.  ONE jitted scan-free program
+(synthesis.decode_chunk_zz: elementwise wire decode + three MXU
+matmuls + shifted-slice overlap-add) then synthesises every stream's
+frames, with the overlap state carried across groups.
+
+Conformance: matches the host per-frame decode (decode_adts, itself
+~1 LSB vs the fdk oracle) within small f32 bounds —
+tests/test_aac_serving.py.  Reference displaced: the per-stream
+aacDecoder_DecodeFrame loop over
+/root/reference/thirdparty/fdk-aac/libAACdec, re-shaped for batched
+serving.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .bitstream import parse_adts_header
+
+
+class _Scratch:
+    """Host-side EscapeList on scratch arrays (packed into epak/eva2
+    after each group's parse)."""
+
+    def __init__(self, cap: int):
+        self.row = np.zeros(cap, np.int32)
+        self.pos = np.zeros(cap, np.int32)
+        self.val = np.zeros(cap, np.int32)
+        self.cap = cap
+        self.count = ctypes.c_int32(0)
+
+
+class _SsfPool:
+    def __init__(self, cap: int):
+        self.sf = np.zeros((cap, 1024), np.uint8)
+        self.row = np.full(cap, -1, np.int32)
+        self.cap = cap
+        self.count = ctypes.c_int32(0)
+
+
+class _TnsPool:
+    def __init__(self, cap: int):
+        self.tfi = np.zeros((cap, 1024), np.uint8)
+        self.tco = np.zeros((cap, 24, 12), np.float32)
+        self.tdir = np.zeros((cap, 24), np.uint8)
+        self.row = np.full(cap, -1, np.int32)
+        self.cap = cap
+        self.count = ctypes.c_int32(0)
+
+
+def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
+    """streams: ADTS AAC-LC files (bytes) sharing rate and channel
+    count.  Returns [(channels, nsamples) int32 PCM] per stream,
+    clipped to the int16 range like the host decode path (fdk also
+    saturates inter-sample overs at the 16-bit output)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ... import native
+    from . import synthesis as ASYN
+
+    hdrs = [parse_adts_header(s) for s in streams]
+    if any(h is None for h in hdrs):
+        raise ValueError("not an ADTS stream")
+    nch = hdrs[0].channels
+    ri = hdrs[0].rate_index
+    for h in hdrs[1:]:
+        if (h.channels, h.rate_index) != (nch, ri):
+            raise ValueError("device batch needs uniform rate/channels")
+    S = len(streams)
+    G = frames_per_group
+    SC = S * nch
+
+    # --- survey: per-group escape/side/short/TNS requirements ----------
+    esc_cap = side_cap = ssf_cap = tns_cap = 0
+    pos = [0] * S
+    live = [True] * S
+    while any(live):
+        eb = sb = hb = tb = 0
+        for s in range(S):
+            if not live[s]:
+                continue
+            n, pos[s], b = native.aac_parse_group(streams[s], pos[s],
+                                                  channels=nch,
+                                                  max_frames=G)
+            if n < G:
+                live[s] = False
+            if n == 0:
+                continue
+            q = b["quant"][:n * nch]
+            eb += int((np.abs(q) > 7).sum())
+            exotic = (b["cb"][:n * nch] >= 13).any(axis=1)
+            has_tns = b["tnsn"][:n * nch].any(axis=1)
+            sb += int(exotic.sum())
+            tb += int((has_tns & ~exotic).sum())
+            hb += int((b["ics"][:n * nch, 0] == 2).sum())
+        esc_cap = max(esc_cap, eb)
+        side_cap = max(side_cap, sb)
+        ssf_cap = max(ssf_cap, hb)
+        tns_cap = max(tns_cap, tb)
+    ACAP = max(256, 1 << int(np.ceil(np.log2(esc_cap + 64))))
+    MAXS = int(max(8, side_cap + 8))
+    SSCAP = int(max(64, ssf_cap + 8))
+    TNSCAP = int(max(64, tns_cap + 8))
+
+    W, SW = ASYN.window_bank()
+    consts = [jnp.asarray(ASYN._imdct_matrix(2048)),
+              jnp.asarray(ASYN._imdct_matrix(256)),
+              jnp.asarray(W), jnp.asarray(SW),
+              jnp.asarray(ASYN.sf_expand_matrix(ri))]
+    fn = jax.jit(ASYN.decode_chunk_zz)
+
+    pos = [0] * S
+    live = [True] * S
+    pshape = [np.zeros(nch, np.int32) for _ in range(S)]
+    ov = jnp.asarray(np.zeros((SC, 1024), np.float32))
+    outs: list[list[np.ndarray]] = [[] for _ in range(S)]
+    pending: list = []
+
+    def drain():
+        for pcm_dev, counts_g in pending:
+            pcm = np.asarray(pcm_dev)          # (G, SC, 1024)
+            for s, n in counts_g:
+                if n:
+                    cols = pcm[:n, s * nch:(s + 1) * nch]
+                    pcm16 = np.clip(np.rint(cols), -32768,
+                                    32767).astype(np.int32)
+                    outs[s].append(
+                        pcm16.transpose(1, 0, 2).reshape(nch, -1))
+        pending.clear()
+
+    while any(live):
+        q4 = np.zeros((G, SC, 512), np.uint8)
+        sfb = np.zeros((G, SC, 64), np.uint8)
+        msb = np.zeros((G, SC // 2, 128), np.uint8)
+        opx = np.zeros((G, SC), np.uint8)
+        epak = np.full(ACAP, -1, np.int32)
+        eva2 = np.zeros(ACAP, np.int16)
+        side = np.zeros((MAXS, 1024), np.float32)
+        srow = np.full(MAXS, -1, np.int32)
+        esc = _Scratch(ACAP)
+        ssfv = _SsfPool(SSCAP)
+        tnsv = _TnsPool(TNSCAP)
+        n_side = 0
+        counts_g = []
+        for s in range(S):
+            if not live[s]:
+                continue
+            n, pos[s], b = native.aac_parse_group(streams[s], pos[s],
+                                                  channels=nch,
+                                                  max_frames=G)
+            if n < G:
+                live[s] = False
+            counts_g.append((s, n))
+            if n == 0:
+                continue
+            special = native.aac_prepare_rows_zz(
+                b, n, G, nch, pshape[s], esc, ssfv,
+                q4=q4, sfb=sfb, msb=msb, opx=opx, col0=s * nch,
+                max_special=G * nch, tns=tnsv)
+            if special is None:
+                raise ValueError("zz capacity exceeded (survey bug)")
+            if len(special):
+                frames = np.unique(np.asarray(special) // nch)
+                k = len(frames)
+                idx = np.asarray([f * nch + cc for f in frames
+                                  for cc in range(nch)])
+                sub = {key: (val[idx] if key not in
+                             ("msmask", "rate_index")
+                             else (val[frames] if key == "msmask"
+                                   else val))
+                       for key, val in b.items()}
+                sp, _ = ASYN.prepare_group(sub, k, nch,
+                                           np.zeros(nch, np.int32))
+                fmap = {int(f): j for j, f in enumerate(frames)}
+                for r in special:
+                    f, cc = divmod(int(r), nch)
+                    side[n_side] = sp[fmap[f], cc]
+                    srow[n_side] = f * SC + s * nch + cc
+                    n_side += 1
+        ne = esc.count.value
+        epak[:ne] = esc.row[:ne] * 1024 + esc.pos[:ne]
+        eva2[:ne] = esc.val[:ne]
+        pcm, ov = fn(q4, sfb, ssfv.sf, ssfv.row, msb, opx,
+                     epak, None, eva2, side, srow, ov, *consts,
+                     tnsv.tfi, tnsv.tco, tnsv.tdir, tnsv.row)
+        pending.append((pcm, counts_g))
+        if len(pending) >= 4:              # bound in-flight downloads
+            drain()
+    drain()
+    return [np.concatenate(o, axis=1) if o else
+            np.zeros((nch, 0), np.int32) for o in outs]
