@@ -612,17 +612,22 @@ def main() -> int:
         upev = [threading.Event() for _ in range(NCH)]
 
         def uploader():
-            for c in range(NCH):
-                fq[c].wait()
-                if S_a:
-                    aq[c].wait()
-                if state["fail"]:
+            try:
+                for c in range(NCH):
+                    fq[c].wait()
+                    if S_a:
+                        aq[c].wait()
+                    if state["fail"]:
+                        return
+                    d = jnp.asarray(m_bufs[c])
+                    jax.block_until_ready(d)
+                    devs[c] = d
                     upev[c].set()
-                    return
-                d = jnp.asarray(m_bufs[c])
-                jax.block_until_ready(d)
-                devs[c] = d
-                upev[c].set()
+            except Exception as e:          # noqa: BLE001 — tunnel drop
+                state["fail"] = state["fail"] or f"upload: {e}"
+            finally:
+                for e_ in upev:             # never leave the main loop
+                    e_.set()                # blocked on a dead uploader
 
         up = threading.Thread(target=uploader, daemon=True)
         up.start()

@@ -25,41 +25,9 @@ serving.
 
 from __future__ import annotations
 
-import ctypes
-
 import numpy as np
 
 from .bitstream import parse_adts_header
-
-
-class _Scratch:
-    """Host-side EscapeList on scratch arrays (packed into epak/eva2
-    after each group's parse)."""
-
-    def __init__(self, cap: int):
-        self.row = np.zeros(cap, np.int32)
-        self.pos = np.zeros(cap, np.int32)
-        self.val = np.zeros(cap, np.int32)
-        self.cap = cap
-        self.count = ctypes.c_int32(0)
-
-
-class _SsfPool:
-    def __init__(self, cap: int):
-        self.sf = np.zeros((cap, 1024), np.uint8)
-        self.row = np.full(cap, -1, np.int32)
-        self.cap = cap
-        self.count = ctypes.c_int32(0)
-
-
-class _TnsPool:
-    def __init__(self, cap: int):
-        self.tfi = np.zeros((cap, 1024), np.uint8)
-        self.tco = np.zeros((cap, 24, 12), np.float32)
-        self.tdir = np.zeros((cap, 24), np.uint8)
-        self.row = np.full(cap, -1, np.int32)
-        self.cap = cap
-        self.count = ctypes.c_int32(0)
 
 
 def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
@@ -89,6 +57,7 @@ def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
     esc_cap = side_cap = ssf_cap = tns_cap = 0
     pos = [0] * S
     live = [True] * S
+    pbuf = None                  # reused parse arrays (~1 MB/call)
     while any(live):
         eb = sb = hb = tb = 0
         for s in range(S):
@@ -96,7 +65,8 @@ def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
                 continue
             n, pos[s], b = native.aac_parse_group(streams[s], pos[s],
                                                   channels=nch,
-                                                  max_frames=G)
+                                                  max_frames=G, out=pbuf)
+            pbuf = b
             if n < G:
                 live[s] = False
             if n == 0:
@@ -152,9 +122,9 @@ def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
         eva2 = np.zeros(ACAP, np.int16)
         side = np.zeros((MAXS, 1024), np.float32)
         srow = np.full(MAXS, -1, np.int32)
-        esc = _Scratch(ACAP)
-        ssfv = _SsfPool(SSCAP)
-        tnsv = _TnsPool(TNSCAP)
+        esc = native.EscapeList(ACAP)
+        ssfv = native.ShortSfPool(SSCAP)
+        tnsv = native.TnsPool(TNSCAP)
         n_side = 0
         counts_g = []
         for s in range(S):
@@ -162,12 +132,17 @@ def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
                 continue
             n, pos[s], b = native.aac_parse_group(streams[s], pos[s],
                                                   channels=nch,
-                                                  max_frames=G)
+                                                  max_frames=G, out=pbuf)
+            pbuf = b
             if n < G:
                 live[s] = False
             counts_g.append((s, n))
             if n == 0:
                 continue
+            # NOTE: this special-row side-plane prep mirrors bench.py's
+            # merged-slab wiring (which writes into slab-backed views
+            # instead of fresh arrays) — changes here must be mirrored
+            # there; both sides are gated by bit-exact/LSB tests.
             special = native.aac_prepare_rows_zz(
                 b, n, G, nch, pshape[s], esc, ssfv,
                 q4=q4, sfb=sfb, msb=msb, opx=opx, col0=s * nch,

@@ -133,6 +133,10 @@ def decode_flac_streams_device(streams: list, frames_per_group: int = 32):
             if st < 0:
                 raise ValueError(f"stream {s}: rice wire status {st}")
             nb = b1 - b0
+            # NOTE: this cursor-rebase wiring mirrors bench.py's merged
+            # slab loop (which writes into slab-backed views) — changes
+            # here must be mirrored there; both sides are gated by
+            # bit-exact tests (tests/test_flac_serving.py, bench --smoke).
             bits[bbase:bbase + nb] = np.frombuffer(streams[s], np.uint8,
                                                    nb, b0)
             if bbase:

@@ -76,24 +76,34 @@ def _operators(bs0: int, bs1: int) -> np.ndarray:
     return ops
 
 
-def capture_stream(data: bytes):
-    """Host entropy decode of a whole Ogg Vorbis stream ->
-    (VorbisInfo, [(n, prev_full, next_full, spectra (ch, n/2) f64)])."""
+def capture_stream_iter(data: bytes):
+    """Host entropy decode of an Ogg Vorbis stream, streamed ->
+    (VorbisInfo, iterator of (n, prev_full, next_full, spectra (ch,
+    n/2) f64)).  Lazy so multi-stream decode holds only one group of
+    float64 spectra per stream at a time."""
     ogg = OggReader(BufferReader(data))
     pk = ogg.packets()
     info = parse_identification(next(pk))
     parse_comment(next(pk))
     setup = parse_setup(next(pk), info.channels)
     dec = PacketDecoder(info, setup)
-    blocks = []
-    for p in pk:
-        try:
-            r = dec.decode_spectrum(p)
-        except VorbisError:
-            r = None
-        if r is not None:
-            blocks.append(r)
-    return info, blocks
+
+    def gen():
+        for p in pk:
+            try:
+                r = dec.decode_spectrum(p)
+            except VorbisError:
+                r = None
+            if r is not None:
+                yield r
+
+    return info, gen()
+
+
+def capture_stream(data: bytes):
+    """Eager variant of capture_stream_iter (tests, dryrun)."""
+    info, gen = capture_stream_iter(data)
+    return info, list(gen)
 
 
 def _group_fn(S: int, G: int, ch: int, bs0: int, bs1: int):
@@ -179,8 +189,10 @@ def decode_vorbis_streams_device(streams: list, group: int = 64):
     streams).  Output is [(ch, n) int16] per stream, n = samples from
     the stream's first block center to its last (the host Lapper's
     emission window; granule trimming is CodecVorbis' job)."""
-    caps = [capture_stream(s) for s in streams]
+    import itertools
+    caps = [capture_stream_iter(s) for s in streams]
     infos = [c[0] for c in caps]
+    gens = [c[1] for c in caps]
     bs0, bs1 = infos[0].blocksize
     ch = infos[0].channels
     for inf in infos[1:]:
@@ -191,7 +203,6 @@ def decode_vorbis_streams_device(streams: list, group: int = 64):
     half1 = bs1 // 2
     fn = _group_fn(S, group, ch, bs0, bs1)
     cursors = [None] * S                  # (center, prev_quarter)
-    pos = [0] * S
     outs: list[list[np.ndarray]] = [[] for _ in range(S)]
     carry = np.zeros((S, ch, half1), np.float32)
     pending: list = []
@@ -208,9 +219,8 @@ def decode_vorbis_streams_device(streams: list, group: int = 64):
     while True:
         any_blocks = False
         Xqs, scales, onehots, los, shifts = [], [], [], [], []
-        for s, (_inf, blocks) in enumerate(caps):
-            blk = blocks[pos[s]:pos[s] + group]
-            pos[s] += len(blk)
+        for s, gen in enumerate(gens):
+            blk = list(itertools.islice(gen, group))
             any_blocks = any_blocks or bool(blk)
             Xq, scale, onehot, lo, center, pq, start_c = _pack_group(
                 blk, cursors[s], bs0, bs1, ch, group)

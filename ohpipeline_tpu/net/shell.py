@@ -116,10 +116,14 @@ class Shell:
         self._thread.start()
 
     def stop(self) -> None:
+        if self._thread is None:
+            # never started: shutdown() would block forever on the
+            # event only serve_forever() sets; just release the socket
+            self._server.server_close()
+            return
         self._server.shutdown()
         self._server.server_close()
-        if self._thread:
-            self._thread.join(timeout=5)
+        self._thread.join(timeout=5)
 
     # context manager sugar for tests
     def __enter__(self) -> "Shell":
@@ -133,7 +137,13 @@ class Shell:
 def run_command(host: str, port: int, line: str,
                 timeout: float = 5.0) -> str:
     """One-shot client: send a command line, return the response text
-    (without the prompt)."""
+    (without the prompt).
+
+    The wire protocol is the reference shell's human-oriented raw TCP
+    (response text then a ``> `` prompt), so a response that itself
+    contains a line starting with ``> `` is ambiguous to naive clients
+    and would be truncated here — same limitation as telnetting the
+    ohNet shell."""
     with socket.create_connection((host, port), timeout=timeout) as s:
         f = s.makefile("rwb")
         # greeting + first prompt

@@ -77,3 +77,11 @@ def test_media_player_opens_shell_via_init_params():
     finally:
         mp.quit()
     assert mp.shell is None
+
+
+def test_stop_before_start_is_safe():
+    sh = Shell()
+    sh.stop()                 # never started: must not hang, socket freed
+    sh2 = Shell(port=0)
+    sh2.start()
+    sh2.stop()
