@@ -700,6 +700,31 @@ def main() -> int:
 
     walls = []
     peak = 0.0
+    # deadline insurance: the tunnel occasionally stalls outright
+    # (observed: a trivial device op taking minutes).  A graceful break
+    # stops starting new passes near the deadline; the hard watchdog
+    # rescues a pass that hangs INSIDE a blocking RPC by printing the
+    # best completed result and exiting (a daemon thread cannot
+    # interrupt a stuck C call any other way).
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", "1500"))
+    best_line = {"s": None}
+
+    def _watchdog():
+        while True:
+            time.sleep(10)
+            if time.monotonic() > deadline + 120:
+                if best_line["s"]:
+                    print(best_line["s"], flush=True)
+                else:
+                    print(json.dumps(
+                        {"metric": "flac_aac_decode_realtime_x",
+                         "value": 0.0, "unit": "x_realtime",
+                         "vs_baseline": 0.0,
+                         "error": "deadline: tunnel stalled"}), flush=True)
+                os._exit(0 if best_line["s"] else 1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     for _ in range(max(1, args.passes)):
         w, p = timed_pass()
         if w is None:
@@ -709,6 +734,18 @@ def main() -> int:
             return 1
         walls.append(w)
         peak = max(peak, p)
+        fa = counts["flac_samples"] / nch / rate
+        aa = counts["aac"] * 1024 / rate
+        v = (fa + aa) / min(walls)
+        best_line["s"] = json.dumps(
+            {"metric": "flac_aac_decode_realtime_x", "value": round(v, 1),
+             "unit": "x_realtime", "vs_baseline": round(v / 500.0, 3),
+             "flac_audio_s": round(fa, 1), "aac_audio_s": round(aa, 1),
+             "wall_s": round(min(walls), 2),
+             "tunnel_mbps": round(tunnel_mbps, 1),
+             "passes_completed": len(walls)})
+        if time.monotonic() > deadline - 60:
+            break                       # enough passes; report what we have
     wall = min(walls)
     if os.environ.get("BENCH_DEBUG"):
         print(json.dumps({"walls": [round(w, 2) for w in walls],
