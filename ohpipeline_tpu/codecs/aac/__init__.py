@@ -118,11 +118,6 @@ def decode_frames_float_batched(frames: list[BS.FrameData],
         return np.zeros((len(state.prev_shape), 0))
     nch = len(frames[0].channels)
     F = len(frames)
-    W, SW = SYN.window_bank()
-    ML = SYN._imdct_matrix(2048).astype(np.float32)
-    MS = SYN._imdct_matrix(256).astype(np.float32)
-    if state.overlap is None or np.ndim(state.overlap) != 2:
-        state.overlap = np.zeros((nch, 1024))
     specs = np.zeros((F, nch, 1024), np.float32)
     ops = np.zeros((F, nch), np.int32)
     for t, frame in enumerate(frames):
@@ -136,6 +131,20 @@ def decode_frames_float_batched(frames: list[BS.FrameData],
                           + ch.ics.window_shape)
             state.prev_shape[ci] = ch.ics.window_shape
             specs[t, ci] = sp[ci]
+    return _core_float_from_specs(specs, ops, state)
+
+
+def _core_float_from_specs(specs: np.ndarray, ops: np.ndarray,
+                           state: _StreamState) -> np.ndarray:
+    """Batched float32 IMDCT + window + overlap-add from prepared
+    spectra: specs (F, C, 1024) f32, ops (F, C) i32 operator indices.
+    Updates state.overlap; returns float64 (C, F*1024)."""
+    F, nch = specs.shape[:2]
+    W, SW = SYN.window_bank()
+    ML = SYN._imdct_matrix(2048).astype(np.float32)
+    MS = SYN._imdct_matrix(256).astype(np.float32)
+    if state.overlap is None or np.ndim(state.overlap) != 2:
+        state.overlap = np.zeros((nch, 1024))
     flat = specs.reshape(F * nch, 1024)
     x_long = (flat @ ML) * W[ops.reshape(-1)].astype(np.float32)
     is_short = (ops.reshape(-1) >> 2) == BS.EIGHT_SHORT
@@ -152,6 +161,20 @@ def decode_frames_float_batched(frames: list[BS.FrameData],
         out[:, t * 1024:(t + 1) * 1024] = x[t, :, :1024] + state.overlap
         state.overlap = x[t, :, 1024:]
     return out
+
+
+def decode_group_arrays_float(batch: dict, nframes: int, channels: int,
+                              state: _StreamState) -> np.ndarray:
+    """Float LC core straight from the native unpacker's dense arrays
+    (vectorized prepare_group prep instead of per-frame Python
+    dequant/TNS over rehydrated objects) — the input signal the SBR
+    upsampler consumes.  Same state contract and (float32-matmul) math
+    as decode_frames_float_batched."""
+    if not nframes:
+        return np.zeros((channels, 0))
+    specs, ops = SYN.prepare_group(batch, nframes, channels,
+                                   state.prev_shape)
+    return _core_float_from_specs(specs, ops, state)
 
 
 def decode_group_arrays(batch: dict, nframes: int, channels: int,
@@ -373,6 +396,7 @@ class CodecAacAdts(CodecBase):
         self._state: Optional[_StreamState] = None
         self._hdr: Optional[BS.AdtsHeader] = None
         self._sample_pos = 0
+        self._sbr_pending: Optional[tuple] = None
         if use_native is None:
             from ... import native
             use_native = native.have_aac_unpack()
@@ -526,11 +550,13 @@ class CodecAacAdts(CodecBase):
         self._buf = self._buf[pos:]
         return frames
 
-    def _parse_native_sbr_frames(self) -> Optional[list]:
+    def _parse_native_sbr_group(self) -> Optional[tuple]:
         """HE-AAC group parse through the C++ unpacker (same hot loop as
-        the LC bench path, plus SBR fill-payload capture); rehydrated to
-        FrameData so the SBR chain downstream is unchanged.  None ->
-        caller uses the Python parser."""
+        the LC bench path, plus SBR fill-payload capture).  Returns
+        (nframes, batch) with the dense arrays kept as-is — the decode
+        path preps spectra vectorized from them and only rehydrates
+        FrameData objects if it must fall back to the per-frame numpy
+        chain.  None -> caller uses the Python parser."""
         from ... import native
         try:
             n, pos, batch = native.aac_parse_group_sbr(
@@ -539,29 +565,50 @@ class CodecAacAdts(CodecBase):
         except (RuntimeError, OSError):
             return None
         self._buf = self._buf[pos:]
-        frames = frames_from_arrays(batch, n, self._hdr.channels)
-        for f, fr in enumerate(frames):
-            fr.sbr = batch["sbr"][f]
-        return frames
+        return n, batch
+
+    def _parse_dispatch_sbr_group(self) -> Optional[tuple]:
+        """Parse one SBR group and dispatch its decode (device calls
+        async).  Returns (resolve, track_offset, nsamples) or None at
+        end of stream."""
+        self._fill(self._hdr.frame_bytes * (SBR_GROUP_FRAMES + 2))
+        frames = batch = None
+        n = 0
+        if self._use_native:
+            parsed = self._parse_native_sbr_group()
+            if parsed is not None:
+                n, batch = parsed
+        if batch is None:
+            frames = self._parse_python_frames()
+            n = len(frames)
+        if not n:
+            return None
+        resolve, ns = _sbr_decode_frames_lazy(
+            frames, self._state, self._sbr, self._hdr.channels,
+            ps=self._ps, batch=batch, nframes=n)
+        first = self._sample_pos
+        self._sample_pos += ns
+        return resolve, first, ns
 
     def _process_sbr(self) -> DecodedBatch:
-        frames = None
-        if self._use_native:
-            frames = self._parse_native_sbr_frames()
-        if frames is None:
-            frames = self._parse_python_frames()
-        if not frames:
-            raise EndOfStream
-        pcm = _sbr_decode_frames(frames, self._state, self._sbr,
-                                 self._hdr.channels, ps=self._ps)
-        first = self._sample_pos
-        self._sample_pos += pcm.shape[1]
-        return DecodedBatch(self._info, samples=pcm,
+        """One-group software pipeline: group k's device program runs
+        while this call parses and dispatches group k+1; the returned
+        batch is the OLDEST in-flight group (offsets carried per
+        group, so timing is exact — one group of added latency)."""
+        if self._sbr_pending is None:
+            self._sbr_pending = self._parse_dispatch_sbr_group()
+            if self._sbr_pending is None:
+                raise EndOfStream
+        nxt = self._parse_dispatch_sbr_group()
+        resolve, first, _ns = self._sbr_pending
+        self._sbr_pending = nxt
+        return DecodedBatch(self._info, samples=resolve(),
                             track_offset_samples=first)
 
 
 def _sbr_decode_frames(frames, state, sbr, nch,
-                       ps: bool = False) -> np.ndarray:
+                       ps: bool = False, batch: Optional[dict] = None,
+                       nframes: int = 0) -> np.ndarray:
     """Core decode + SBR reconstruction for a group of parsed frames
     (shared by the ADTS and MP4 codecs; AacFdkBase.cpp feeds both
     transports through the same libSBRdec instance).  With ``ps`` the
@@ -572,15 +619,39 @@ def _sbr_decode_frames(frames, state, sbr, nch,
     under one jit over the whole group); PS and irregular groups
     (missing payloads, header changes mid-group) use the per-frame
     numpy chain."""
+    resolve, _ns = _sbr_decode_frames_lazy(frames, state, sbr, nch,
+                                           ps=ps, batch=batch,
+                                           nframes=nframes)
+    return resolve()
+
+
+def _sbr_decode_frames_lazy(frames, state, sbr, nch,
+                            ps: bool = False,
+                            batch: Optional[dict] = None,
+                            nframes: int = 0) -> tuple:
+    """_sbr_decode_frames with async device dispatch: returns
+    (resolve, nsamples_out).  ``resolve()`` blocks on the device
+    download — the caller can parse/dispatch the next group first so
+    the chip works while the host parses (jax async dispatch).  The
+    numpy fallback materializes eagerly (resolve is then free)."""
     from .sbr import SbrError
     if not ps:
-        out = _sbr_decode_frames_device(frames, state, sbr, nch)
-        if out is not None:
-            return out
+        out = _sbr_decode_frames_device(frames, state, sbr, nch,
+                                        batch=batch, nframes=nframes,
+                                        lazy=True)
     else:
-        out = _sbr_decode_frames_device_ps(frames, state, sbr)
-        if out is not None:
-            return out
+        out = _sbr_decode_frames_device_ps(frames, state, sbr,
+                                           batch=batch, nframes=nframes,
+                                           lazy=True)
+    if out is not None:
+        F = nframes if batch is not None else len(frames)
+        return out, F * 2048
+    if frames is None:
+        # device path declined a native-parsed group: rehydrate objects
+        # for the per-frame numpy chain
+        frames = frames_from_arrays(batch, nframes, nch)
+        for f, fr in enumerate(frames):
+            fr.sbr = batch["sbr"][f]
     outs = []
     for fr in frames:
         core = decode_frames_float([fr], state)
@@ -601,13 +672,17 @@ def _sbr_decode_frames(frames, state, sbr, nch,
         up = np.repeat(core, 2, axis=1)
         outs.append(np.repeat(up, 2, axis=0) if ps else up)
     pcm = np.concatenate(outs, axis=1)
-    return np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
+    pcm = np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
+    return (lambda: pcm), pcm.shape[1]
 
 
-def _sbr_decode_frames_device_ps(frames, state, sbr):
+def _sbr_decode_frames_device_ps(frames, state, sbr,
+                                 batch: Optional[dict] = None,
+                                 nframes: int = 0, lazy: bool = False):
     """Batched device HE-AAC v2: mono core + device SBR + device
     parametric stereo (sbr_jax.SbrPsDeviceRunner).  Returns None to
-    fall back to the numpy per-frame chain."""
+    fall back to the numpy per-frame chain; with ``lazy`` returns a
+    zero-arg resolve function instead of the array."""
     from .sbr import SbrError
     try:
         from . import sbr_jax
@@ -617,12 +692,14 @@ def _sbr_decode_frames_device_ps(frames, state, sbr):
     import copy
     snap = (copy.deepcopy(getattr(sbr, "_parse_prev", None)),
             getattr(sbr, "_ps_prev", None))
+    payloads = (batch["sbr"][:nframes] if batch is not None
+                else [fr.sbr for fr in frames])
     parsed = []
     try:
-        for fr in frames:
-            if fr.sbr is None:
+        for pl in payloads:
+            if pl is None:
                 raise SbrError("missing payload in group")
-            payload, nbits, crc = fr.sbr
+            payload, nbits, crc = pl
             chans, _c = sbr.parse_payload(payload, nbits, stereo=False,
                                           crc=crc)
             if header0 is not None and sbr.header != header0:
@@ -645,20 +722,27 @@ def _sbr_decode_frames_device_ps(frames, state, sbr):
     if runner.pdec_host.last_ps is None \
             and parsed and parsed[0][3] is None:
         return None              # no PS params yet: numpy handles it
-    core = decode_frames_float_batched(frames, state)   # (1, F*1024)
-    F = len(frames)
-    out = runner.decode_group(core[0].reshape(F, 1024),
-                              [p[0] for p in parsed],
-                              [p[1] for p in parsed],
-                              [p[2] for p in parsed],
-                              [p[3] for p in parsed])
-    return out.astype(np.int32)      # rounded to int16 on device
+    F = nframes if batch is not None else len(frames)
+    core = (decode_group_arrays_float(batch, F, 1, state)
+            if batch is not None
+            else decode_frames_float_batched(frames, state))  # (1, F*1024)
+    resolve = runner.decode_group_lazy(core[0].reshape(F, 1024),
+                                       [p[0] for p in parsed],
+                                       [p[1] for p in parsed],
+                                       [p[2] for p in parsed],
+                                       [p[3] for p in parsed])
+    if lazy:
+        return lambda: resolve().astype(np.int32)
+    return resolve().astype(np.int32)  # rounded to int16 on device
 
 
-def _sbr_decode_frames_device(frames, state, sbr, nch):
+def _sbr_decode_frames_device(frames, state, sbr, nch,
+                              batch: Optional[dict] = None,
+                              nframes: int = 0, lazy: bool = False):
     """Batched device SBR for a regular group (every frame carries a
     payload, one header).  Returns None to fall back to the numpy
-    per-frame path."""
+    per-frame path; with ``lazy`` the device call is dispatched and a
+    zero-arg resolve function is returned instead of the array."""
     from .sbr import SbrError
     try:
         from . import sbr_jax
@@ -670,12 +754,14 @@ def _sbr_decode_frames_device(frames, state, sbr, nch):
     import copy
     snap = (copy.deepcopy(getattr(sbr, "_parse_prev", None)),
             getattr(sbr, "_ps_prev", None))
+    payloads = (batch["sbr"][:nframes] if batch is not None
+                else [fr.sbr for fr in frames])
     parsed = []
     try:
-        for fr in frames:
-            if fr.sbr is None:
+        for pl in payloads:
+            if pl is None:
                 raise SbrError("missing payload in group")
-            payload, nbits, crc = fr.sbr
+            payload, nbits, crc = pl
             chans, coupling = sbr.parse_payload(
                 payload, nbits, stereo=(nch == 2), crc=crc)
             if header0 is not None and sbr.header != header0:
@@ -703,13 +789,16 @@ def _sbr_decode_frames_device(frames, state, sbr, nch):
         runner = sbr_jax.SbrDeviceRunner(sbr)
         runner.static_header = header0
         sbr._device_runner = runner
-    core = decode_frames_float_batched(frames, state)  # (C, F*1024)
-    F = len(frames)
+    F = nframes if batch is not None else len(frames)
+    core = (decode_group_arrays_float(batch, F, nch, state)
+            if batch is not None
+            else decode_frames_float_batched(frames, state))  # (C, F*1024)
     per_ch = [([p[0][ch] for p in parsed],
                [p[1][ch][0] for p in parsed],
                [p[1][ch][1] for p in parsed]) for ch in range(nch)]
-    return runner.decode_group_multi(
+    resolve = runner.decode_group_multi_lazy(
         core.reshape(nch, F, 1024).astype(np.float32), per_ch)
+    return resolve if lazy else resolve()
 
 
 def parse_audio_specific_config(asc: bytes) -> tuple:

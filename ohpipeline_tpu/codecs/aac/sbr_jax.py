@@ -623,11 +623,14 @@ class SbrDeviceRunner:
         self.state_dev[ch] = st
         return np.asarray(out)
 
-    def decode_group_multi(self, pcm_frames: np.ndarray,
-                           per_ch: list) -> np.ndarray:
-        """All channels in one device call.  pcm_frames (C, F, 1024)
-        core PCM; per_ch[c] = (datas, Es, Qs).  Returns (C, F*2048)
-        int32 in the pipeline's native range."""
+    def decode_group_multi_lazy(self, pcm_frames: np.ndarray,
+                                per_ch: list):
+        """All channels in one device call, dispatched asynchronously.
+        pcm_frames (C, F, 1024) core PCM; per_ch[c] = (datas, Es, Qs).
+        Returns a zero-arg resolve function that blocks on the download
+        and yields (C, F*2048) int32 in the pipeline's native range —
+        jax dispatch is async, so the device executes while the host
+        parses the next group."""
         import jax
         import jax.numpy as jnp
         nch = pcm_frames.shape[0]
@@ -647,7 +650,12 @@ class SbrDeviceRunner:
         fn = _group_fn_multi(self.static)
         out, new_st = fn(jnp.asarray(pcm_frames, jnp.float32), cd, st)
         self._stacked = new_st        # stays stacked on device
-        return np.asarray(out).astype(np.int32)   # int16 wire -> int32
+        return lambda: np.asarray(out).astype(np.int32)  # int16 wire
+
+    def decode_group_multi(self, pcm_frames: np.ndarray,
+                           per_ch: list) -> np.ndarray:
+        """Synchronous decode_group_multi_lazy."""
+        return self.decode_group_multi_lazy(pcm_frames, per_ch)()
 
 
 # ---------------------------------------------------------------------------
@@ -1004,8 +1012,10 @@ class SbrPsDeviceRunner:
         self.first = True
         self._fn = _group_fn_ps(self.static, self.ps_static)
 
-    def decode_group(self, pcm_frames: np.ndarray, datas: list,
-                     Es: list, Qs: list, ps_list: list) -> np.ndarray:
+    def decode_group_lazy(self, pcm_frames: np.ndarray, datas: list,
+                          Es: list, Qs: list, ps_list: list):
+        """Async dispatch; returns a zero-arg resolve function (see
+        SbrDeviceRunner.decode_group_multi_lazy)."""
         import jax.numpy as jnp
         cond = build_frame_cond(self.dec, self.state_host, self.static,
                                 datas, Es, Qs, self.first)
@@ -1019,4 +1029,9 @@ class SbrPsDeviceRunner:
         self.state_dev = st
         self.ps_state = pst
         self.syn_state_r = synr
-        return np.asarray(out)
+        return lambda: np.asarray(out)
+
+    def decode_group(self, pcm_frames: np.ndarray, datas: list,
+                     Es: list, Qs: list, ps_list: list) -> np.ndarray:
+        return self.decode_group_lazy(pcm_frames, datas, Es, Qs,
+                                      ps_list)()

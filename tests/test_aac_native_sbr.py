@@ -117,4 +117,8 @@ def test_codec_pcm_identical_native_vs_python():
     b, ib = run(True)
     assert ia.codec_name == ib.codec_name == "HE-AAC"
     assert a.shape == b.shape
-    assert np.array_equal(a, b)
+    # the native path preps spectra vectorized from the dense arrays
+    # (prepare_group: native TNS, batched dequant) while the Python
+    # path dequantizes per frame — summation order differs, so the
+    # int16 rounding boundary can move by one
+    assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 1

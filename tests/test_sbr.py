@@ -256,7 +256,12 @@ def test_he_aac_in_mp4(explicit):
     _info_adts, ref = decode_adts(data)
     n = min(out.shape[1], ref.shape[1])
     assert n > 40000
-    assert np.array_equal(out[:, :n], ref[:, :n])
+    # <=1 LSB: the ADTS reference path preps spectra vectorized from
+    # the native batch (prepare_group) while the MP4 path dequantizes
+    # rehydrated frames per frame - summation order moves the int16
+    # rounding boundary on isolated samples
+    assert np.abs(out[:, :n].astype(np.int64)
+                  - ref[:, :n].astype(np.int64)).max() <= 1
 
 
 def test_he_aac_v2_stereo_reconstruction():
@@ -520,7 +525,12 @@ def test_he_aac_v2_in_mp4():
     _info, ref = decode_adts(data)
     n = min(out.shape[1], ref.shape[1])
     assert n > 40000
-    assert np.array_equal(out[:, :n], ref[:, :n])
+    # <=1 LSB: the ADTS reference path preps spectra vectorized from
+    # the native batch (prepare_group) while the MP4 path dequantizes
+    # rehydrated frames per frame - summation order moves the int16
+    # rounding boundary on isolated samples
+    assert np.abs(out[:, :n].astype(np.int64)
+                  - ref[:, :n].astype(np.int64)).max() <= 1
 
 
 def test_he_aac_per_sample_snr_tonal():
