@@ -31,9 +31,10 @@ large run-to-run weather):
     decode, three MXU matmuls (IMDCT + one-hot windows), overlap-add as
     a shifted slice (codecs/aac/synthesis.decode_chunk_zz,
     codecs/flac._synthesise_group_zz).
-  * the timed phase runs --passes times (default 16); best wall is
+  * the timed phase runs --passes times (default 32); best wall is
     reported (documented tunnel variance: identical code measures up to
-    ~1.5x apart run to run — more passes sample the weather better).
+    ~1.5x apart run to run — more passes sample the weather better; the
+    BENCH_DEADLINE_S graceful break keeps total runtime bounded).
 
 Every stream decodes a DISTINCT track (per-seed tones, noise, transients,
 envelopes) so LPC orders, partition orders, stereo modes, window
@@ -171,7 +172,7 @@ def main() -> int:
     ap.add_argument("--aac-streams", type=int, default=48)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--chunks", type=int, default=8)
-    ap.add_argument("--passes", type=int, default=16)
+    ap.add_argument("--passes", type=int, default=32)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

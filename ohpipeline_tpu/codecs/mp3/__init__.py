@@ -40,6 +40,16 @@ class _StreamState:
 def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
                   channels: int, bit_depth: int = 16) -> np.ndarray:
     """Decode parsed frames -> (channels, n) int32 native range."""
+    return decode_frames_lazy(frames, state, channels, bit_depth)()
+
+
+def decode_frames_lazy(frames: list[BS.Mp3Frame], state: _StreamState,
+                       channels: int, bit_depth: int = 16):
+    """decode_frames with async device dispatch: host prep + the jitted
+    filterbank call happen now (states advance immediately, device
+    arrays are futures), and the returned zero-arg function blocks on
+    the PCM download — so a caller can parse/dispatch the next group
+    while the chip runs this one."""
     granules = []
     btypes = []
     for fr in frames:
@@ -71,7 +81,7 @@ def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
             granules.append(spec.astype(np.float32))
             btypes.append(bt_row)
     if not granules:
-        return np.zeros((channels, 0), np.int32)
+        return lambda: np.zeros((channels, 0), np.int32)
     xr_t = np.stack(granules)                  # (Tg, C, 576)
     bt_t = np.stack(btypes)
     ops = SYN._imdct_operators().astype(np.float32)
@@ -88,8 +98,9 @@ def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
         state.vfifo = np.asarray(vf)
         out = np.asarray(pcm).transpose(1, 0, 2).reshape(channels, -1)
         lo, hi = -(1 << (bit_depth - 1)), (1 << (bit_depth - 1)) - 1
-        return np.clip(np.rint(out * (1 << (bit_depth - 1))), lo,
-                       hi).astype(np.int32)
+        pcm_eager = np.clip(np.rint(out * (1 << (bit_depth - 1))), lo,
+                            hi).astype(np.int32)
+        return lambda: pcm_eager
     # parallel path: pad the granule count up to a shape bucket so jit
     # compiles a handful of programs; n_real keeps padding out of the
     # carried stream state.  States stay device-resident between groups
@@ -108,7 +119,7 @@ def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
         jnp.asarray(ops), poly, wnd, n_real, bit_depth)
     state.overlap = ov
     state.vfifo = vf
-    return np.asarray(pcm_i[:n_real]).transpose(1, 0, 2) \
+    return lambda: np.asarray(pcm_i[:n_real]).transpose(1, 0, 2) \
         .reshape(channels, -1)
 
 
@@ -183,6 +194,7 @@ class CodecMp3(CodecBase):
         self._state: Optional[_StreamState] = None
         self._buf = b""
         self._sample_pos = 0
+        self._pending: Optional[tuple] = None
         #: frames decoded per device call — the pipeline default (16,
         #: ~0.4 s) keeps streaming latency low; whole-buffer decode uses
         #: larger groups to amortise per-call transfer latency
@@ -266,10 +278,11 @@ class CodecMp3(CodecBase):
         self._state = _StreamState(self._hdr.channels)
         self._sample_pos = self._seek_to
         self._seek_to = None
+        self._pending = None            # seek flush discards in-flight
 
-    def process(self, reader: StreamReader) -> DecodedBatch:
-        if self._seek_to is not None:     # post-seek restart
-            self._reinit_after_seek(reader)
+    def _parse_dispatch_group(self) -> Optional[tuple]:
+        """Parse one group and dispatch its decode (device filterbank
+        async).  Returns (resolve, track_offset) or None at EOS."""
         self._fill()
         frames = []
         while len(frames) < self._group_frames:
@@ -278,15 +291,28 @@ class CodecMp3(CodecBase):
                 break
             frames.append(fr)
         if not frames:
-            raise EndOfStream
+            return None
         first = self._sample_pos
         self._sample_pos += len(frames) * self._hdr.samples_per_frame
-        state = self._state
-        ch = self._hdr.channels
-        return DecodedBatch(
-            self._info,
-            defer=lambda: decode_frames(frames, state, ch),
-            track_offset_samples=first)
+        resolve = decode_frames_lazy(frames, self._state,
+                                     self._hdr.channels)
+        return resolve, first
+
+    def process(self, reader: StreamReader) -> DecodedBatch:
+        """One-group software pipeline (see CodecAacAdts._process_sbr):
+        group k's filterbank runs on device while this call parses and
+        dispatches group k+1; returns the oldest in-flight group."""
+        if self._seek_to is not None:     # post-seek restart
+            self._reinit_after_seek(reader)
+        if self._pending is None:
+            self._pending = self._parse_dispatch_group()
+            if self._pending is None:
+                raise EndOfStream
+        nxt = self._parse_dispatch_group()
+        resolve, first = self._pending
+        self._pending = nxt
+        return DecodedBatch(self._info, samples=resolve(),
+                            track_offset_samples=first)
 
 
 def decode_mp3(data: bytes) -> tuple[PcmStreamInfo, np.ndarray]:

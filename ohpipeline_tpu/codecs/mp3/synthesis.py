@@ -152,35 +152,34 @@ def requantize(g: GranuleInfo, hdr: FrameHeader) -> np.ndarray:
     mag = _pow43_table()[np.abs(g.spectrum)]
     base = 2.0 ** (0.25 * (g.global_gain - 210))
     sf_mult = 1.0 if g.scalefac_scale else 0.5
-    lin = _linear_scalefac(g)
+    lin = np.asarray(_linear_scalefac(g), np.float64)
     widths = _sfbwidths(g, hdr)
-    exps = np.zeros(576)
+    # per-BAND exponents, exp2 over ~22 values then repeated to line
+    # order (same values as the old per-line 576-wide 2.0**exps — the
+    # exponent is constant within a band)
+    w_int = widths.astype(np.int64)
+    n = len(w_int)
+    idx = np.arange(n)
     if g.window_switching and g.block_type == BLOCK_SHORT:
-        pos = 0
-        sfbi = 0
         if g.mixed_block:
-            while pos < 36:                # long bands lead the spectrum
-                w = int(widths[sfbi])
-                exps[pos:pos + w] = -sf_mult * (
-                    lin[sfbi] + g.preflag * int(PRETAB[min(sfbi, 21)]))
-                pos += w
-                sfbi += 1
-        win = 0
-        while pos < 576 and sfbi < len(widths):
-            w = int(widths[sfbi])
-            exps[pos:pos + w] = (-sf_mult * lin[sfbi]
-                                 - 2.0 * g.subblock_gain[win])
-            pos += w
-            sfbi += 1
-            win = (win + 1) % 3
+            starts = np.cumsum(w_int) - w_int
+            nlong = int((starts < 36).sum())   # long bands lead (<36)
+        else:
+            nlong = 0
+        vals = np.empty(n)
+        il = idx[:nlong]
+        vals[:nlong] = -sf_mult * (lin[il]
+                                   + g.preflag * PRETAB[np.minimum(il, 21)])
+        win = np.arange(n - nlong) % 3         # window cycles per band
+        vals[nlong:] = (-sf_mult * lin[nlong:n]
+                        - 2.0 * np.asarray(g.subblock_gain,
+                                           np.float64)[win])
     else:
-        pos = 0
-        for sfbi in range(len(widths)):
-            w = int(widths[sfbi])
-            exps[pos:pos + w] = -sf_mult * (
-                lin[sfbi] + g.preflag * int(PRETAB[min(sfbi, 21)]))
-            pos += w
-    xr = np.sign(x) * mag * base * (2.0 ** exps)
+        vals = -sf_mult * (lin[:n] + g.preflag * PRETAB[np.minimum(idx, 21)])
+    rep = np.repeat(base * (2.0 ** vals), w_int)[:576]
+    factors = np.full(576, base)               # tail past the last band
+    factors[:len(rep)] = rep                   # keeps exps==0 semantics
+    xr = np.sign(x) * mag * factors
     if g.window_switching and g.block_type == BLOCK_SHORT:
         xr = reorder_short_lin(xr, widths, g.mixed_block)
     return xr
