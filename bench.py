@@ -182,6 +182,32 @@ def main() -> int:
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
+    # Deadline insurance covers the WHOLE run, including setup: the
+    # tunnel can stall inside ANY blocking RPC (observed: a compile /
+    # probe hanging with zero CPU during the untimed setup phase, which
+    # the old pass-loop-only watchdog never covered).  Until the pass
+    # loop installs a best-completed-pass line, a stall past the grace
+    # window reports an explicit error instead of hanging forever.
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", "1500"))
+    best_line = {"s": None}
+
+    def _watchdog():
+        while True:
+            time.sleep(10)
+            if time.monotonic() > deadline + 120:
+                if best_line["s"]:
+                    print(best_line["s"], flush=True)
+                else:
+                    print(json.dumps(
+                        {"metric": "flac_aac_decode_realtime_x",
+                         "value": 0.0, "unit": "x_realtime",
+                         "vs_baseline": 0.0,
+                         "error": "deadline: tunnel stalled"}), flush=True)
+                os._exit(0 if best_line["s"] else 1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     if args.cpu:
@@ -701,31 +727,11 @@ def main() -> int:
 
     walls = []
     peak = 0.0
-    # deadline insurance: the tunnel occasionally stalls outright
-    # (observed: a trivial device op taking minutes).  A graceful break
-    # stops starting new passes near the deadline; the hard watchdog
-    # rescues a pass that hangs INSIDE a blocking RPC by printing the
-    # best completed result and exiting (a daemon thread cannot
-    # interrupt a stuck C call any other way).
-    deadline = time.monotonic() + float(
-        os.environ.get("BENCH_DEADLINE_S", "1500"))
-    best_line = {"s": None}
-
-    def _watchdog():
-        while True:
-            time.sleep(10)
-            if time.monotonic() > deadline + 120:
-                if best_line["s"]:
-                    print(best_line["s"], flush=True)
-                else:
-                    print(json.dumps(
-                        {"metric": "flac_aac_decode_realtime_x",
-                         "value": 0.0, "unit": "x_realtime",
-                         "vs_baseline": 0.0,
-                         "error": "deadline: tunnel stalled"}), flush=True)
-                os._exit(0 if best_line["s"] else 1)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    # (the deadline watchdog guarding this loop — and the whole setup
+    # before it — was installed right after arg parsing; the graceful
+    # break below stops starting new passes near the deadline, the
+    # watchdog rescues a pass hung INSIDE a blocking RPC by printing
+    # the best completed result and exiting)
     for _ in range(max(1, args.passes)):
         w, p = timed_pass()
         if w is None:
