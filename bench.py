@@ -560,6 +560,20 @@ def main() -> int:
             va["eva2"][ne:] = 0
             a_done[c].set()
 
+    if os.environ.get("BENCH_PARSE_ONLY"):
+        # host-side diagnostic: time the full parse/slab-fill path
+        # (the producer leg of every timed pass) without touching the
+        # device — separates parse CPU from tunnel weather
+        for trial in range(3):
+            fq = [threading.Event() for _ in range(NCH)]
+            aq = [threading.Event() for _ in range(NCH)]
+            t0 = time.perf_counter()
+            parse_all(fq, aq)
+            print(json.dumps({"parse_all_s":
+                              round(time.perf_counter() - t0, 3),
+                              "fail": state["fail"]}))
+        return 0
+
     # --- device program: ONE merged scan-free program per chunk ------------
     def flac_part(v):
         pcm = _synthesise_group_rice(
