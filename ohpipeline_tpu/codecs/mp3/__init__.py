@@ -43,13 +43,12 @@ def decode_frames(frames: list[BS.Mp3Frame], state: _StreamState,
     return decode_frames_lazy(frames, state, channels, bit_depth)()
 
 
-def decode_frames_lazy(frames: list[BS.Mp3Frame], state: _StreamState,
-                       channels: int, bit_depth: int = 16):
-    """decode_frames with async device dispatch: host prep + the jitted
-    filterbank call happen now (states advance immediately, device
-    arrays are futures), and the returned zero-arg function blocks on
-    the PCM download — so a caller can parse/dispatch the next group
-    while the chip runs this one."""
+def prepare_granules(frames: list[BS.Mp3Frame],
+                     channels: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host entropy prep for a group: requantize + stereo + alias per
+    granule -> (xr_t (Tg, C, 576) f32, bt_t (Tg, C, 32) i32), the
+    hybrid filterbank's input (shared by the codec and the multichip
+    dryrun)."""
     granules = []
     btypes = []
     for fr in frames:
@@ -81,9 +80,21 @@ def decode_frames_lazy(frames: list[BS.Mp3Frame], state: _StreamState,
             granules.append(spec.astype(np.float32))
             btypes.append(bt_row)
     if not granules:
+        return (np.zeros((0, channels, 576), np.float32),
+                np.zeros((0, channels, 32), np.int32))
+    return np.stack(granules), np.stack(btypes)
+
+
+def decode_frames_lazy(frames: list[BS.Mp3Frame], state: _StreamState,
+                       channels: int, bit_depth: int = 16):
+    """decode_frames with async device dispatch: host prep + the jitted
+    filterbank call happen now (states advance immediately, device
+    arrays are futures), and the returned zero-arg function blocks on
+    the PCM download — so a caller can parse/dispatch the next group
+    while the chip runs this one."""
+    xr_t, bt_t = prepare_granules(frames, channels)
+    if not xr_t.shape[0]:
         return lambda: np.zeros((channels, 0), np.int32)
-    xr_t = np.stack(granules)                  # (Tg, C, 576)
-    bt_t = np.stack(btypes)
     ops = SYN._imdct_operators().astype(np.float32)
     poly = jnp.asarray(SYN._polyphase_matrix(), dtype=jnp.float32)
     wnd = jnp.asarray(SYN._window_matrix(), dtype=jnp.float32)
