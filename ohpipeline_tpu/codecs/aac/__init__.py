@@ -689,8 +689,11 @@ def _sbr_decode_frames_device_ps(frames, state, sbr,
     except Exception:                                 # noqa: BLE001
         return None
     header0 = sbr.header
-    import copy
-    snap = (copy.deepcopy(getattr(sbr, "_parse_prev", None)),
+    # shallow list copy: parse advances by REPLACING _parse_prev items
+    # (tuples of fresh rows), never mutating them - so restoring the
+    # list restores the state (deepcopy cost ~90 ms/stream)
+    pp = getattr(sbr, "_parse_prev", None)
+    snap = (list(pp) if pp is not None else None,
             getattr(sbr, "_ps_prev", None))
     payloads = (batch["sbr"][:nframes] if batch is not None
                 else [fr.sbr for fr in frames])
@@ -750,9 +753,11 @@ def _sbr_decode_frames_device(frames, state, sbr, nch,
         return None
     header0 = sbr.header
     # snapshot the delta-coding parse state: a fallback re-parses the
-    # same payloads through the numpy path
-    import copy
-    snap = (copy.deepcopy(getattr(sbr, "_parse_prev", None)),
+    # same payloads through the numpy path.  Shallow list copy suffices:
+    # parse REPLACES _parse_prev items (tuples of fresh rows), never
+    # mutates them.
+    pp = getattr(sbr, "_parse_prev", None)
+    snap = (list(pp) if pp is not None else None,
             getattr(sbr, "_ps_prev", None))
     payloads = (batch["sbr"][:nframes] if batch is not None
                 else [fr.sbr for fr in frames])

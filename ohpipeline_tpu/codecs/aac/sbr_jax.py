@@ -128,34 +128,70 @@ class SbrFrameCond:
         self.bwk = z((F, 64), np.float32)              # chirp per band
 
 
+def _band_bin_maps(ft) -> tuple:
+    """(map_low, map_high, map_noise): per-table (nb, M) float one-hot
+    band->bin expansion matrices (row b_ covers bins
+    [f[b_]-kx, f[b_+1]-kx) clamped to [0, M)) — the vectorized form of
+    build_frame_cond's per-band slice fills."""
+    kx, M = ft.kx, ft.M
+
+    def mk(bands):
+        nb = len(bands) - 1
+        mp = np.zeros((nb, M), np.float64)
+        for b_ in range(nb):
+            lo = max(int(bands[b_]) - kx, 0)
+            hi = min(int(bands[b_ + 1]) - kx, M)
+            if hi > lo:
+                mp[b_, lo:hi] = 1.0
+        return mp
+
+    return mk(ft.f_low), mk(ft.f_high), mk(ft.f_noise)
+
+
+def _clamped_row(row: np.ndarray, nb: int) -> np.ndarray:
+    """row resized to nb entries, repeating the last (the defensive
+    min(b_, len(row)-1) indexing of the loop form)."""
+    row = np.asarray(row, np.float64)
+    if len(row) == nb:
+        return row
+    return row[np.minimum(np.arange(nb), len(row) - 1)]
+
+
 def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
                      static: SbrStatic, datas: list, Es: list,
-                     Qs: list, first: bool) -> SbrFrameCond:
+                     Qs: list, first: bool,
+                     cond: "SbrFrameCond" = None) -> SbrFrameCond:
     """Mirror of sbr.py _reconstruct/_adjust conditioning for a group.
     Advances the host-side counters in ``st`` (bw, noise_index,
     sine_index, prev_harm_bins, prev_tran_env) exactly as the numpy
-    path does."""
+    path does.  Band->bin fills run as small matmuls against the
+    cached one-hot maps instead of per-band slice assignments."""
     ft, hdr = dec.ft, dec.header
     kx, M = ft.kx, ft.M
     F = len(datas)
     need_bid = not hdr.interpol_freq
-    cond = SbrFrameCond(F, M, need_bid)
+    if cond is None:
+        cond = SbrFrameCond(F, M, need_bid)
     cond.noise_idx0[0] = st.noise_index
     cond.sine_ph0[0] = st.sine_index
     lag = dec.ENV_LAG
+    maps = getattr(static, "_band_maps", None)
+    if maps is None:
+        maps = static._band_maps = _band_bin_maps(ft)
+    map_low, map_high, map_noise = maps
+    bw_tab = np.asarray(SBR.BW_TABLE)
+    smooth = np.asarray(SBR._SMOOTH_FILTER)
     for f, (data, E, Q) in enumerate(zip(datas, Es, Qs)):
         g = data.grid
         # chirp factors (host recurrence, same as _reconstruct)
-        bw = np.empty(ft.n_q)
-        for i in range(ft.n_q):
-            nb = SBR.BW_TABLE[data.invf[i]]
-            prev = st.bw[i]
-            v = 0.75 * nb + 0.25 * prev if nb < prev \
-                else 0.90625 * nb + 0.09375 * prev
-            if v < 0.015625:
-                v = 0.0
-            bw[i] = min(v, 0.99609375)
-            st.bw[i] = bw[i]
+        nq = ft.n_q
+        nbq = bw_tab[np.asarray(data.invf[:nq], np.int64)]
+        prev = np.asarray(st.bw[:nq], np.float64)
+        bw = np.where(nbq < prev, 0.75 * nbq + 0.25 * prev,
+                      0.90625 * nbq + 0.09375 * prev)
+        bw[bw < 0.015625] = 0.0
+        bw = np.minimum(bw, 0.99609375)
+        st.bw[:nq] = bw
         cond.bwk[f] = bw[static.patch_qi]
         # sine bookkeeping (host state, as in _adjust)
         sine_start = {}
@@ -182,52 +218,46 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
             if sl1 <= sl0:
                 continue
             fr = g.freq_res[e]
-            bands = ft.f_high if fr else ft.f_low
-            nb = len(bands) - 1
-            Erow = np.asarray(E[e], np.float64)
+            mp = map_high if fr else map_low
+            nb = mp.shape[0]
             ne = 0
             for q in range(g.n_noise):
                 if g.t_noise[q] <= g.t_env[e] < g.t_noise[q + 1]:
                     ne = q
-            Qrow = np.asarray(Q[ne], np.float64)
-            for b_ in range(nb):
-                lo = max(int(bands[b_]) - kx, 0)
-                hi = min(int(bands[b_ + 1]) - kx, M)
-                cond.Emap[f, e, lo:hi] = Erow[min(b_, len(Erow) - 1)]
-                if need_bid and b_ < NB_MAX:
-                    cond.bid[f, e, lo:hi, b_] = 1.0
-            for q in range(ft.n_q):
-                lo = max(int(ft.f_noise[q]) - kx, 0)
-                hi = min(int(ft.f_noise[q + 1]) - kx, M)
-                cond.Qmap[f, e, lo:hi] = Qrow[min(q, len(Qrow) - 1)]
+            cond.Emap[f, e] = _clamped_row(E[e], nb) @ mp
+            if need_bid:
+                nbb = min(nb, NB_MAX)
+                cond.bid[f, e, :, :nbb] = mp[:nbb].T
+            cond.Qmap[f, e] = _clamped_row(Q[ne],
+                                           map_noise.shape[0]) @ map_noise
             sine = np.zeros(M, bool)
             for mid, start in sine_start.items():
                 if e >= start:
                     sine[mid] = True
             cond.sine[f, e] = sine
-            for b_ in range(nb):
-                lo = max(int(bands[b_]) - kx, 0)
-                hi = min(int(bands[b_ + 1]) - kx, M)
-                if sine[lo:hi].any():
-                    cond.sine_band[f, e, lo:hi] = 1.0
+            if sine.any():
+                hasb = (mp @ sine.astype(np.float64)) > 0
+                cond.sine_band[f, e] = \
+                    (hasb.astype(np.float64) @ mp) > 0
             no_noise = (e == g.tran_env or e == prev_tran)
             cond.no_noise[f, e] = float(no_noise)
             smooth_len = 0 if no_noise or hdr.smoothing_mode else 4
-            for sl in range(sl0, sl1):
-                cond.A[f, sl, e] = 1.0
-                cond.active[f, sl] = 1.0
-                k = sl - sl0
-                if k < smooth_len:
-                    cond.r[f, sl] = SBR._SMOOTH_FILTER[k]
-                # smoothing source: previous processed env in this
-                # frame, else the cross-frame carry (index MAXE); the
-                # very first env ever smooths against itself
-                if last_processed >= 0:
-                    cond.Aprev[f, sl, last_processed] = 1.0
-                elif first and f == 0:
-                    cond.Aprev[f, sl, e] = 1.0
-                else:
-                    cond.Aprev[f, sl, MAXE] = 1.0
+            sls = np.arange(sl0, sl1)
+            cond.A[f, sls, e] = 1.0
+            cond.active[f, sls] = 1.0
+            kk = sls - sl0
+            ksm = kk < smooth_len
+            if ksm.any():
+                cond.r[f, sls[ksm]] = smooth[kk[ksm]]
+            # smoothing source: previous processed env in this
+            # frame, else the cross-frame carry (index MAXE); the
+            # very first env ever smooths against itself
+            if last_processed >= 0:
+                cond.Aprev[f, sls, last_processed] = 1.0
+            elif first and f == 0:
+                cond.Aprev[f, sls, e] = 1.0
+            else:
+                cond.Aprev[f, sls, MAXE] = 1.0
             # noise/sine counters advance per active slot (M V-table
             # entries / one phase step each); the device regenerates the
             # value planes from the seeds recorded above
@@ -634,15 +664,22 @@ class SbrDeviceRunner:
         import jax
         import jax.numpy as jnp
         nch = pcm_frames.shape[0]
-        conds = []
+        # fill channel conds straight into (C, ...)-stacked arrays so
+        # the device_put needs no np.stack copies of the big planes
+        F = pcm_frames.shape[1]
+        need_bid = not self.dec.header.interpol_freq
+        proto = vars(SbrFrameCond(F, self.static.M, need_bid))
+        stacked = {k: np.zeros((nch,) + v.shape, v.dtype)
+                   for k, v in proto.items()}
         for ch in range(nch):
+            view = SbrFrameCond.__new__(SbrFrameCond)
+            for k in proto:
+                setattr(view, k, stacked[k][ch])
             datas, Es, Qs = per_ch[ch]
-            conds.append(vars(build_frame_cond(
-                self.dec, self.state_host[ch], self.static,
-                datas, Es, Qs, self.first[ch])))
+            build_frame_cond(self.dec, self.state_host[ch], self.static,
+                             datas, Es, Qs, self.first[ch], cond=view)
             self.first[ch] = False
-        cd = {k: jnp.asarray(np.stack([c[k] for c in conds]))
-              for k in conds[0]}
+        cd = {k: jnp.asarray(v) for k, v in stacked.items()}
         st = self._stacked
         if st is None:
             st = jax.tree.map(lambda *xs: jnp.stack(xs),
