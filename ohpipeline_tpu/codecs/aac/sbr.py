@@ -21,6 +21,7 @@ fdk oracle decode of the same streams.
 from __future__ import annotations
 
 import math
+import os
 import pathlib
 from dataclasses import dataclass, field
 
@@ -988,12 +989,83 @@ class SbrDecoder:
         if not hasattr(self, "_parse_prev"):
             self._parse_prev = [None, None]
             self._ps_prev = None
+        native_r = None
+        if not os.environ.get("OHP_SBR_PY"):
+            native_r = self._parse_payload_native(payload, b.pos, nbits,
+                                                  stereo)
+        if native_r is not None:
+            return native_r
         chans, coupling = parse_sbr_data(b, self.header, self.ft, stereo,
                                          self._parse_prev,
                                          ps_prev=self._ps_prev)
         if chans[0].ps is not None:
             self._ps_prev = chans[0].ps
         return chans, coupling
+
+    def _parse_payload_native(self, payload: bytes, start_bit: int,
+                              nbits: int, stereo: bool):
+        """One native call for the bit-serial sbr_data() parse
+        (native/sbr_parse.cc, field-exact vs parse_sbr_data); PS
+        payloads are handed back to parse_ps_data at the recorded bit
+        range.  None -> caller uses the Python parser (state is only
+        committed here on success)."""
+        try:
+            from ... import native
+            if not native.have_sbr_parse():
+                return None
+        except Exception:                             # noqa: BLE001
+            return None
+        ft = self.ft
+        maps = getattr(self, "_native_res_maps", None)
+        if maps is None or maps[0] is not ft:
+            idx_h2l = (np.searchsorted(ft.f_low, ft.f_high[:ft.n_high],
+                                       side="right") - 1).astype(np.int32)
+            idx_l2h = (np.searchsorted(ft.f_high, ft.f_low[:ft.n_low],
+                                       side="right") - 1).astype(np.int32)
+            maps = (ft, idx_h2l, idx_l2h)
+            self._native_res_maps = maps
+        r = native.sbr_parse_payload(
+            payload, start_bit, nbits, stereo=stereo,
+            amp_res=self.header.amp_res, n_q=ft.n_q, n_low=ft.n_low,
+            n_high=ft.n_high, idx_h2l=maps[1], idx_l2h=maps[2],
+            prev_state=self._parse_prev)
+        if r is None:
+            return None
+        chans = [ChannelData(), ChannelData()] if stereo             else [ChannelData()]
+        for c, ch in enumerate(chans):
+            go = r["grid"][c]
+            g = ChannelGrid()
+            g.frame_class = int(go[0])
+            g.n_env = int(go[1])
+            g.pointer = int(go[2])
+            g.tran_env = int(go[3])
+            g.n_noise = int(go[4])
+            nt = int(go[5])
+            g.t_env = [int(x) for x in go[6:6 + nt]]
+            g.t_noise = [int(x) for x in go[22:22 + g.n_noise + 1]]
+            g.freq_res = [int(x) for x in go[25:25 + g.n_env]]
+            ch.grid = g
+            ch.df_env = [int(x) for x in r["df_env"][c][:g.n_env]]
+            ch.df_noise = [int(x) for x in r["df_noise"][c][:g.n_noise]]
+            ch.invf = [int(x) for x in r["invf"][c][:ft.n_q]]
+            ch.env = [r["env"][c, e,
+                              :(ft.n_high if g.freq_res[e] else ft.n_low)]
+                      .copy() for e in range(g.n_env)]
+            ch.noise = [r["noise"][c, e, :ft.n_q].copy()
+                        for e in range(g.n_noise)]
+            ch.add_harmonic = r["add_harm"][c][:ft.n_high].copy()
+        ps = None
+        ps0, ps1 = int(r["ps_bits"][0]), int(r["ps_bits"][1])
+        if ps0 >= 0:
+            b2 = Bits(payload, ps0, nbits)
+            ps = parse_ps_data(b2, ps1, self._ps_prev)
+        chans[0].ps = ps
+        if ps is not None:
+            self._ps_prev = ps
+        for i, ch in enumerate(chans):
+            self._parse_prev[i] = (ch.env[-1], ch.grid.freq_res[-1],
+                                   ch.noise[-1])
+        return chans, r["coupling"]
 
     # -- QMF analysis: one core frame (1024 samples) -> 32 slots x 32 ----
     def analyze(self, ch: int, pcm: np.ndarray) -> np.ndarray:

@@ -1324,3 +1324,103 @@ class VorbisNativeCtx:
         if getattr(self, "_handle", None) and self._lib is not None:
             self._lib.vorbis_ctx_destroy(self._handle)
             self._handle = None
+
+
+# ---------------------------------------------------------------------------
+# SBR payload parse (sbr_parse.cc): the bit-serial LP layer of HE-AAC's
+# SBR extension in one native call per frame.  Python's parse_sbr_data
+# (codecs/aac/sbr.py) stays the oracle/fallback; tests assert
+# field-exact agreement.
+
+_SBR_BOOK_IDS = ("huff_EnvLevel10T", "huff_EnvLevel10F",
+                 "huff_EnvLevel11T", "huff_EnvLevel11F",
+                 "huff_EnvBalance10T", "huff_EnvBalance10F",
+                 "huff_EnvBalance11T", "huff_EnvBalance11F",
+                 "huff_NoiseLevel11T", "huff_NoiseBalance11T")
+_SBR_MAXENV, _SBR_MAXB, _SBR_MAXQ = 5, 64, 8
+_sbr_books_keep: list = []      # keep injected arrays alive
+
+
+def _sbr_lib() -> ctypes.CDLL | None:
+    lib = _load("sbrparse", ["sbr_parse.cc"])
+    if lib is None:
+        return None
+    if not getattr(lib, "_sigs_set", False):
+        lib.sbr_set_book.argtypes = [ctypes.c_int, _i32p, ctypes.c_int]
+        lib.sbr_parse_payload.restype = ctypes.c_int
+        lib.sbr_parse_payload.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p, _i32p,
+            _i32p, _i32p, _i32p, _i32p, _i32p,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _i64p, _i32p]
+        from ..codecs.aac.sbr import tables as _sbr_tables
+        T = _sbr_tables()
+        for i, name in enumerate(_SBR_BOOK_IDS):
+            tree = np.ascontiguousarray(T[name].astype(np.int32))
+            _sbr_books_keep.append(tree)
+            lib.sbr_set_book(i, tree, tree.shape[0])
+        lib._sigs_set = True
+    return lib
+
+
+def have_sbr_parse() -> bool:
+    return _sbr_lib() is not None
+
+
+def sbr_parse_payload(payload: bytes, start_bit: int, nbits: int, *,
+                      stereo: bool, amp_res: int, n_q: int, n_low: int,
+                      n_high: int, idx_h2l: np.ndarray,
+                      idx_l2h: np.ndarray, prev_state: list):
+    """One SBR payload (after crc + header flag) -> dict of dense
+    arrays, or None on parse failure (caller falls back to Python
+    without any state having been touched).
+
+    prev_state mirrors sbr.py's _parse_prev: per channel None or
+    (env_row, freq_res, noise_row)."""
+    lib = _sbr_lib()
+    if lib is None:
+        return None
+    pe = np.zeros((2, _SBR_MAXB), np.int32)
+    pel = np.zeros(2, np.int32)
+    pr = np.ones(2, np.int32)
+    pn = np.zeros((2, _SBR_MAXQ), np.int32)
+    pnh = np.zeros(2, np.int32)
+    for i in range(2):
+        stt = prev_state[i] if prev_state and i < len(prev_state) else None
+        if stt is not None:
+            env_row, res, noise_row = stt
+            if env_row is not None:
+                n = min(len(env_row), _SBR_MAXB)
+                pe[i, :n] = np.asarray(env_row, np.int32)[:n]
+                pel[i] = n
+            pr[i] = int(res)
+            if noise_row is not None:
+                nn = min(len(noise_row), _SBR_MAXQ)
+                pn[i, :nn] = np.asarray(noise_row, np.int32)[:nn]
+                pnh[i] = 1
+    grid = np.zeros((2, 32), np.int32)
+    df_env = np.zeros((2, _SBR_MAXENV), np.int32)
+    df_noise = np.zeros((2, 2), np.int32)
+    invf = np.zeros((2, _SBR_MAXQ), np.int32)
+    env_rows = np.zeros((2, _SBR_MAXENV, _SBR_MAXB), np.int32)
+    noise_rows = np.zeros((2, 2, _SBR_MAXQ), np.int32)
+    add_harm = np.zeros((2, _SBR_MAXB), np.int32)
+    ps_bits = np.zeros(2, np.int64)
+    coupling = np.zeros(1, np.int32)
+    ok = lib.sbr_parse_payload(
+        payload, nbits, start_bit, int(stereo), int(amp_res),
+        n_q, n_low, n_high,
+        np.ascontiguousarray(idx_h2l, np.int32),
+        np.ascontiguousarray(idx_l2h, np.int32),
+        pe, pel, pr, pn, pnh,
+        grid, df_env, df_noise, invf, env_rows, noise_rows, add_harm,
+        ps_bits, coupling)
+    if ok != 1:
+        return None
+    return {"grid": grid, "df_env": df_env, "df_noise": df_noise,
+            "invf": invf, "env": env_rows, "noise": noise_rows,
+            "add_harm": add_harm, "ps_bits": ps_bits,
+            "coupling": bool(coupling[0])}
