@@ -64,6 +64,12 @@ struct BitReader {
 };
 
 // ---- injected Huffman LUTs -------------------------------------------
+// Each book is repacked at injection time into ONE uint32 table:
+// entry = (row << 6) | code_len (0 = invalid) — a single load per
+// codeword instead of separate lengths[]/rows[] lookups.  The
+// scalefactor book (19-bit codes -> a 2 MB flat table) additionally
+// gets a 10-bit first level that covers the short, high-probability
+// codes so the hot path stays in L1/L2.
 struct Lut {
     int maxlen = 0;
     const uint8_t* lengths = nullptr;   // [1<<maxlen]
@@ -71,10 +77,13 @@ struct Lut {
     const int8_t* vals = nullptr;       // [n][dim]
     int dim = 0;
     int is_unsigned = 0;
+    uint32_t* packed = nullptr;         // [1<<maxlen] (row<<6)|len
 };
 Lut g_spec[12];          // 1..11
 Lut g_scl;               // dim 1, vals int8? use int16 via rows->vals16
 const int16_t* g_scl_vals = nullptr;
+constexpr int SCL_FAST = 10;
+uint32_t* g_scl_fast = nullptr;         // [1<<SCL_FAST], 0 = escape
 
 // 8 groups x 15-sfb stride + 1 mask sentinel byte = 121; round to 128 so
 // the M/S mask row (offset by 1) can never touch the next row.
@@ -97,6 +106,22 @@ void aac_set_tables(int cb, int maxlen, const uint8_t* lengths,
     l.vals = vals;
     l.dim = dim;
     l.is_unsigned = is_unsigned;
+    size_t n = (size_t)1 << maxlen;
+    delete[] l.packed;
+    l.packed = new uint32_t[n];
+    for (size_t w = 0; w < n; w++)
+        l.packed[w] = lengths[w]
+            ? (((uint32_t)rows[w]) << 6) | lengths[w] : 0;
+    if (cb == 0) {
+        delete[] g_scl_fast;
+        g_scl_fast = new uint32_t[(size_t)1 << SCL_FAST];
+        for (size_t w = 0; w < ((size_t)1 << SCL_FAST); w++) {
+            // the first-level entry is valid only when the code fits
+            // entirely inside SCL_FAST bits
+            uint32_t e = l.packed[w << (maxlen - SCL_FAST)];
+            g_scl_fast[w] = (e && (e & 63) <= SCL_FAST) ? e : 0;
+        }
+    }
 }
 
 void aac_set_scl_vals(const int16_t* vals) { g_scl_vals = vals; }
@@ -174,10 +199,13 @@ namespace {
 
 inline int decode_scl(BitReader& br) {
     uint32_t w = br.peek(g_scl.maxlen);
-    uint8_t len = g_scl.lengths[w];
-    if (!len) { br.ok = false; return 0; }
-    br.skip(len);
-    return g_scl_vals[g_scl.rows[w]];
+    uint32_t e = g_scl_fast[w >> (g_scl.maxlen - SCL_FAST)];
+    if (!e) {
+        e = g_scl.packed[w];            // long code: 2 MB flat table
+        if (!e) { br.ok = false; return 0; }
+    }
+    br.skip(e & 63);
+    return g_scl_vals[e >> 6];
 }
 
 struct Ics {
@@ -331,8 +359,7 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
             if (c == 0 || c == 12 || c >= 13) { pos += n; continue; }
             const Lut& lut = g_spec[c];
             const int dim = lut.dim, maxlen = lut.maxlen;
-            const uint8_t* lengths = lut.lengths;
-            const int32_t* rows = lut.rows;
+            const uint32_t* packed = lut.packed;
             const int8_t* vals = lut.vals;
             const int uns = lut.is_unsigned;
             const size_t endbit = br.nbytes * 8;
@@ -341,9 +368,10 @@ bool parse_ics_stream(BitReader& br, int rate_index, bool common,
                 // sign bits that follow it (len + signs <= 56 always)
                 uint64_t w64 = br.window();
                 uint32_t w = (uint32_t)(w64 >> (64 - maxlen));
-                uint8_t len = lengths[w];
-                if (!len) return false;
-                const int8_t* v = &vals[rows[w] * dim];
+                uint32_t e = packed[w];
+                if (!e) return false;
+                uint8_t len = (uint8_t)(e & 63);
+                const int8_t* v = &vals[(e >> 6) * dim];
                 int32_t vv[4];
                 int adv = len;
                 if (uns) {
@@ -893,6 +921,41 @@ int aac_prepare_rows_zz(
                 }
                 ngroups = gi + 1;
             }
+            if (!shortw) {
+                // long windows: grouped order == spectral order, so the
+                // nibble emission is one flat scan with an 8-byte
+                // zero-skip (spectra are sparse; uncoded bands are
+                // already zero in q) — the band walk only sets sf bytes
+                for (int k = 0; k < max_sfb && k < 64; k++) {
+                    int cbv = cbr[k];
+                    if (cbv >= 1 && cbv <= 11) {
+                        int32_t sv = sfr[k];
+                        brow[k] = (uint8_t)(sv < 0 ? 0
+                                            : (sv > 255 ? 255 : sv));
+                    }
+                }
+                for (int j = 0; j < 1024; j += 2) {
+                    uint64_t two;
+                    memcpy(&two, q + j, 8);
+                    if (two == 0) continue;
+                    for (int d = 0; d < 2; d++) {
+                        int32_t v = q[j + d];
+                        if (v == 0) continue;
+                        int dst = j + d;
+                        uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
+                        if (zz > 14) {
+                            if (*esc_count >= esc_cap) return -4;
+                            int e = (*esc_count)++;
+                            esc_row[e] = (int32_t)(row_base + orow);
+                            esc_pos[e] = dst;
+                            esc_val[e] = v;
+                        } else {
+                            qrow[dst >> 1] |= (uint8_t)(
+                                (dst & 1) ? (zz << 4) : zz);
+                        }
+                    }
+                }
+            } else {
             int pos = 0, win_base = 0;
             for (int g = 0; g < ngroups; g++) {
                 int wins = group_wins[g];
@@ -902,13 +965,11 @@ int aac_prepare_rows_zz(
                     bool coded = cbv >= 1 && cbv <= 11;
                     int32_t sv = sfr[g * 15 + k];
                     uint8_t sb = (uint8_t)(sv < 0 ? 0 : (sv > 255 ? 255 : sv));
-                    if (!shortw && coded && k < 64) brow[k] = sb;
                     for (int w = 0; w < wins; w++) {
-                        int dbase = shortw ? (win_base + w) * 128 + offsets[k]
-                                           : offsets[k];
+                        int dbase = (win_base + w) * 128 + offsets[k];
                         for (int j = 0; j < width; j++) {
                             int dst = dbase + j;
-                            if (shortw && coded) srow[dst] = sb;
+                            if (coded) srow[dst] = sb;
                             int32_t v = q[pos + j];
                             if (v == 0) continue;
                             uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
@@ -927,7 +988,8 @@ int aac_prepare_rows_zz(
                     }
                 }
                 win_base += wins;
-                pos = win_base * (shortw ? 128 : 1024);
+                pos = win_base * 128;
+            }
             }
             bool ch_special = false;
             for (int k = 0; k < 120; k++)
