@@ -17,7 +17,39 @@ struct Lut {
     const int8_t* vals = nullptr;       // [nrows * dim]
     int dim = 0;
     int linbits = 0;
+    // packed = (row << 6) | len (0 = invalid): one load per codeword;
+    // tables longer than 12 bits (up to 2 MB flat) get an L1-resident
+    // 10-bit first level covering the short high-probability codes
+    uint32_t* packed = nullptr;
+    uint32_t* fast = nullptr;
 };
+constexpr int MP3_FAST = 10;
+
+inline void build_packed(Lut& l) {
+    size_t n = (size_t)1 << l.maxlen;
+    delete[] l.packed;
+    l.packed = new uint32_t[n];
+    for (size_t w = 0; w < n; w++)
+        l.packed[w] = l.lengths[w]
+            ? (((uint32_t)l.rows[w]) << 6) | l.lengths[w] : 0;
+    delete[] l.fast;
+    l.fast = nullptr;
+    if (l.maxlen > 12) {
+        l.fast = new uint32_t[(size_t)1 << MP3_FAST];
+        for (size_t w = 0; w < ((size_t)1 << MP3_FAST); w++) {
+            uint32_t e = l.packed[w << (l.maxlen - MP3_FAST)];
+            l.fast[w] = (e && (e & 63) <= MP3_FAST) ? e : 0;
+        }
+    }
+}
+
+inline uint32_t lut_lookup(const Lut& l, uint32_t w) {
+    if (l.fast) {
+        uint32_t e = l.fast[w >> (l.maxlen - MP3_FAST)];
+        if (e) return e;
+    }
+    return l.packed[w];
+}
 
 Lut g_pair[32];     // table id 0..31 (0 unused)
 Lut g_quad[2];
@@ -29,9 +61,17 @@ struct Bits {
 };
 
 inline uint32_t peek(const Bits& b, int n) {
-    // zero-padded peek (HuffLut peeks near stream end)
-    uint64_t v = 0;
     int64_t first = b.pos >> 3;
+    if ((first + 8) * 8 <= b.nbits) {
+        // fast path: one unaligned 64-bit load (the wrapper passes
+        // len(data)*8 as nbits, so all 8 bytes are in the buffer)
+        uint64_t w;
+        memcpy(&w, b.data + first, 8);
+        w = __builtin_bswap64(w) << (b.pos & 7);
+        return (uint32_t)(w >> (64 - n));
+    }
+    // zero-padded tail (HuffLut peeks near stream end)
+    uint64_t v = 0;
     for (int i = 0; i < 6; i++) {
         int64_t idx = first + i;
         v = (v << 8) | (idx * 8 < b.nbits ? b.data[idx] : 0);
@@ -55,13 +95,21 @@ void mp3_set_pair_table(int tid, int maxlen, const uint8_t* lengths,
                         const int32_t* rows, const int8_t* vals,
                         int linbits) {
     if (tid < 0 || tid >= 32) return;
-    g_pair[tid] = {maxlen, lengths, rows, vals, 2, linbits};
+    Lut& l = g_pair[tid];
+    uint32_t* op = l.packed;
+    uint32_t* of = l.fast;
+    l = {maxlen, lengths, rows, vals, 2, linbits, op, of};
+    build_packed(l);
 }
 
 void mp3_set_quad_table(int which, int maxlen, const uint8_t* lengths,
                         const int32_t* rows, const int8_t* vals) {
     if (which < 0 || which >= 2) return;
-    g_quad[which] = {maxlen, lengths, rows, vals, 4, 0};
+    Lut& l = g_quad[which];
+    uint32_t* op = l.packed;
+    uint32_t* of = l.fast;
+    l = {maxlen, lengths, rows, vals, 4, 0, op, of};
+    build_packed(l);
 }
 
 // Decode big_values pairs + count1 quads into out[576].
@@ -84,11 +132,11 @@ int mp3_parse_huffman(const uint8_t* data, int64_t nbits,
         }
         if (b.pos >= end_bit) break;
         uint32_t w = peek(b, lut.maxlen);
-        int length = lut.lengths[w];
-        if (length == 0) return -2;     // invalid code (ValueError)
-        b.pos += length;                // skip may pass the end, like
+        uint32_t e = lut_lookup(lut, w);
+        if (e == 0) return -2;          // invalid code (ValueError)
+        b.pos += e & 63;                // skip may pass the end, like
                                         // BitReader.skip; reads error
-        const int8_t* xy = &lut.vals[lut.rows[w] * 2];
+        const int8_t* xy = &lut.vals[(e >> 6) * 2];
         int32_t x = xy[0], y = xy[1];
         uint32_t bit;
         if (x == 15 && lut.linbits) {
@@ -114,10 +162,10 @@ int mp3_parse_huffman(const uint8_t* data, int64_t nbits,
     const Lut& q = g_quad[count1table ? 1 : 0];
     while (b.pos < end_bit && i <= 572) {
         uint32_t w = peek(b, q.maxlen);
-        int length = q.lengths[w];
-        if (length == 0) return -2;
-        b.pos += length;
-        const int8_t* v4 = &q.vals[q.rows[w] * 4];
+        uint32_t e = lut_lookup(q, w);
+        if (e == 0) return -2;
+        b.pos += e & 63;
+        const int8_t* v4 = &q.vals[(e >> 6) * 4];
         for (int j = 0; j < 4; j++) {
             int32_t v = v4[j];
             if (v) {
