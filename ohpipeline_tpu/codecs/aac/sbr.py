@@ -722,6 +722,11 @@ def parse_grid(b: Bits) -> ChannelGrid:
             hi.append(hi[-1] - r)
         g.t_env = sorted(set(lo + hi))
         g.tran_env = ((nrel0 + nrel1 + 1) - g.pointer) if g.pointer else -1
+    # out-of-spec pointer: fdk's extractFrameInfo rejects the frame
+    # (bs_pointer > bs_num_env + 1); an unchecked value would index
+    # outside t_env below
+    if g.pointer > g.n_env + 1:
+        raise SbrError("bs_pointer out of range")
     # noise grid
     if g.n_env == 1:
         g.n_noise = 1
@@ -729,20 +734,23 @@ def parse_grid(b: Bits) -> ChannelGrid:
     else:
         g.n_noise = 2
         if g.frame_class == FIXFIX:
-            middle = g.t_env[g.n_env // 2]
+            mi = g.n_env // 2
         elif g.frame_class in (VARFIX,):
             if g.pointer == 0:
-                middle = g.t_env[1]
+                mi = 1
             elif g.pointer == 1:
-                middle = g.t_env[g.n_env - 1]
+                mi = g.n_env - 1
             else:
-                middle = g.t_env[g.pointer - 1]
+                mi = g.pointer - 1
         else:
             if g.pointer > 1:
-                middle = g.t_env[g.n_env + 1 - g.pointer]
+                mi = g.n_env + 1 - g.pointer
             else:
-                middle = g.t_env[g.n_env - 1]
-        g.t_noise = [g.t_env[0], middle, g.t_env[-1]]
+                mi = g.n_env - 1
+        if not 0 <= mi < len(g.t_env):
+            # VARVAR border-set dedup can shrink t_env below n_env+1
+            raise SbrError("corrupt envelope grid")
+        g.t_noise = [g.t_env[0], g.t_env[mi], g.t_env[-1]]
     return g
 
 

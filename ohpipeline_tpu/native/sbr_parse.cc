@@ -164,6 +164,9 @@ bool parse_grid(Bits& b, Grid& g) {
     if (!b.ok || g.n_env < 1 || g.n_env > MAXENV || g.nt < 2
         || g.nt > MAXT)
         return false;
+    // out-of-spec pointer: reject like fdk's extractFrameInfo
+    // (bs_pointer > bs_num_env + 1) — mirrors the Python SbrError
+    if (g.pointer > g.n_env + 1) return false;
     // noise grid
     if (g.n_env == 1) {
         g.n_noise = 1;
@@ -171,19 +174,21 @@ bool parse_grid(Bits& b, Grid& g) {
         g.t_noise[1] = g.t_env[g.nt - 1];
     } else {
         g.n_noise = 2;
-        int middle;
+        int mi;
         if (g.frame_class == 0) {
-            middle = g.t_env[g.n_env / 2];
+            mi = g.n_env / 2;
         } else if (g.frame_class == 2) {
-            if (g.pointer == 0) middle = g.t_env[1];
-            else if (g.pointer == 1) middle = g.t_env[g.n_env - 1];
-            else middle = g.t_env[g.pointer - 1];
+            if (g.pointer == 0) mi = 1;
+            else if (g.pointer == 1) mi = g.n_env - 1;
+            else mi = g.pointer - 1;
         } else {
-            if (g.pointer > 1) middle = g.t_env[g.n_env + 1 - g.pointer];
-            else middle = g.t_env[g.n_env - 1];
+            if (g.pointer > 1) mi = g.n_env + 1 - g.pointer;
+            else mi = g.n_env - 1;
         }
+        // VARVAR border-set dedup can shrink t_env below n_env+1
+        if (mi < 0 || mi >= g.nt) return false;
         g.t_noise[0] = g.t_env[0];
-        g.t_noise[1] = middle;
+        g.t_noise[1] = g.t_env[mi];
         g.t_noise[2] = g.t_env[g.nt - 1];
     }
     return true;

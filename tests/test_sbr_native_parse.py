@@ -191,3 +191,67 @@ def test_fuzz_native_matches_python_or_declines():
     # most single-bit flips desync the range of huffman walks
     # and BOTH parsers reject; a few survive and must agree
     assert checked == 60 and agreed >= 2
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="oracle missing")
+def test_random_payload_low_level_agreement():
+    """Pure-random payloads against the LOW-level parsers: wherever both
+    accept, fields are equal; native-accept/python-reject happens ONLY
+    when the native parser deferred a PS extension (python parses PS
+    inline and rejects its garbage); python never accepts what native
+    rejects.  Also regression-guards the bs_pointer validation (an
+    out-of-spec pointer used to IndexError in Python and read stale
+    t_env entries natively; both now reject like fdk extractFrameInfo)."""
+    from ohpipeline_tpu.codecs.aac import sbr as SBR
+    data = _encode_he(15, 2, "5")
+    dec = SbrDecoder(22050)
+    pls = _payloads(data, 2)
+    dec.parse_payload(*pls[0][:2], stereo=True, crc=pls[0][2])
+    ft = dec.ft
+    h2l = (np.searchsorted(ft.f_low, ft.f_high[:ft.n_high],
+                           side="right") - 1).astype(np.int32)
+    l2h = (np.searchsorted(ft.f_high, ft.f_low[:ft.n_low],
+                           side="right") - 1).astype(np.int32)
+    rng = np.random.default_rng(21)
+    both = ps_deferred = 0
+    for _ in range(1500):
+        ln = int(rng.integers(2, 60))
+        payload = rng.integers(0, 256, ln, np.uint8).tobytes()
+        nbits = ln * 8
+        stereo = bool(rng.random() < 0.5)
+        r = native.sbr_parse_payload(
+            payload, 0, nbits, stereo=stereo, amp_res=dec.header.amp_res,
+            n_q=ft.n_q, n_low=ft.n_low, n_high=ft.n_high,
+            idx_h2l=h2l, idx_l2h=l2h, prev_state=[None, None])
+        b = SBR.Bits(payload, 0, nbits)
+        try:
+            chans, coupling = SBR.parse_sbr_data(
+                b, dec.header, ft, stereo, [None, None], ps_prev=None)
+            py = (chans, coupling)
+        except SbrError:
+            py = None
+        if r is None:
+            assert py is None     # python must never accept more
+            continue
+        if py is None:
+            # only allowed when native stopped at a PS extension that
+            # python went on to parse (and rejected)
+            assert int(r["ps_bits"][0]) >= 0
+            ps_deferred += 1
+            continue
+        both += 1
+        chans, coupling = py
+        assert bool(r["coupling"]) == bool(coupling)
+        for c, ch in enumerate(chans):
+            go = r["grid"][c]
+            g = ch.grid
+            assert [int(go[0]), int(go[1]), int(go[2]), int(go[3]),
+                    int(go[4])] == [g.frame_class, g.n_env, g.pointer,
+                                    g.tran_env, g.n_noise]
+            nt = int(go[5])
+            assert [int(x) for x in go[6:6 + nt]] == list(g.t_env)
+            for e in range(g.n_env):
+                nb_ = ft.n_high if g.freq_res[e] else ft.n_low
+                np.testing.assert_array_equal(r["env"][c, e, :nb_],
+                                              ch.env[e])
+    assert both > 300
