@@ -160,6 +160,7 @@ class CodecController(Element):
                 return e
             try:
                 batch = self._active.process(self._active_reader)
+                self._emit_batch(batch)
             except EndOfStream:
                 self._active = None
                 self._reader._eos = False
@@ -169,7 +170,16 @@ class CodecController(Element):
                 self._reader.reset()
                 self._emit(ev.StreamInterruptedEvent())
                 continue
-            self._emit_batch(batch)
+            except Exception:                          # noqa: BLE001
+                # hostile/corrupt input must never take the pipeline
+                # down (reference contract: invalid codec files are
+                # rejected without crash, TestCodecInit.cpp:81-82, under
+                # valgrind on every commit) — an unexpected decoder
+                # error is stream corruption, not a pipeline fault
+                self._active = None
+                self._reader.reset()
+                self._emit(ev.StreamInterruptedEvent())
+                continue
 
     def _begin_stream(self, e: ev.EncodedStreamEvent) -> None:
         self._stream_info = e.info
@@ -205,7 +215,9 @@ class CodecController(Element):
             return
         try:
             info = self._active.stream_initialise(self._active_reader)
-        except (CodecStreamCorrupt, EndOfStream):
+        except Exception:                              # noqa: BLE001
+            # CodecStreamCorrupt, EndOfStream, or any unexpected parser
+            # error on hostile input: reject the stream without crash
             self._active = None
             self._emit(ev.StreamInterruptedEvent())
             return
