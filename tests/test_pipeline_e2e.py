@@ -154,3 +154,48 @@ def test_file_he_aac_end_to_end(tmp_path):
     hf_peak = X[(f > 8500) & (f < 9500)].max()
     lo_peak = X[(f > 600) & (f < 800)].max()
     assert hf_peak > 0.05 * lo_peak
+
+
+def test_file_he_aac_v2_ps_end_to_end(tmp_path):
+    """HE-AAC v2 (AOT 29: mono core + SBR + parametric stereo) through
+    the full chain: the codec must force stereo output, both channels
+    carry the signal, and the PS stage produces a decorrelated-but-
+    coherent stereo image (finite inter-channel correlation of a mono
+    downmix source)."""
+    import os
+    import subprocess
+    oracle = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".oracle_build", "aac_oracle")
+    if not os.path.exists(oracle):
+        pytest.skip("aac oracle not built")
+    t = np.arange(int(44100 * 1.5)) / 44100
+    tone = np.clip(np.sin(2 * np.pi * 600 * t) * 9000
+                   + np.sin(2 * np.pi * 8800 * t) * 5000,
+                   -32000, 32767).astype(np.int16)
+    pcm_in = np.stack([tone, tone]).T.copy()
+    raw = tmp_path / "i.raw"
+    aac = tmp_path / "t29.aac"
+    pcm_in.tofile(raw)
+    subprocess.run([oracle, "encode", str(raw), str(aac), "44100", "2",
+                    "24000", "2", "29"], check=True, capture_output=True)
+    mgr = make_manager()
+    col = Collector()
+    mgr.play_uri(f"file://{aac}")
+    run_until_halt(mgr, col)
+    mgr.quit()
+    assert col.infos and col.infos[0].codec_name == "HE-AAC v2"
+    assert col.infos[0].num_channels == 2
+    out = col.pcm.astype(np.float64)
+    assert out.shape[0] == 2 and out.shape[1] > 44100
+    seg = out[:, 20000:20000 + 16384]
+    rms = np.sqrt((seg ** 2).mean(axis=1))
+    assert rms.min() > 200                 # both channels carry signal
+    # mono source: channels stay strongly correlated through PS
+    c = np.corrcoef(seg[0], seg[1])[0, 1]
+    assert c > 0.5
+    # SBR band present (the 8.8 kHz component sits above the crossover)
+    X = np.abs(np.fft.rfft(seg[0] * np.hanning(seg.shape[1])))
+    f = np.fft.rfftfreq(seg.shape[1], 1 / 44100.0)
+    hf = X[(f > 8300) & (f < 9300)].max()
+    lo = X[(f > 500) & (f < 700)].max()
+    assert hf > 0.02 * lo
