@@ -108,14 +108,12 @@ def decode_frames_float(frames: list[BS.FrameData],
     return out
 
 
-def decode_frames_float_batched(frames: list[BS.FrameData],
-                                state: _StreamState) -> np.ndarray:
-    """decode_frames_float with the whole group's IMDCT as one float32
-    numpy matmul (the per-frame float64 path costs ~8x more memory
-    traffic; the SBR chain consuming this is float32 anyway).  Same
-    state contract as decode_frames_float."""
-    if not frames:
-        return np.zeros((len(state.prev_shape), 0))
+def group_specs_from_frames(frames: list[BS.FrameData],
+                            state: _StreamState) -> tuple:
+    """Prepared spectra + operator indices for a group of parsed frames
+    (host dequant/TNS only — the IMDCT runs wherever the caller wants
+    it).  Returns (specs (F, C, 1024) f32, ops (F, C) i32); advances
+    state.prev_shape."""
     nch = len(frames[0].channels)
     F = len(frames)
     specs = np.zeros((F, nch, 1024), np.float32)
@@ -131,6 +129,18 @@ def decode_frames_float_batched(frames: list[BS.FrameData],
                           + ch.ics.window_shape)
             state.prev_shape[ci] = ch.ics.window_shape
             specs[t, ci] = sp[ci]
+    return specs, ops
+
+
+def decode_frames_float_batched(frames: list[BS.FrameData],
+                                state: _StreamState) -> np.ndarray:
+    """decode_frames_float with the whole group's IMDCT as one float32
+    numpy matmul (the per-frame float64 path costs ~8x more memory
+    traffic; the SBR chain consuming this is float32 anyway).  Same
+    state contract as decode_frames_float."""
+    if not frames:
+        return np.zeros((len(state.prev_shape), 0))
+    specs, ops = group_specs_from_frames(frames, state)
     return _core_float_from_specs(specs, ops, state)
 
 
@@ -161,20 +171,6 @@ def _core_float_from_specs(specs: np.ndarray, ops: np.ndarray,
         out[:, t * 1024:(t + 1) * 1024] = x[t, :, :1024] + state.overlap
         state.overlap = x[t, :, 1024:]
     return out
-
-
-def decode_group_arrays_float(batch: dict, nframes: int, channels: int,
-                              state: _StreamState) -> np.ndarray:
-    """Float LC core straight from the native unpacker's dense arrays
-    (vectorized prepare_group prep instead of per-frame Python
-    dequant/TNS over rehydrated objects) — the input signal the SBR
-    upsampler consumes.  Same state contract and (float32-matmul) math
-    as decode_frames_float_batched."""
-    if not nframes:
-        return np.zeros((channels, 0))
-    specs, ops = SYN.prepare_group(batch, nframes, channels,
-                                   state.prev_shape)
-    return _core_float_from_specs(specs, ops, state)
 
 
 def decode_group_arrays(batch: dict, nframes: int, channels: int,
@@ -646,6 +642,9 @@ def _sbr_decode_frames_lazy(frames, state, sbr, nch,
     if out is not None:
         F = nframes if batch is not None else len(frames)
         return out, F * 2048
+    # the device path fused the LC core: its overlap tail must come
+    # back to the host before the per-frame numpy chain continues
+    _sync_core_overlap(sbr, state)
     if frames is None:
         # device path declined a native-parsed group: rehydrate objects
         # for the per-frame numpy chain
@@ -674,6 +673,21 @@ def _sbr_decode_frames_lazy(frames, state, sbr, nch,
     pcm = np.concatenate(outs, axis=1)
     pcm = np.clip(np.rint(pcm), -32768, 32767).astype(np.int32)
     return (lambda: pcm), pcm.shape[1]
+
+
+def _sync_core_overlap(sbr, state: _StreamState) -> None:
+    """Pull the fused core-overlap tail back from any device runner
+    into the host _StreamState — called before a numpy-fallback group
+    (or a runner rebuild) so the LC filterbank chain stays continuous
+    across path switches."""
+    for attr in ("_device_runner", "_ps_device_runner"):
+        r = getattr(sbr, attr, None)
+        if r is not None:
+            ov = r.fetch_core_overlap()
+            if ov is not None:
+                nch = len(state.prev_shape)
+                state.overlap = np.asarray(ov, np.float64) \
+                    .reshape(-1, 1024)[:nch]
 
 
 def _sbr_decode_frames_device_ps(frames, state, sbr,
@@ -719,6 +733,7 @@ def _sbr_decode_frames_device_ps(frames, state, sbr,
     runner = getattr(sbr, "_ps_device_runner", None)
     if runner is None or runner.dec is not sbr \
             or runner.static_header != header0:
+        _sync_core_overlap(sbr, state)  # old runner may hold the tail
         runner = sbr_jax.SbrPsDeviceRunner(sbr)
         runner.static_header = header0
         sbr._ps_device_runner = runner
@@ -726,14 +741,18 @@ def _sbr_decode_frames_device_ps(frames, state, sbr,
             and parsed and parsed[0][3] is None:
         return None              # no PS params yet: numpy handles it
     F = nframes if batch is not None else len(frames)
-    core = (decode_group_arrays_float(batch, F, 1, state)
-            if batch is not None
-            else decode_frames_float_batched(frames, state))  # (1, F*1024)
-    resolve = runner.decode_group_lazy(core[0].reshape(F, 1024),
-                                       [p[0] for p in parsed],
-                                       [p[1] for p in parsed],
-                                       [p[2] for p in parsed],
-                                       [p[3] for p in parsed])
+    # host prep stops at spectra: the mono LC IMDCT + overlap-add runs
+    # inside the SBR device program (same wire bytes as PCM)
+    if batch is not None:
+        specs, ops = SYN.prepare_group(batch, F, 1, state.prev_shape)
+    else:
+        specs, ops = group_specs_from_frames(frames, state)
+    resolve = runner.decode_group_lazy_spec(specs[:, 0], ops[:, 0],
+                                            [p[0] for p in parsed],
+                                            [p[1] for p in parsed],
+                                            [p[2] for p in parsed],
+                                            [p[3] for p in parsed],
+                                            state.overlap[0])
     if lazy:
         return lambda: resolve().astype(np.int32)
     return resolve().astype(np.int32)  # rounded to int16 on device
@@ -791,18 +810,23 @@ def _sbr_decode_frames_device(frames, state, sbr, nch,
     runner = getattr(sbr, "_device_runner", None)
     if runner is None or runner.dec is not sbr \
             or runner.static_header != header0:
+        _sync_core_overlap(sbr, state)  # old runner may hold the tail
         runner = sbr_jax.SbrDeviceRunner(sbr)
         runner.static_header = header0
         sbr._device_runner = runner
     F = nframes if batch is not None else len(frames)
-    core = (decode_group_arrays_float(batch, F, nch, state)
-            if batch is not None
-            else decode_frames_float_batched(frames, state))  # (C, F*1024)
+    # host prep stops at spectra: the LC IMDCT + overlap-add runs
+    # inside the SBR device program (same wire bytes as PCM)
+    if batch is not None:
+        specs, ops = SYN.prepare_group(batch, F, nch, state.prev_shape)
+    else:
+        specs, ops = group_specs_from_frames(frames, state)
     per_ch = [([p[0][ch] for p in parsed],
                [p[1][ch][0] for p in parsed],
                [p[1][ch][1] for p in parsed]) for ch in range(nch)]
-    resolve = runner.decode_group_multi_lazy(
-        core.reshape(nch, F, 1024).astype(np.float32), per_ch)
+    resolve = runner.decode_group_multi_lazy_spec(
+        np.ascontiguousarray(specs.transpose(1, 0, 2)),
+        np.ascontiguousarray(ops.T), per_ch, state.overlap)
     return resolve if lazy else resolve()
 
 

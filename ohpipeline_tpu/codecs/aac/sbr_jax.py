@@ -527,6 +527,55 @@ def synthesize_slots(static: SbrStatic, Zr, Zi, syn_state):
     return out[:NS * 64], out[NS * 64:NS * 64 + 704]
 
 
+_CORE_CONSTS = None
+
+
+def _core_consts() -> tuple:
+    """f32 LC filterbank constants for the fused core IMDCT (shared
+    with synthesis.py so both paths window identically)."""
+    global _CORE_CONSTS
+    if _CORE_CONSTS is None:
+        from . import synthesis as SYN
+        W, SW = SYN.window_bank()
+        _CORE_CONSTS = (SYN._imdct_matrix(2048).astype(np.float32),
+                        SYN._imdct_matrix(256).astype(np.float32),
+                        np.asarray(W, np.float32),
+                        np.asarray(SW, np.float32))
+    return _CORE_CONSTS
+
+
+def core_imdct_device(specs, opidx, core_ov):
+    """LC core filterbank on device for one channel: specs (F, 1024)
+    f32 prepared spectra, opidx (F,) i32 operator indices, core_ov
+    (1024,) f32 overlap tail.  Returns (pcm (F, 1024), new_ov).
+
+    Same math as _core_float_from_specs / SYN.filterbank_fast (IMDCT as
+    one MXU matmul, per-row window select, overlap-add).  The OLA is a
+    shift, not a scan: frame f's output needs only frame f-1's tail.
+    Fusing this into the SBR program ships spectra instead of PCM —
+    identical wire bytes (1024 f32 per frame either way) but the host
+    sheds the core matmul (fdk runs the same chain in
+    libAACdec block.cpp CBlock_FrequencyToTime before libSBRdec)."""
+    import jax
+    jnp = _jnp()
+    MLc, MSc, Wc, SWc = _core_consts()
+    ML, MS = jnp.asarray(MLc), jnp.asarray(MSc)
+    W, SW = jnp.asarray(Wc), jnp.asarray(SWc)
+    F = specs.shape[0]
+    HI = jax.lax.Precision.HIGHEST
+    x_long = jnp.dot(specs, ML, precision=HI) * W[opidx]
+    xs = jnp.dot(specs.reshape(F, 8, 128), MS, precision=HI) \
+        * SW[jnp.bitwise_and(opidx, 3)]
+    x_short = jnp.zeros((F, 2048), jnp.float32)
+    for w in range(8):
+        x_short = x_short.at[:, 448 + w * 128:448 + w * 128 + 256] \
+            .add(xs[:, w])
+    is_short = (jnp.right_shift(opidx, 2) == 2)         # EIGHT_SHORT
+    x = jnp.where(is_short[:, None], x_short, x_long)
+    prev_tail = jnp.concatenate([core_ov[None], x[:-1, 1024:]])
+    return x[:, :1024] + prev_tail, x[-1, 1024:]
+
+
 def _ensure_compile_cache() -> None:
     """Persistent XLA compile cache for every package user (bench.py
     configures the same path; repeat processes skip recompilation)."""
@@ -595,6 +644,54 @@ def _group_fn_multi(static: "SbrStatic"):
     return fn
 
 
+def _group_fn_multi_spec(static: "SbrStatic"):
+    """_group_fn_multi with the LC core IMDCT fused in: inputs are
+    prepared spectra + operator indices per channel instead of PCM,
+    plus the carried (C, 1024) core overlap."""
+    key = ("sbr-multi-spec", _static_key(static))
+    fn = _GROUP_FNS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        _ensure_compile_cache()
+
+        def run(specs, ops, cond, st, core_ov):
+            pcm, new_ov = jax.vmap(core_imdct_device)(specs, ops,
+                                                      core_ov)
+            out, new_st = jax.vmap(
+                lambda p, c, s: device_decode_group(static, p, c, s)
+            )(pcm, cond, st)
+            pcm_i = jnp.clip(jnp.rint(out), -32768, 32767) \
+                .astype(jnp.int16)
+            return pcm_i, new_st, new_ov
+
+        fn = jax.jit(run)
+        _GROUP_FNS[key] = fn
+    return fn
+
+
+def _group_fn_ps_spec(static: "SbrStatic", ps_static: "PsStatic"):
+    """_group_fn_ps with the (mono) LC core IMDCT fused in."""
+    key = ("ps-spec", _static_key(static))
+    fn = _GROUP_FNS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        _ensure_compile_cache()
+
+        def run(specs, ops, cond, st, pst, synr, H, core_ov):
+            pcm, new_ov = core_imdct_device(specs, ops, core_ov)
+            out, new_st, new_ps, new_synr = device_decode_group_ps(
+                static, ps_static, pcm, cond, st, pst, synr, H)
+            pcm_i = jnp.clip(jnp.rint(out), -32768, 32767) \
+                .astype(jnp.int16)
+            return pcm_i, new_st, new_ps, new_synr, new_ov
+
+        fn = jax.jit(run)
+        _GROUP_FNS[key] = fn
+    return fn
+
+
 def _group_fn_ps(static: "SbrStatic", ps_static: "PsStatic"):
     key = ("ps", _static_key(static))   # PsStatic is ROM-derived
     fn = _GROUP_FNS.get(key)
@@ -628,6 +725,7 @@ class SbrDeviceRunner:
         self.state_dev = [self._init_state(), self._init_state()]
         self.first = [True, True]
         self._stacked = None          # (C, ...) device state for multi
+        self._core_ov = None          # (C, 1024) device core overlap
         self._fn = _group_fn(self.static)
 
     def _init_state(self):
@@ -663,22 +761,10 @@ class SbrDeviceRunner:
         parses the next group."""
         import jax
         import jax.numpy as jnp
-        nch = pcm_frames.shape[0]
+        nch, F = pcm_frames.shape[:2]
         # fill channel conds straight into (C, ...)-stacked arrays so
         # the device_put needs no np.stack copies of the big planes
-        F = pcm_frames.shape[1]
-        need_bid = not self.dec.header.interpol_freq
-        proto = vars(SbrFrameCond(F, self.static.M, need_bid))
-        stacked = {k: np.zeros((nch,) + v.shape, v.dtype)
-                   for k, v in proto.items()}
-        for ch in range(nch):
-            view = SbrFrameCond.__new__(SbrFrameCond)
-            for k in proto:
-                setattr(view, k, stacked[k][ch])
-            datas, Es, Qs = per_ch[ch]
-            build_frame_cond(self.dec, self.state_host[ch], self.static,
-                             datas, Es, Qs, self.first[ch], cond=view)
-            self.first[ch] = False
+        stacked = self._build_stacked_cond(nch, F, per_ch)
         cd = {k: jnp.asarray(v) for k, v in stacked.items()}
         st = self._stacked
         if st is None:
@@ -693,6 +779,64 @@ class SbrDeviceRunner:
                            per_ch: list) -> np.ndarray:
         """Synchronous decode_group_multi_lazy."""
         return self.decode_group_multi_lazy(pcm_frames, per_ch)()
+
+    def _build_stacked_cond(self, nch: int, F: int, per_ch: list):
+        """Fill every channel's conditioning straight into (C, ...)
+        stacked arrays (shared by the pcm- and spec-mode dispatchers)."""
+        need_bid = not self.dec.header.interpol_freq
+        proto = vars(SbrFrameCond(F, self.static.M, need_bid))
+        stacked = {k: np.zeros((nch,) + v.shape, v.dtype)
+                   for k, v in proto.items()}
+        for ch in range(nch):
+            view = SbrFrameCond.__new__(SbrFrameCond)
+            for k in proto:
+                setattr(view, k, stacked[k][ch])
+            datas, Es, Qs = per_ch[ch]
+            build_frame_cond(self.dec, self.state_host[ch], self.static,
+                             datas, Es, Qs, self.first[ch], cond=view)
+            self.first[ch] = False
+        return stacked
+
+    def decode_group_multi_lazy_spec(self, specs: np.ndarray,
+                                     ops: np.ndarray, per_ch: list,
+                                     host_overlap: np.ndarray):
+        """decode_group_multi_lazy with the LC core fused on device:
+        specs (C, F, 1024) f32 prepared spectra, ops (C, F) i32
+        operator indices (same wire bytes as PCM — the host sheds the
+        core IMDCT matmul).  ``host_overlap`` (C, 1024) seeds the
+        device overlap on the first spec group or after a numpy-
+        fallback group (fetch_core_overlap resyncs the host)."""
+        import jax
+        import jax.numpy as jnp
+        nch, F = specs.shape[:2]
+        stacked = self._build_stacked_cond(nch, F, per_ch)
+        cd = {k: jnp.asarray(v) for k, v in stacked.items()}
+        st = self._stacked
+        if st is None:
+            st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *self.state_dev[:nch])
+        ov = self._core_ov
+        if ov is None:
+            ov = jnp.asarray(np.asarray(host_overlap[:nch],
+                                        np.float32))
+        fn = _group_fn_multi_spec(self.static)
+        out, new_st, new_ov = fn(jnp.asarray(specs, jnp.float32),
+                                 jnp.asarray(ops, jnp.int32), cd, st,
+                                 ov)
+        self._stacked = new_st        # stays stacked on device
+        self._core_ov = new_ov
+        return lambda: np.asarray(out).astype(np.int32)  # int16 wire
+
+    def fetch_core_overlap(self):
+        """Download the device core-overlap tail (state after the last
+        dispatched spec-mode group) and forget it — the caller installs
+        it into the host _StreamState before a numpy-fallback group
+        decodes, and the next spec group re-seeds from the host."""
+        if self._core_ov is None:
+            return None
+        ov = np.asarray(self._core_ov)
+        self._core_ov = None
+        return ov
 
 
 # ---------------------------------------------------------------------------
@@ -1047,6 +1191,7 @@ class SbrPsDeviceRunner:
         self.syn_state_r = np.zeros(704, np.float32)
         self.pdec_host = SBR.PsDecoder()
         self.first = True
+        self._core_ov = None          # (1024,) device core overlap
         self._fn = _group_fn_ps(self.static, self.ps_static)
 
     def decode_group_lazy(self, pcm_frames: np.ndarray, datas: list,
@@ -1072,3 +1217,41 @@ class SbrPsDeviceRunner:
                      Es: list, Qs: list, ps_list: list) -> np.ndarray:
         return self.decode_group_lazy(pcm_frames, datas, Es, Qs,
                                       ps_list)()
+
+    def decode_group_lazy_spec(self, specs: np.ndarray,
+                               ops: np.ndarray, datas: list, Es: list,
+                               Qs: list, ps_list: list,
+                               host_overlap: np.ndarray):
+        """decode_group_lazy with the mono LC core fused on device:
+        specs (F, 1024) f32 prepared spectra, ops (F,) i32 operator
+        indices; host_overlap (1024,) seeds the device overlap (see
+        SbrDeviceRunner.decode_group_multi_lazy_spec)."""
+        import jax.numpy as jnp
+        F = specs.shape[0]
+        cond = build_frame_cond(self.dec, self.state_host, self.static,
+                                datas, Es, Qs, self.first)
+        self.first = False
+        H = build_ps_H_slots(self.pdec_host, ps_list, 32)
+        cd = {k: jnp.asarray(v) for k, v in vars(cond).items()}
+        ov = self._core_ov
+        if ov is None:
+            ov = jnp.asarray(np.asarray(host_overlap, np.float32))
+        fn = _group_fn_ps_spec(self.static, self.ps_static)
+        out, st, pst, synr, new_ov = fn(
+            jnp.asarray(specs, jnp.float32),
+            jnp.asarray(ops, jnp.int32), cd, self.state_dev,
+            self.ps_state, jnp.asarray(self.syn_state_r),
+            jnp.asarray(H), ov)
+        self.state_dev = st
+        self.ps_state = pst
+        self.syn_state_r = synr
+        self._core_ov = new_ov
+        return lambda: np.asarray(out)
+
+    def fetch_core_overlap(self):
+        """See SbrDeviceRunner.fetch_core_overlap (mono: (1024,))."""
+        if self._core_ov is None:
+            return None
+        ov = np.asarray(self._core_ov)
+        self._core_ov = None
+        return ov

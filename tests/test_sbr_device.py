@@ -68,6 +68,73 @@ def _parse_he(data: bytes, max_frames: int = 200):
     return hdr0, frames
 
 
+def test_core_imdct_device_matches_host():
+    """The fused on-device LC core (core_imdct_device) must reproduce
+    the host float path (_core_float_from_specs) across chained groups
+    with mixed long/short windows, including the overlap tail it hands
+    back for numpy-fallback resync."""
+    import jax.numpy as jnp
+
+    from ohpipeline_tpu.codecs.aac import (_StreamState,
+                                           _core_float_from_specs)
+    from ohpipeline_tpu.codecs.aac.sbr_jax import core_imdct_device
+    rng = np.random.default_rng(5)
+    state = _StreamState(1)
+    ov_dev = np.zeros(1024, np.float32)
+    for _ in range(3):                       # chained groups
+        F = 6
+        specs = (rng.standard_normal((F, 1, 1024)) * 300) \
+            .astype(np.float32)
+        # ops: window_sequence*4 + prev_shape*2 + shape; cycle through
+        # long starts/stops and EIGHT_SHORT rows
+        seqs = np.array([0, 1, 2, 2, 3, 0], np.int32)
+        ops = (seqs * 4 + rng.integers(0, 4, F)).astype(np.int32) \
+            .reshape(F, 1)
+        ref = _core_float_from_specs(specs, ops, state)   # (1, F*1024)
+        got, ov_dev = core_imdct_device(jnp.asarray(specs[:, 0]),
+                                        jnp.asarray(ops[:, 0]),
+                                        jnp.asarray(ov_dev))
+        got = np.asarray(got).reshape(-1)
+        err = np.abs(got - ref[0]).max()
+        scale = max(np.abs(ref).max(), 1.0)
+        assert err / scale < 1e-5, err / scale
+        # the device overlap tail (what fetch_core_overlap hands the
+        # host on fallback) must match the host state's
+        ov_err = np.abs(np.asarray(ov_dev) - state.overlap[0]).max()
+        assert ov_err / scale < 1e-5, ov_err / scale
+        ov_dev = np.asarray(ov_dev)
+
+
+def test_fused_core_overlap_resync():
+    """After spec-mode device groups, _sync_core_overlap must hand the
+    host _StreamState the same overlap tail the host float path would
+    have produced — the continuity contract for numpy-fallback groups."""
+    from ohpipeline_tpu.codecs.aac import (_StreamState,
+                                           _sbr_decode_frames_lazy,
+                                           _sync_core_overlap,
+                                           decode_frames_float_batched)
+    from ohpipeline_tpu.codecs.aac.sbr import SbrDecoder
+    data = _encode_he(_content("mix", 1.5))
+    hdr, frames = _parse_he(data)
+    sbr = SbrDecoder(hdr.sample_rate)
+    state = _StreamState(hdr.channels)
+    twin = _StreamState(hdr.channels)
+    for g0 in range(0, 64, 32):
+        chunk = frames[g0:g0 + 32]
+        resolve, _ns = _sbr_decode_frames_lazy(chunk, state, sbr,
+                                               hdr.channels)
+        out = resolve()
+        assert out.shape[0] == hdr.channels
+        decode_frames_float_batched(chunk, twin)   # host-path twin
+    assert getattr(sbr, "_device_runner", None) is not None, \
+        "stream did not take the spec-mode device path"
+    assert sbr._device_runner._core_ov is not None
+    _sync_core_overlap(sbr, state)
+    assert sbr._device_runner._core_ov is None
+    scale = max(np.abs(twin.overlap).max(), 1.0)
+    assert np.abs(state.overlap - twin.overlap).max() / scale < 1e-5
+
+
 @pytest.mark.parametrize("kind", ["mix", "noise", "transient"])
 def test_sbr_device_matches_numpy(kind):
     from ohpipeline_tpu.codecs.aac import (_StreamState,
