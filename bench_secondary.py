@@ -171,6 +171,32 @@ def main() -> int:
     results["he_aac_v1_device_sbr"] = bench_one(
         "he_aac_v1", data, decode_he, secs)
 
+    # --- HE-AAC 16-stream device serving (one SBR dispatch/group) ----
+    try:
+        from ohpipeline_tpu.codecs.aac.serving import \
+            decode_he_streams_device
+
+        def he_s(i):
+            def b():
+                pcm = _content(secs, 44100, stereo=True)
+                pcm = np.roll(pcm, 37 * i, axis=1)   # distinct streams
+                return _oracle_encode("aac_oracle", pcm,
+                                      ["44100", "2", "48000", "2", "5"])
+            return _cached(f"heaac16_{i}", b)
+
+        he_streams = [he_s(i) for i in range(16)]
+        decode_he_streams_device(he_streams)           # warm jit
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = decode_he_streams_device(he_streams)
+            best = min(best, time.perf_counter() - t0)
+        results["he_aac_16stream_device"] = \
+            sum(o.shape[1] for o in out) / 88200.0 / best
+    except Exception as e:                             # noqa: BLE001
+        results["he_aac_16stream_device"] = -1.0
+        print(f"# he-aac device bench failed: {e}", file=sys.stderr)
+
     # --- MP3 (own frame builder content, libmad-validated decode) ----
     def mp3_build():
         from ohpipeline_tpu.codecs.mp3 import encoder as ENC

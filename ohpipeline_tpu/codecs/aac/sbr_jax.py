@@ -35,9 +35,6 @@ from . import sbr as SBR
 
 MAXE = 8          # padded envelope slots per frame
 NSL = 38          # buffered QMF slots per frame (6 history + 32)
-NB_MAX = 64       # padded frequency-band count for band-averaging
-
-
 def _jnp():
     import jax.numpy as jnp
     return jnp
@@ -97,27 +94,41 @@ class SbrStatic:
         self.noise_tab_im = dec.noise_tab.imag.astype(np.float32)
         self.parity = np.where((np.arange(M) + kx) & 1, -1.0, 1.0) \
             .astype(np.float32)
+        # padded band->bin one-hot maps: the cond wire ships per-BAND
+        # env/noise rows and the device expands them to per-bin planes
+        # with these static matmuls (a fraction of the upload bytes of
+        # the expanded planes)
+        mapL, mapH, mapN = _band_bin_maps(ft)
+        self._band_maps = (mapL, mapH, mapN)   # host fills use the nb's
+        self.nb_row = max(mapL.shape[0], mapH.shape[0])
+        self.map_low = np.zeros((self.nb_row, M), np.float32)
+        self.map_low[:mapL.shape[0]] = mapL
+        self.map_high = np.zeros((self.nb_row, M), np.float32)
+        self.map_high[:mapH.shape[0]] = mapH
+        self.map_noise = mapN.astype(np.float32)       # (n_q, M)
 
 
 class SbrFrameCond:
-    """Stacked per-frame conditioning arrays for a group (numpy)."""
+    """Stacked per-frame conditioning arrays for a group (numpy).
 
-    def __init__(self, F: int, M: int, need_bid: bool = True):
+    This is the cond WIRE format: compact per-band rows and per-slot
+    env indices; the device expands them to the per-bin planes the
+    envelope adjuster consumes (band->bin one-hot matmuls against
+    SbrStatic.map_low/high/noise, jax.nn.one_hot for the slot->env
+    assignments).  Uploading the expanded planes cost ~4x the bytes —
+    at remote-tunnel bandwidth that dominated the HE-AAC group wire."""
+
+    def __init__(self, F: int, static: "SbrStatic"):
         z = np.zeros
-        self.Emap = z((F, MAXE, M), np.float32)
-        self.Qmap = z((F, MAXE, M), np.float32)
-        self.sine = z((F, MAXE, M), np.float32)        # sine bins
-        self.sine_band = z((F, MAXE, M), np.float32)   # sine-in-band
+        M, NB, NQ = static.M, static.nb_row, static.map_noise.shape[0]
+        self.Erow = z((F, MAXE, NB), np.float32)       # per-band env
+        self.Qrow = z((F, MAXE, NQ), np.float32)       # per-band noise
+        self.fres = z((F, MAXE), np.float32)           # freq_res flag
+        self.sine = z((F, MAXE, M), np.uint8)          # sine bins
         self.no_noise = z((F, MAXE), np.float32)       # 1.0 = suppress
-        # band one-hot: only consumed when interpol_freq == 0 (the
-        # device branch is static) — most streams never need the
-        # (F, MAXE, M, 64) plane, so skip building/uploading it
-        self.bid = z((F, MAXE, M, NB_MAX) if need_bid else (1,),
-                     np.float32)
-        self.A = z((F, NSL, MAXE), np.float32)         # slot -> env
-        self.Aprev = z((F, NSL, MAXE + 1), np.float32)  # smoothing src
+        self.env_id = np.full((F, NSL), -1, np.int8)   # slot -> env
+        self.prev_id = np.full((F, NSL), -1, np.int8)  # smoothing src
         self.r = z((F, NSL), np.float32)               # smoothing ratio
-        self.active = z((F, NSL), np.float32)          # slot processed
         self.last_env = z((F, MAXE), np.float32)       # carry pick
         # noise/sine value planes are generated ON DEVICE from these
         # counter seeds (one gather from the 512-entry ROM + phase
@@ -164,21 +175,18 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
     """Mirror of sbr.py _reconstruct/_adjust conditioning for a group.
     Advances the host-side counters in ``st`` (bw, noise_index,
     sine_index, prev_harm_bins, prev_tran_env) exactly as the numpy
-    path does.  Band->bin fills run as small matmuls against the
-    cached one-hot maps instead of per-band slice assignments."""
+    path does.  Fills the COMPACT cond wire (per-band rows + per-slot
+    env indices); the band->bin and one-hot expansions run on device
+    (see SbrFrameCond)."""
     ft, hdr = dec.ft, dec.header
     kx, M = ft.kx, ft.M
     F = len(datas)
-    need_bid = not hdr.interpol_freq
     if cond is None:
-        cond = SbrFrameCond(F, M, need_bid)
+        cond = SbrFrameCond(F, static)
     cond.noise_idx0[0] = st.noise_index
     cond.sine_ph0[0] = st.sine_index
     lag = dec.ENV_LAG
-    maps = getattr(static, "_band_maps", None)
-    if maps is None:
-        maps = static._band_maps = _band_bin_maps(ft)
-    map_low, map_high, map_noise = maps
+    map_low, map_high, map_noise = static._band_maps
     bw_tab = np.asarray(SBR.BW_TABLE)
     smooth = np.asarray(SBR._SMOOTH_FILTER)
     for f, (data, E, Q) in enumerate(zip(datas, Es, Qs)):
@@ -224,27 +232,19 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
             for q in range(g.n_noise):
                 if g.t_noise[q] <= g.t_env[e] < g.t_noise[q + 1]:
                     ne = q
-            cond.Emap[f, e] = _clamped_row(E[e], nb) @ mp
-            if need_bid:
-                nbb = min(nb, NB_MAX)
-                cond.bid[f, e, :, :nbb] = mp[:nbb].T
-            cond.Qmap[f, e] = _clamped_row(Q[ne],
-                                           map_noise.shape[0]) @ map_noise
+            cond.fres[f, e] = float(bool(fr))
+            cond.Erow[f, e, :nb] = _clamped_row(E[e], nb)
+            cond.Qrow[f, e] = _clamped_row(Q[ne], map_noise.shape[0])
             sine = np.zeros(M, bool)
             for mid, start in sine_start.items():
                 if e >= start:
                     sine[mid] = True
             cond.sine[f, e] = sine
-            if sine.any():
-                hasb = (mp @ sine.astype(np.float64)) > 0
-                cond.sine_band[f, e] = \
-                    (hasb.astype(np.float64) @ mp) > 0
             no_noise = (e == g.tran_env or e == prev_tran)
             cond.no_noise[f, e] = float(no_noise)
             smooth_len = 0 if no_noise or hdr.smoothing_mode else 4
             sls = np.arange(sl0, sl1)
-            cond.A[f, sls, e] = 1.0
-            cond.active[f, sls] = 1.0
+            cond.env_id[f, sls] = e
             kk = sls - sl0
             ksm = kk < smooth_len
             if ksm.any():
@@ -253,11 +253,11 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
             # frame, else the cross-frame carry (index MAXE); the
             # very first env ever smooths against itself
             if last_processed >= 0:
-                cond.Aprev[f, sls, last_processed] = 1.0
+                cond.prev_id[f, sls] = last_processed
             elif first and f == 0:
-                cond.Aprev[f, sls, e] = 1.0
+                cond.prev_id[f, sls] = e
             else:
-                cond.Aprev[f, sls, MAXE] = 1.0
+                cond.prev_id[f, sls] = MAXE
             # noise/sine counters advance per active slot (M V-table
             # entries / one phase step each); the device regenerates the
             # value planes from the seeds recorded above
@@ -376,22 +376,48 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     Yre = jnp.where(is_patch[None, None, :] > 0, hfr, low_pad)
     Yim = jnp.where(is_patch[None, None, :] > 0, hfi, low_pad_i)
 
+    # ---- expand the compact cond wire to per-bin planes --------------
+    # (band rows -> bins via the static one-hot maps; slot env indices
+    # -> one-hot assignment matrices; -1 rows become all-zero)
+    mapL = jnp.asarray(static.map_low)                  # (NB, M)
+    mapH = jnp.asarray(static.map_high)
+    mapN = jnp.asarray(static.map_noise)                # (NQ, M)
+    fres = cond["fres"][..., None]                      # (F, E, 1)
+    Erow = cond["Erow"]
+    Emap = (jnp.einsum("feb,bm->fem", Erow, mapL) * (1.0 - fres)
+            + jnp.einsum("feb,bm->fem", Erow, mapH) * fres)
+    Qmap = jnp.einsum("feq,qm->fem", cond["Qrow"], mapN)
+    sine_bins = cond["sine"].astype(jnp.float32)        # (F, E, M)
+
+    def sine_in_band(mp):
+        hasb = (jnp.einsum("bm,fem->feb", mp, sine_bins)
+                > 0).astype(jnp.float32)
+        return (jnp.einsum("feb,bm->fem", hasb, mp)
+                > 0).astype(jnp.float32)
+
+    sine_band = jnp.where(fres > 0, sine_in_band(mapH),
+                          sine_in_band(mapL))
+    env_id = cond["env_id"].astype(jnp.int32)           # (F, 38)
+    A = jax.nn.one_hot(env_id, MAXE, dtype=jnp.float32)
+    Aprev = jax.nn.one_hot(cond["prev_id"].astype(jnp.int32),
+                           MAXE + 1, dtype=jnp.float32)
+    active = (env_id >= 0).astype(jnp.float32)          # (F, 38)
+
     # ---- envelope adjustment ----------------------------------------
     Er = Yre[:, :, kx:kx + M]
     Ei = Yim[:, :, kx:kx + M]
     Eslot = Er * Er + Ei * Ei                           # (F, 38, M)
-    A = cond["A"]                                       # (F, 38, MAXE)
     counts = jnp.maximum(A.sum(axis=1), 1.0)            # (F, MAXE)
     Ecurr = jnp.einsum("fse,fsm->fem", A, Eslot) / counts[:, :, None]
     if not static.interpol_freq:
-        bsel = cond["bid"]                              # (F,E,M,NB)
-        bsum = jnp.einsum("femb,fem->feb", bsel, Ecurr)
-        bcnt = jnp.maximum(jnp.einsum("femb->feb", bsel), 1.0)
-        Eavg = jnp.einsum("femb,feb->fem", bsel, bsum / bcnt)
-        Ecurr = jnp.where(bsel.sum(axis=3) > 0, Eavg, Ecurr)
-    Emap, Qmap = cond["Emap"], cond["Qmap"]
-    sine_band = cond["sine_band"]
-    sine_bins = cond["sine"]
+        def band_avg(mp):
+            bsum = jnp.einsum("bm,fem->feb", mp, Ecurr)
+            bcnt = jnp.maximum(mp.sum(axis=1), 1.0)     # (NB,)
+            ea = jnp.einsum("feb,bm->fem", bsum / bcnt, mp)
+            cov = mp.sum(axis=0) > 0                    # (M,)
+            return jnp.where(cov[None, None, :], ea, Ecurr)
+
+        Ecurr = jnp.where(fres > 0, band_avg(mapH), band_avg(mapL))
     qfac = Qmap / (1.0 + Qmap)
     Ecs = jnp.maximum(Ecurr, 1e-12)
     gain = jnp.where(sine_band > 0,
@@ -456,7 +482,7 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     # ---- regenerate noise/sine value planes from the counter seeds --
     # (host advances st.noise_index by M and st.sine_index by 1 per
     # active slot, in (frame, slot) order; cumsum reproduces the walk)
-    act_flat = cond["active"].reshape(-1)               # (F*NSL,)
+    act_flat = active.reshape(-1)                       # (F*NSL,)
     k_ord = (jnp.cumsum(act_flat) - act_flat).astype(jnp.int32)
     nstart = cond["noise_idx0"][0] + k_ord * M          # (F*NSL,)
     nidx = (nstart[:, None] + 1 + jnp.arange(M)[None, :]) & 511
@@ -477,8 +503,8 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     par = jnp.asarray(static.parity)
     sre = ph_re[..., None] * sine_slot
     sim = ph_im[..., None] * par[None, None, :] * sine_slot
-    inputs = (gain, noise_lvl, sine_lvl, sine_bins, A, cond["Aprev"],
-              cond["r"], cond["active"], cond["last_env"],
+    inputs = (gain, noise_lvl, sine_lvl, sine_bins, A, Aprev,
+              cond["r"], active, cond["last_env"],
               nre, nim, sre, sim, Er, Ei)
     import jax as _jax
     filt, (Or, Oi) = _jax.lax.scan(frame_step, state["filt"], inputs)
@@ -596,7 +622,9 @@ def _ensure_compile_cache() -> None:
 def _static_key(static: "SbrStatic") -> tuple:
     return (static.kx, static.M, static.n_q, float(static.limgain),
             bool(static.interpol_freq), static.patch_src.tobytes(),
-            static.patch_qi.tobytes(), static.limiter.tobytes())
+            static.patch_qi.tobytes(), static.limiter.tobytes(),
+            static.map_low.tobytes(), static.map_high.tobytes(),
+            static.map_noise.tobytes())
 
 
 _GROUP_FNS: dict = {}
@@ -670,6 +698,41 @@ def _group_fn_multi_spec(static: "SbrStatic"):
     return fn
 
 
+def _group_fn_multi_zz(static: "SbrStatic"):
+    """_group_fn_multi_spec with the LC core decoded from the zigzag-
+    nibble wire on device (synthesis.decode_chunk_zz: dequant, M/S,
+    TNS, IMDCT, overlap-add) — the multi-stream serving shape, where
+    shipping f32 spectra (incompressible mantissas) dominated the
+    group wire."""
+    key = ("sbr-multi-zz", _static_key(static))
+    fn = _GROUP_FNS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from . import synthesis as SYN
+        _ensure_compile_cache()
+
+        def run(q4, sfb, ssf, ssr, msb, opx, epak, eva2, side, srow,
+                ml, ms_, w_, sw_, esf, tfi, tco, tdir, trow,
+                cond, st, core_ov):
+            pcm, new_ov = SYN.decode_chunk_zz(
+                q4, sfb, ssf, ssr, msb, opx, epak, None, eva2,
+                side, srow, core_ov, ml, ms_, w_, sw_, esf,
+                tfi, tco, tdir, trow)                # (G, SC, 1024)
+            pcmT = jnp.transpose(pcm, (1, 0, 2))     # (SC, G, 1024)
+            out, new_st = jax.vmap(
+                lambda p, c, s: device_decode_group(static, p, c, s)
+            )(pcmT, cond, st)
+            pcm_i = jnp.clip(jnp.rint(out), -32768, 32767) \
+                .astype(jnp.int16)
+            return pcm_i, new_st, new_ov
+
+        fn = jax.jit(run)
+        _GROUP_FNS[key] = fn
+    return fn
+
+
 def _group_fn_ps_spec(static: "SbrStatic", ps_static: "PsStatic"):
     """_group_fn_ps with the (mono) LC core IMDCT fused in."""
     key = ("ps-spec", _static_key(static))
@@ -717,13 +780,15 @@ class SbrDeviceRunner:
     or two channels.  Parsing, dequantisation and conditioning stay on
     the host (sbr.py); the dense math runs under jit."""
 
-    def __init__(self, dec: "SBR.SbrDecoder"):
+    def __init__(self, dec: "SBR.SbrDecoder", nch: int = 2):
         self.dec = dec
         self.static = SbrStatic(dec)
         M = self.static.M
-        self.state_host = [SBR.SbrChannelState(), SBR.SbrChannelState()]
-        self.state_dev = [self._init_state(), self._init_state()]
-        self.first = [True, True]
+        # nch > 2 batches several streams' channels into one dispatch
+        # (the multi-stream serving shape, serving.py)
+        self.state_host = [SBR.SbrChannelState() for _ in range(nch)]
+        self.state_dev = [self._init_state() for _ in range(nch)]
+        self.first = [True] * nch
         self._stacked = None          # (C, ...) device state for multi
         self._core_ov = None          # (C, 1024) device core overlap
         self._fn = _group_fn(self.static)
@@ -783,9 +848,10 @@ class SbrDeviceRunner:
     def _build_stacked_cond(self, nch: int, F: int, per_ch: list):
         """Fill every channel's conditioning straight into (C, ...)
         stacked arrays (shared by the pcm- and spec-mode dispatchers)."""
-        need_bid = not self.dec.header.interpol_freq
-        proto = vars(SbrFrameCond(F, self.static.M, need_bid))
-        stacked = {k: np.zeros((nch,) + v.shape, v.dtype)
+        proto = vars(SbrFrameCond(F, self.static))
+        # broadcast the prototype's DEFAULTS (env_id/prev_id are -1 =
+        # unassigned; zero would mean "assigned to env 0")
+        stacked = {k: np.broadcast_to(v, (nch,) + v.shape).copy()
                    for k, v in proto.items()}
         for ch in range(nch):
             view = SbrFrameCond.__new__(SbrFrameCond)
@@ -826,6 +892,43 @@ class SbrDeviceRunner:
         self._stacked = new_st        # stays stacked on device
         self._core_ov = new_ov
         return lambda: np.asarray(out).astype(np.int32)  # int16 wire
+
+    def decode_group_multi_lazy_zz(self, zz: dict, per_ch: list,
+                                   host_overlap: np.ndarray):
+        """Spec-mode dispatch with the LC core on the zigzag-nibble
+        wire: ``zz`` holds this group's decode_chunk_zz inputs (q4
+        (G, SC, 512) u8, sfb, ssf, ssr, msb, opx, epak, eva2, side,
+        srow) plus 'consts' — the five pre-uploaded device constants
+        (M_long, M_short, W, SW, E_sf).  The (SC, 1024) core overlap
+        carries on device exactly like spec mode."""
+        import jax
+        import jax.numpy as jnp
+        nch = len(per_ch)
+        F = zz["q4"].shape[0]
+        stacked = self._build_stacked_cond(nch, F, per_ch)
+        cd = {k: jnp.asarray(v) for k, v in stacked.items()}
+        st = self._stacked
+        if st is None:
+            st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *self.state_dev[:nch])
+        ov = self._core_ov
+        if ov is None:
+            ov = jnp.asarray(np.asarray(host_overlap[:nch],
+                                        np.float32))
+        fn = _group_fn_multi_zz(self.static)
+        out, new_st, new_ov = fn(
+            jnp.asarray(zz["q4"]), jnp.asarray(zz["sfb"]),
+            jnp.asarray(zz["ssf"]), jnp.asarray(zz["ssr"]),
+            jnp.asarray(zz["msb"]), jnp.asarray(zz["opx"]),
+            jnp.asarray(zz["epak"]), jnp.asarray(zz["eva2"]),
+            jnp.asarray(zz["side"]), jnp.asarray(zz["srow"]),
+            *zz["consts"],
+            jnp.asarray(zz["tfi"]), jnp.asarray(zz["tco"]),
+            jnp.asarray(zz["tdir"]), jnp.asarray(zz["trow"]),
+            cd, st, ov)
+        self._stacked = new_st
+        self._core_ov = new_ov
+        return lambda: np.asarray(out).astype(np.int32)
 
     def fetch_core_overlap(self):
         """Download the device core-overlap tail (state after the last

@@ -70,6 +70,38 @@ def test_single_stream_group_boundaries():
         assert d.max() <= 2.0, (g, d.max())
 
 
+def _encode_he(track: np.ndarray, rate: int, bitrate: int = 48000) -> bytes:
+    if not ORACLE.exists():
+        pytest.skip("aac oracle not built")
+    with tempfile.TemporaryDirectory() as td:
+        fin, fout = os.path.join(td, "i.raw"), os.path.join(td, "o.aac")
+        np.ascontiguousarray(track.T).astype(np.int16).tofile(fin)
+        subprocess.run([str(ORACLE), "encode", fin, fout, str(rate), "2",
+                        str(bitrate), "2", "5"], check=True,
+                       capture_output=True)
+        return open(fout, "rb").read()
+
+
+def test_he_streams_device_matches_codec():
+    """decode_he_streams_device (all streams' channels in one SBR
+    dispatch per group) vs the single-stream codec path (itself
+    conformance-bounded vs libSBRdec) across ragged stream lengths and
+    a group size different from the codec's."""
+    from ohpipeline_tpu.codecs.aac import decode_adts
+    from ohpipeline_tpu.codecs.aac.serving import decode_he_streams_device
+    streams = [_encode_he(_content(20 + i, 1.6 + 0.5 * i), 44100)
+               for i in range(3)]
+    refs = [decode_adts(s)[1] for s in streams]
+    outs = decode_he_streams_device(streams, frames_per_group=24)
+    assert len(outs) == 3
+    for got, ref in zip(outs, refs):
+        n = min(got.shape[1], ref.shape[1])
+        assert n > 44100        # both decoded >1 s at the doubled rate
+        assert abs(got.shape[1] - ref.shape[1]) <= 2 * 2048
+        d = np.abs(got[:, :n].astype(np.float64) - ref[:, :n])
+        assert d.max() <= 2.0, d.max()
+
+
 def test_clipping_content_matches_host():
     """Content with inter-sample overs (short windows + TNS + loud
     transients): both paths must saturate identically at int16."""
