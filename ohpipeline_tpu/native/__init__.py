@@ -1348,14 +1348,15 @@ def _sbr_lib() -> ctypes.CDLL | None:
     if not getattr(lib, "_sigs_set", False):
         lib.sbr_set_book.argtypes = [ctypes.c_int, _i32p, ctypes.c_int]
         lib.sbr_parse_payload.restype = ctypes.c_int
+        # array args as raw pointers: the per-payload call rate is high
+        # (one per frame) and ndpointer from_param conversion of 17
+        # array args dominated the wrapper cost — pointers come from a
+        # reused per-thread scratch whose addresses are computed once
         lib.sbr_parse_payload.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            _i32p, _i32p,
-            _i32p, _i32p, _i32p, _i32p, _i32p,
-            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
-            _i64p, _i32p]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int] \
+            + [ctypes.c_void_p] * 16
         from ..codecs.aac.sbr import tables as _sbr_tables
         T = _sbr_tables()
         for i, name in enumerate(_SBR_BOOK_IDS):
@@ -1370,6 +1371,36 @@ def have_sbr_parse() -> bool:
     return _sbr_lib() is not None
 
 
+_SBR_TLS = threading.local()
+
+
+def _sbr_scratch() -> dict:
+    """Per-thread reused in/out arrays for sbr_parse_payload with their
+    raw addresses computed once — the consumer (_parse_payload_native)
+    copies every row it keeps, so reuse across calls is safe."""
+    sc = getattr(_SBR_TLS, "sbr", None)
+    if sc is None:
+        arrs = dict(
+            pe=np.zeros((2, _SBR_MAXB), np.int32),
+            pel=np.zeros(2, np.int32),
+            pr=np.ones(2, np.int32),
+            pn=np.zeros((2, _SBR_MAXQ), np.int32),
+            pnh=np.zeros(2, np.int32),
+            grid=np.zeros((2, 32), np.int32),
+            df_env=np.zeros((2, _SBR_MAXENV), np.int32),
+            df_noise=np.zeros((2, 2), np.int32),
+            invf=np.zeros((2, _SBR_MAXQ), np.int32),
+            env=np.zeros((2, _SBR_MAXENV, _SBR_MAXB), np.int32),
+            noise=np.zeros((2, 2, _SBR_MAXQ), np.int32),
+            add_harm=np.zeros((2, _SBR_MAXB), np.int32),
+            ps_bits=np.zeros(2, np.int64),
+            coupling=np.zeros(1, np.int32))
+        sc = {"a": arrs,
+              "p": {k: v.ctypes.data for k, v in arrs.items()}}
+        _SBR_TLS.sbr = sc
+    return sc
+
+
 def sbr_parse_payload(payload: bytes, start_bit: int, nbits: int, *,
                       stereo: bool, amp_res: int, n_q: int, n_low: int,
                       n_high: int, idx_h2l: np.ndarray,
@@ -1379,15 +1410,20 @@ def sbr_parse_payload(payload: bytes, start_bit: int, nbits: int, *,
     without any state having been touched).
 
     prev_state mirrors sbr.py's _parse_prev: per channel None or
-    (env_row, freq_res, noise_row)."""
+    (env_row, freq_res, noise_row).  The returned arrays are REUSED
+    per-thread scratch — copy anything kept beyond the next call (the
+    sbr.py consumer already copies every row it stores)."""
     lib = _sbr_lib()
     if lib is None:
         return None
-    pe = np.zeros((2, _SBR_MAXB), np.int32)
-    pel = np.zeros(2, np.int32)
-    pr = np.ones(2, np.int32)
-    pn = np.zeros((2, _SBR_MAXQ), np.int32)
-    pnh = np.zeros(2, np.int32)
+    sc = _sbr_scratch()
+    a, p = sc["a"], sc["p"]
+    pe, pel, pr, pn, pnh = a["pe"], a["pel"], a["pr"], a["pn"], a["pnh"]
+    pe.fill(0)
+    pel.fill(0)
+    pr.fill(1)
+    pn.fill(0)
+    pnh.fill(0)
     for i in range(2):
         stt = prev_state[i] if prev_state and i < len(prev_state) else None
         if stt is not None:
@@ -1401,26 +1437,24 @@ def sbr_parse_payload(payload: bytes, start_bit: int, nbits: int, *,
                 nn = min(len(noise_row), _SBR_MAXQ)
                 pn[i, :nn] = np.asarray(noise_row, np.int32)[:nn]
                 pnh[i] = 1
-    grid = np.zeros((2, 32), np.int32)
-    df_env = np.zeros((2, _SBR_MAXENV), np.int32)
-    df_noise = np.zeros((2, 2), np.int32)
-    invf = np.zeros((2, _SBR_MAXQ), np.int32)
-    env_rows = np.zeros((2, _SBR_MAXENV, _SBR_MAXB), np.int32)
-    noise_rows = np.zeros((2, 2, _SBR_MAXQ), np.int32)
-    add_harm = np.zeros((2, _SBR_MAXB), np.int32)
-    ps_bits = np.zeros(2, np.int64)
-    coupling = np.zeros(1, np.int32)
+    for k in ("grid", "df_env", "df_noise", "invf", "env", "noise",
+              "add_harm", "ps_bits", "coupling"):
+        a[k].fill(0)
+    if idx_h2l.dtype != np.int32 or not idx_h2l.flags.c_contiguous:
+        idx_h2l = np.ascontiguousarray(idx_h2l, np.int32)
+    if idx_l2h.dtype != np.int32 or not idx_l2h.flags.c_contiguous:
+        idx_l2h = np.ascontiguousarray(idx_l2h, np.int32)
     ok = lib.sbr_parse_payload(
         payload, nbits, start_bit, int(stereo), int(amp_res),
         n_q, n_low, n_high,
-        np.ascontiguousarray(idx_h2l, np.int32),
-        np.ascontiguousarray(idx_l2h, np.int32),
-        pe, pel, pr, pn, pnh,
-        grid, df_env, df_noise, invf, env_rows, noise_rows, add_harm,
-        ps_bits, coupling)
+        idx_h2l.ctypes.data, idx_l2h.ctypes.data,
+        p["pe"], p["pel"], p["pr"], p["pn"], p["pnh"],
+        p["grid"], p["df_env"], p["df_noise"], p["invf"], p["env"],
+        p["noise"], p["add_harm"], p["ps_bits"], p["coupling"])
     if ok != 1:
         return None
-    return {"grid": grid, "df_env": df_env, "df_noise": df_noise,
-            "invf": invf, "env": env_rows, "noise": noise_rows,
-            "add_harm": add_harm, "ps_bits": ps_bits,
-            "coupling": bool(coupling[0])}
+    return {"grid": a["grid"], "df_env": a["df_env"],
+            "df_noise": a["df_noise"], "invf": a["invf"],
+            "env": a["env"], "noise": a["noise"],
+            "add_harm": a["add_harm"], "ps_bits": a["ps_bits"],
+            "coupling": bool(a["coupling"][0])}
