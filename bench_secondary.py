@@ -217,6 +217,39 @@ def main() -> int:
         results["mp3"] = -1.0
         print(f"# mp3 bench failed: {e}", file=sys.stderr)
 
+    # --- MP3 16-stream device serving (one filterbank dispatch/group,
+    # int16 spectrum wire — codecs/mp3/serving.py) ---------------------
+    try:
+        from ohpipeline_tpu.codecs.mp3.serving import \
+            decode_mp3_streams_device
+
+        def m3(i):
+            def b():
+                from ohpipeline_tpu.codecs.mp3 import encoder as ENC
+                rng = np.random.default_rng(300 + i)
+                frames = []
+                for _ in range(int(secs * 44100 / 1152)):
+                    spec = np.zeros((2, 576), np.int32)
+                    m = rng.random((2, 576)) < 0.25
+                    spec[m] = rng.integers(1, 12, m.sum())
+                    frames.append(ENC.build_frame(
+                        [spec[0], spec[1]],
+                        global_gain=int(rng.integers(174, 184))))
+                return b"".join(frames)
+            return b
+        m_streams = [_cached(f"mp3_16_{i}", m3(i)) for i in range(16)]
+        decode_mp3_streams_device(m_streams)               # warm jit
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = decode_mp3_streams_device(m_streams)
+            best = min(best, time.perf_counter() - t0)
+        results["mp3_16stream_device"] = \
+            sum(o.shape[1] for o in outs) / 44100.0 / best
+    except Exception as e:                             # noqa: BLE001
+        results["mp3_16stream_device"] = -1.0
+        print(f"# mp3 device bench failed: {e}", file=sys.stderr)
+
     # --- Vorbis (own spec-valid stream builder, as the conformance
     # tests use; residual density comparable to music at ~q4) ---------
     def vorbis_build():

@@ -421,3 +421,19 @@ def hybrid_synthesis_parallel(xr_t, btype_t, overlap, vfifo, imdct_ops,
     lim = 1 << (bit_depth - 1)
     pcm_i = jnp.clip(jnp.rint(pcm * scale), -lim, lim - 1).astype(jnp.int32)
     return pcm_i, new_ov, new_vf
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def hybrid_synthesis_parallel_i16(q16, scl, btype_t, overlap, vfifo,
+                                  imdct_ops, poly_n, wnd, n_real,
+                                  bit_depth=16):
+    """hybrid_synthesis_parallel behind an int16 spectrum wire (the
+    multi-stream serving shape, codecs/mp3/serving.py): q16 (Tg, B, 576)
+    int16 quantized spectra with per-granule-channel dequant scales scl
+    (Tg, B) f32 (xr = q16 * scl), btype_t shipped as uint8.  Halves the
+    spectra wire bytes vs f32 at ~3e-5 granule-relative error (same
+    rationale as the Vorbis int16 spectrum wire in vorbis_jax)."""
+    xr_t = q16.astype(jnp.float32) * scl[..., None]
+    return hybrid_synthesis_parallel(
+        xr_t, btype_t.astype(jnp.int32), overlap, vfifo,
+        imdct_ops, poly_n, wnd, n_real, bit_depth)
