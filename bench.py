@@ -514,16 +514,28 @@ def main() -> int:
             va["srow"][:] = -1
             n_side = 0
             for s in range(S_a):
-                n, apos[s], b = native.aac_parse_group(
-                    aac_streams[s], apos[s], channels=nch, max_frames=Fc,
-                    out=abatch)
-                abatch = b
-                counts["aac"] += n
-                special = native.aac_prepare_rows_zz(
-                    b, n, Fc, nch, pshape[s], esc, ssfv,
-                    q4=va["q4"], sfb=va["sfb"], msb=va["msb"],
-                    opx=va["opx"], col0=s * nch, max_special=Fc * nch,
-                    tns=tnsv)
+                if os.environ.get("OHP_AAC_FUSED", "1") != "0":
+                    # fused parse + zz emission: one C call, each frame's
+                    # wire rows emitted while its dense planes are hot
+                    n, apos[s], b, special = native.aac_parse_group_zz(
+                        aac_streams[s], apos[s], channels=nch,
+                        max_frames=Fc, prev_shape=pshape[s], esc=esc,
+                        ssf=ssfv, q4=va["q4"], sfb=va["sfb"],
+                        msb=va["msb"], opx=va["opx"], col0=s * nch,
+                        max_special=Fc * nch, tns=tnsv, out=abatch)
+                    abatch = b
+                    counts["aac"] += n
+                else:
+                    n, apos[s], b = native.aac_parse_group(
+                        aac_streams[s], apos[s], channels=nch,
+                        max_frames=Fc, out=abatch)
+                    abatch = b
+                    counts["aac"] += n
+                    special = native.aac_prepare_rows_zz(
+                        b, n, Fc, nch, pshape[s], esc, ssfv,
+                        q4=va["q4"], sfb=va["sfb"], msb=va["msb"],
+                        opx=va["opx"], col0=s * nch, max_special=Fc * nch,
+                        tns=tnsv)
                 if special is None:
                     state["fail"] = "aac zz capacity"
                     return

@@ -155,6 +155,20 @@ def _aac_lib() -> ctypes.CDLL | None:
             _i32p, _i32p, _i32p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.aac_parse_group_zz.restype = ctypes.c_int
+        lib.aac_parse_group_zz.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            _i32p, _i8p, _i32p, _i32p, _u8p, _i32p, _i32p, _f32p, _i32p,
+            _i32p,
+            _u8p, _u8p, _u8p, _u8p,
+            _u8p, _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _u8p, _f32p, _u8p, _i32p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            _i32p, _i32p, _i32p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.aac_tns_group.argtypes = [
             _f64p, ctypes.c_int, _i32p, _i32p, _i32p, _f32p, ctypes.c_int]
@@ -510,6 +524,68 @@ def aac_prepare_rows_zz(batch: dict, nframes: int, F: int, channels: int,
     if rc != 0:
         return None
     return special[:n_special.value]
+
+
+def aac_parse_group_zz(buf: bytes, byte_pos: int, *, channels: int,
+                       max_frames: int, prev_shape: np.ndarray,
+                       esc: EscapeList, ssf: "ShortSfPool",
+                       q4: np.ndarray, sfb: np.ndarray, msb: np.ndarray,
+                       opx: np.ndarray, col0: int, row_base: int = 0,
+                       max_special: int = 64,
+                       tns: "TnsPool | None" = None, out: dict = None):
+    """Fused aac_parse_group + aac_prepare_rows_zz: ONE C call parses the
+    ADTS frames AND emits the zigzag-nibble wire planes while each frame's
+    dense rows are cache-hot (the separate zz pass re-read ~4 KB/row of
+    cold quant data — the dominant remaining host cost of the bench's AAC
+    leg).  Outputs are byte-identical to the two-pass path
+    (tests/test_aac_prepare_native.py::test_fused_parse_zz_matches_two_pass).
+
+    Returns (nframes, new_byte_pos, batch, special) — special is None on
+    any pool overflow (same fallback contract as aac_prepare_rows_zz);
+    batch still carries the dense planes for the special/side rows."""
+    lib = _aac_lib()
+    if lib is None:
+        raise RuntimeError("native aac unpacker unavailable")
+    F, C = max_frames, channels
+    R = F * C
+    if out is not None and out["quant"].shape == (R, 1024):
+        ics, cb, sf, quant = out["ics"], out["cb"], out["sf"], out["quant"]
+        msmask, tnsn = out["msmask"], out["tnsn"]
+        tnsp, tnsc = out["tnsp"], out["tnsc"]
+    else:
+        ics = np.zeros((R, 4), np.int32)
+        cb = np.zeros((R, SFB_SLOTS), np.int8)
+        sf = np.zeros((R, SFB_SLOTS), np.int32)
+        quant = np.zeros((R, 1024), np.int32)
+        msmask = np.zeros((F, SFB_SLOTS), np.uint8)
+        tnsn = np.zeros((R, 8), np.int32)
+        tnsp = np.zeros((R, 24, 3), np.int32)
+        tnsc = np.zeros((R, 24, 12), np.float32)
+    rate_index = np.zeros(1, np.int32)
+    pos = ctypes.c_int64(byte_pos)
+    SC = q4.shape[1] if q4.ndim == 3 else q4.shape[0] // F
+    special = np.zeros(max_special, np.int32)
+    n_special = ctypes.c_int32(0)
+    if tns is None:
+        tns = TnsPool(0)
+    n = lib.aac_parse_group_zz(
+        buf, len(buf), ctypes.byref(pos), F, C,
+        ics, cb, sf, quant, msmask, tnsn,
+        tnsp.reshape(-1), tnsc.reshape(-1), rate_index,
+        prev_shape,
+        q4.reshape(-1), sfb.reshape(-1), msb.reshape(-1), opx.reshape(-1),
+        ssf.sf.reshape(-1), ssf.row, ctypes.byref(ssf.count), ssf.cap,
+        tns.tfi.reshape(-1), tns.tco.reshape(-1), tns.tdir.reshape(-1),
+        tns.row, ctypes.byref(tns.count), tns.cap,
+        SC, col0, row_base,
+        esc.row, esc.pos, esc.val, ctypes.byref(esc.count), esc.cap,
+        special, ctypes.byref(n_special), max_special)
+    batch = dict(ics=ics, cb=cb, sf=sf, quant=quant, msmask=msmask,
+                 tnsn=tnsn, tnsp=tnsp, tnsc=tnsc,
+                 rate_index=int(rate_index[0]))
+    if n < 0:
+        return 0, pos.value, batch, None
+    return n, pos.value, batch, special[:n_special.value]
 
 
 def flac_parse_group_zz(buf: bytes, bit_pos: int, lo: np.ndarray,

@@ -430,13 +430,271 @@ namespace {
 // payload bit count (0 = no payload), sbr_crc[f] 1 for EXT_SBR_DATA_CRC.
 constexpr int SBR_STRIDE = 272;   // max FIL payload 269 bytes
 
+// Zigzag-nibble emission sinks for the fused parse (aac_parse_group_zz):
+// the same planes/pools aac_prepare_rows_zz fills, bundled so
+// parse_group_impl can emit each frame's wire rows right after the frame
+// parses — while its dense quant row is still hot in cache — instead of
+// a second cold pass over the whole group.
+struct ZzArgs {
+    int F;                       // pad target (rows F..nframes zero-fill)
+    int32_t* prev_shape;
+    uint8_t *q4, *sfb, *msb, *opx;
+    uint8_t* ssf; int32_t* ssr; int32_t* ssf_count; int ssf_cap;
+    uint8_t* tfi; float* tco; uint8_t* tdir; int32_t* trow;
+    int32_t* tns_count; int tns_cap;
+    int SC, col0; int64_t row_base;
+    int32_t *esc_row, *esc_pos, *esc_val; int32_t* esc_count; int esc_cap;
+    int32_t* special_rows; int32_t* n_special; int max_special;
+};
+
+// One channel's zz-wire emission (the per-channel body of
+// aac_prepare_rows_zz, shared verbatim by the two-pass entry point and
+// the fused parse).  f is the output frame slot, r = f*C + c the input
+// row in the dense batch layout.  Returns 0 or the negative overflow
+// codes documented on aac_prepare_rows_zz.
+inline int zz_emit_channel(
+        const int32_t* ics, const int8_t* cb, const int32_t* sf,
+        const int32_t* quant, const int32_t* tnsn,
+        const int32_t* tnsp, const float* tnsc,
+        bool parsed, int rate_index, const ZzArgs& Z, int f, int c, int C) {
+    int32_t* prev_shape = Z.prev_shape;
+    int r = f * C + c;
+    int64_t orow = (int64_t)f * Z.SC + Z.col0 + c;
+    int seq = 0, shape = 0, max_sfb = 0, grouping = 0;
+    if (parsed) {
+        seq = ics[r * 4];
+        shape = ics[r * 4 + 1];
+        max_sfb = ics[r * 4 + 2];
+        grouping = ics[r * 4 + 3];
+    }
+    bool shortw = seq == 2;
+    Z.opx[orow] = (uint8_t)(seq * 4 + prev_shape[c] * 2 + shape);
+    prev_shape[c] = shape;
+    uint8_t* qrow = Z.q4 + orow * 512;
+    uint8_t* brow = Z.sfb + orow * 64;
+    memset(qrow, 0, 512);
+    memset(brow, 0, 64);
+    uint8_t* srow = nullptr;          // short rows: pooled sf bytes
+    if (parsed && shortw) {
+        if (*Z.ssf_count >= Z.ssf_cap) return -5;
+        int j = (*Z.ssf_count)++;
+        srow = Z.ssf + (int64_t)j * 1024;
+        memset(srow, 0, 1024);
+        Z.ssr[j] = (int32_t)(Z.row_base + orow);
+    }
+    if (!parsed) return 0;
+    const int32_t* q = quant + (int64_t)r * 1024;
+    const int8_t* cbr = cb + (int64_t)r * SFB_SLOTS;
+    const int32_t* sfr = sf + (int64_t)r * SFB_SLOTS;
+    const int16_t* offsets = shortw ? g_sfb_short[rate_index]
+                                    : g_sfb_long[rate_index];
+    // reconstruct the window grouping exactly as the parser did
+    int group_wins[8] = {1, 0, 0, 0, 0, 0, 0, 0};
+    int ngroups = 1;
+    if (shortw) {
+        int gi = 0;
+        for (int b = 6; b >= 0; b--) {
+            if ((grouping >> b) & 1) group_wins[gi]++;
+            else group_wins[++gi] = 1;
+        }
+        ngroups = gi + 1;
+    }
+    if (!shortw) {
+        // long windows: grouped order == spectral order, so the
+        // nibble emission is one flat scan with an 8-byte
+        // zero-skip (spectra are sparse; uncoded bands are
+        // already zero in q) — the band walk only sets sf bytes
+        for (int k = 0; k < max_sfb && k < 64; k++) {
+            int cbv = cbr[k];
+            if (cbv >= 1 && cbv <= 11) {
+                int32_t sv = sfr[k];
+                brow[k] = (uint8_t)(sv < 0 ? 0
+                                    : (sv > 255 ? 255 : sv));
+            }
+        }
+        for (int j = 0; j < 1024; j += 2) {
+            uint64_t two;
+            memcpy(&two, q + j, 8);
+            if (two == 0) continue;
+            for (int d = 0; d < 2; d++) {
+                int32_t v = q[j + d];
+                if (v == 0) continue;
+                int dst = j + d;
+                uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
+                if (zz > 14) {
+                    if (*Z.esc_count >= Z.esc_cap) return -4;
+                    int e = (*Z.esc_count)++;
+                    Z.esc_row[e] = (int32_t)(Z.row_base + orow);
+                    Z.esc_pos[e] = dst;
+                    Z.esc_val[e] = v;
+                } else {
+                    qrow[dst >> 1] |= (uint8_t)(
+                        (dst & 1) ? (zz << 4) : zz);
+                }
+            }
+        }
+    } else {
+        int pos = 0, win_base = 0;
+        for (int g = 0; g < ngroups; g++) {
+            int wins = group_wins[g];
+            for (int k = 0; k < max_sfb; k++) {
+                int width = offsets[k + 1] - offsets[k];
+                int cbv = cbr[g * 15 + k];
+                bool coded = cbv >= 1 && cbv <= 11;
+                int32_t sv = sfr[g * 15 + k];
+                uint8_t sb = (uint8_t)(sv < 0 ? 0 : (sv > 255 ? 255 : sv));
+                for (int w = 0; w < wins; w++) {
+                    int dbase = (win_base + w) * 128 + offsets[k];
+                    for (int j = 0; j < width; j++) {
+                        int dst = dbase + j;
+                        if (coded) srow[dst] = sb;
+                        int32_t v = q[pos + j];
+                        if (v == 0) continue;
+                        uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
+                        if (zz > 14) {
+                            if (*Z.esc_count >= Z.esc_cap) return -4;
+                            int e = (*Z.esc_count)++;
+                            Z.esc_row[e] = (int32_t)(Z.row_base + orow);
+                            Z.esc_pos[e] = dst;
+                            Z.esc_val[e] = v;
+                        } else {
+                            qrow[dst >> 1] |= (uint8_t)(
+                                (dst & 1) ? (zz << 4) : zz);
+                        }
+                    }
+                    pos += width;
+                }
+            }
+            win_base += wins;
+            pos = win_base * 128;
+        }
+    }
+    bool ch_special = false;
+    for (int k = 0; k < 120; k++)
+        if (cbr[k] >= 13) ch_special = true;
+    const int32_t* tn = tnsn + (int64_t)r * 8;
+    bool has_tns = false;
+    for (int w = 0; w < 8; w++)
+        if (tn[w]) { has_tns = true; break; }
+    if (ch_special || (has_tns && Z.tns_cap == 0)) {
+        // exotic rows — and, with no TNS pool, TNS rows too —
+        // go to the host-prepared special/side path
+        if (*Z.n_special >= Z.max_special) return -2;
+        Z.special_rows[(*Z.n_special)++] = f * C + c;
+    } else if (has_tns) {
+        if (*Z.tns_count >= Z.tns_cap) return -6;
+        int tj = (*Z.tns_count)++;
+        uint8_t* firow = Z.tfi + (int64_t)tj * 1024;
+        float* corow = Z.tco + (int64_t)tj * 24 * 12;
+        uint8_t* drow = Z.tdir + (int64_t)tj * 24;
+        memset(firow, 0, 1024);
+        memset(corow, 0, sizeof(float) * 24 * 12);
+        memset(drow, 0, 24);
+        Z.trow[tj] = (int32_t)(Z.row_base + orow);
+        const int16_t* toff = shortw ? g_sfb_short[rate_index]
+                                     : g_sfb_long[rate_index];
+        int nbands = g_nsfb[rate_index][shortw ? 1 : 0];
+        int nwin = shortw ? 8 : 1;
+        for (int w = 0; w < nwin; w++) {
+            int base = shortw ? w * 128 : 0;
+            int bottom = nbands;
+            for (int fi = 0; fi < tn[w] && fi < 3; fi++) {
+                const int32_t* p = &tnsp[(r * 24 + w * 3 + fi) * 3];
+                int length = p[0], order = p[1], dir = p[2];
+                int top = bottom;
+                bottom = top - length;
+                if (bottom < 0) bottom = 0;
+                if (order == 0) continue;
+                int start = toff[bottom < nbands ? bottom : nbands];
+                int end = toff[top < nbands ? top : nbands];
+                int lim = shortw ? 128 : 1024;
+                if (end > lim) end = lim;
+                if (end <= start) continue;
+                // lattice -> direct form (same as aac_tns_group)
+                double a[16] = {0};
+                int alen = 0;
+                const float* kk =
+                    &tnsc[(int64_t)(r * 24 + w * 3 + fi) * 12];
+                for (int i = 0; i < order && i < 12; i++) {
+                    double tmp[16];
+                    for (int j = 0; j < alen; j++)
+                        tmp[j] = a[j] + kk[i] * a[alen - 1 - j];
+                    for (int j = 0; j < alen; j++) a[j] = tmp[j];
+                    a[alen++] = kk[i];
+                }
+                int slot = w * 3 + fi;
+                for (int j = 0; j < alen; j++)
+                    corow[slot * 12 + j] = (float)a[j];
+                drow[slot] = (uint8_t)(dir ? 1 : 0);
+                for (int i = base + start; i < base + end; i++)
+                    firow[i] = (uint8_t)(slot + 1);
+            }
+        }
+    }
+    return 0;
+}
+
+// One pair's per-coefficient M/S bitmask row (left channel's layout;
+// shared ics) — the per-pair body of aac_prepare_rows_zz.
+inline void zz_emit_msrow(
+        const int32_t* ics, const int8_t* cb, const uint8_t* msmask,
+        bool parsed, int rate_index, const ZzArgs& Z, int f, int p, int C) {
+    const int SP = Z.SC / 2;
+    const int pair0 = Z.col0 / 2;
+    uint8_t* mrow = Z.msb + ((int64_t)f * SP + pair0 + p) * 128;
+    memset(mrow, 0, 128);
+    if (!parsed) return;
+    const uint8_t* ms = msmask + (int64_t)f * SFB_SLOTS;
+    uint8_t flag = ms[0];
+    if (flag != 1 && flag != 2) return;
+    int rl = f * C + p * 2;
+    int seq = ics[rl * 4];
+    int max_sfb = ics[rl * 4 + 2];
+    int grouping = ics[rl * 4 + 3];
+    bool shortw = seq == 2;
+    const int16_t* offsets = shortw ? g_sfb_short[rate_index]
+                                    : g_sfb_long[rate_index];
+    int group_wins[8] = {1, 0, 0, 0, 0, 0, 0, 0};
+    int ngroups = 1;
+    if (shortw) {
+        int gi = 0;
+        for (int b = 6; b >= 0; b--) {
+            if ((grouping >> b) & 1) group_wins[gi]++;
+            else group_wins[++gi] = 1;
+        }
+        ngroups = gi + 1;
+    }
+    const int8_t* cbp = cb + ((int64_t)(f * C + p * 2 + 1))
+        * SFB_SLOTS;
+    int win_base = 0;
+    for (int g = 0; g < ngroups; g++) {
+        int wins = group_wins[g];
+        for (int k = 0; k < max_sfb; k++) {
+            bool on = (flag == 2) || ms[1 + g * 15 + k];
+            if (cbp[g * 15 + k] >= 13) on = false;
+            if (on) {
+                for (int w = 0; w < wins; w++) {
+                    int dbase = shortw
+                        ? (win_base + w) * 128 + offsets[k]
+                        : offsets[k];
+                    for (int j = offsets[k]; j < offsets[k + 1]; j++) {
+                        int dst = dbase + (j - offsets[k]);
+                        mrow[dst >> 3] |= (uint8_t)(1u << (dst & 7));
+                    }
+                }
+            }
+        }
+        win_base += wins;
+    }
+}
+
 int parse_group_impl(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
                      int max_frames, int channels,
                      int32_t* ics, int8_t* cb, int32_t* sf, int32_t* quant,
                      uint8_t* msmask, int32_t* tnsn, int32_t* tnsp,
                      float* tnsc, int32_t* rate_index_out,
                      uint8_t* sbr_bytes, int32_t* sbr_nbits,
-                     int32_t* sbr_crc) {
+                     int32_t* sbr_crc, const ZzArgs* zz = nullptr) {
     int64_t pos = *byte_pos;
     int nframes = 0;
     while (nframes < max_frames && pos + 7 <= nbytes) {
@@ -553,8 +811,37 @@ int parse_group_impl(const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
             }
         }
         pos += frame_bytes;
-        if (!bad && ch_done == channels) nframes++;
+        if (!bad && ch_done == channels) {
+            if (zz) {
+                // fused zz emission: the frame's dense rows (quant, cb,
+                // sf) are still cache-hot — emit its wire rows now
+                // instead of re-reading the whole group in a second pass
+                int rc = 0;
+                for (int c = 0; c < channels && !rc; c++)
+                    rc = zz_emit_channel(ics, cb, sf, quant, tnsn,
+                                         tnsp, tnsc, true, rate_index,
+                                         *zz, nframes, c, channels);
+                for (int p = 0; !rc && p < channels / 2; p++)
+                    zz_emit_msrow(ics, cb, msmask, true, rate_index,
+                                  *zz, nframes, p, channels);
+                if (rc) { *byte_pos = pos; return rc; }
+            }
+            nframes++;
+        }
         // bad frames are skipped (counted as lost), mirroring the Python
+    }
+    if (zz) {
+        // pad rows past the last parsed frame, exactly as the two-pass
+        // aac_prepare_rows_zz does for f >= nframes (zero rows, opx
+        // continuing the prev_shape chain with seq = shape = 0)
+        for (int f = nframes; f < zz->F; f++) {
+            for (int c = 0; c < channels; c++)
+                zz_emit_channel(ics, cb, sf, quant, tnsn, tnsp, tnsc,
+                                false, 0, *zz, f, c, channels);
+            for (int p = 0; p < channels / 2; p++)
+                zz_emit_msrow(ics, cb, msmask, false, 0, *zz, f, p,
+                              channels);
+        }
     }
     *byte_pos = pos;
     return nframes;
@@ -875,235 +1162,58 @@ int aac_prepare_rows_zz(
         int32_t* special_rows, int32_t* n_special, int max_special) {
     *n_special = 0;
     const int pairs = C / 2;
-    const int SP = SC / 2;
-    const int pair0 = col0 / 2;
+    ZzArgs Z{F, prev_shape, q4, sfb, msb, opx,
+             ssf, ssr, ssf_count, ssf_cap,
+             tfi, tco, tdir, trow, tns_count, tns_cap,
+             SC, col0, row_base,
+             esc_row, esc_pos, esc_val, esc_count, esc_cap,
+             special_rows, n_special, max_special};
     for (int f = 0; f < F; f++) {
         bool parsed = f < nframes;
         for (int c = 0; c < C; c++) {
-            int r = f * C + c;
-            int64_t orow = (int64_t)f * SC + col0 + c;
-            int seq = 0, shape = 0, max_sfb = 0, grouping = 0;
-            if (parsed) {
-                seq = ics[r * 4];
-                shape = ics[r * 4 + 1];
-                max_sfb = ics[r * 4 + 2];
-                grouping = ics[r * 4 + 3];
-            }
-            bool shortw = seq == 2;
-            opx[orow] = (uint8_t)(seq * 4 + prev_shape[c] * 2 + shape);
-            prev_shape[c] = shape;
-            uint8_t* qrow = q4 + orow * 512;
-            uint8_t* brow = sfb + orow * 64;
-            memset(qrow, 0, 512);
-            memset(brow, 0, 64);
-            uint8_t* srow = nullptr;          // short rows: pooled sf bytes
-            if (parsed && shortw) {
-                if (*ssf_count >= ssf_cap) return -5;
-                int j = (*ssf_count)++;
-                srow = ssf + (int64_t)j * 1024;
-                memset(srow, 0, 1024);
-                ssr[j] = (int32_t)(row_base + orow);
-            }
-            if (!parsed) continue;
-            const int32_t* q = quant + (int64_t)r * 1024;
-            const int8_t* cbr = cb + (int64_t)r * SFB_SLOTS;
-            const int32_t* sfr = sf + (int64_t)r * SFB_SLOTS;
-            const int16_t* offsets = shortw ? g_sfb_short[rate_index]
-                                            : g_sfb_long[rate_index];
-            // reconstruct the window grouping exactly as the parser did
-            int group_wins[8] = {1, 0, 0, 0, 0, 0, 0, 0};
-            int ngroups = 1;
-            if (shortw) {
-                int gi = 0;
-                for (int b = 6; b >= 0; b--) {
-                    if ((grouping >> b) & 1) group_wins[gi]++;
-                    else group_wins[++gi] = 1;
-                }
-                ngroups = gi + 1;
-            }
-            if (!shortw) {
-                // long windows: grouped order == spectral order, so the
-                // nibble emission is one flat scan with an 8-byte
-                // zero-skip (spectra are sparse; uncoded bands are
-                // already zero in q) — the band walk only sets sf bytes
-                for (int k = 0; k < max_sfb && k < 64; k++) {
-                    int cbv = cbr[k];
-                    if (cbv >= 1 && cbv <= 11) {
-                        int32_t sv = sfr[k];
-                        brow[k] = (uint8_t)(sv < 0 ? 0
-                                            : (sv > 255 ? 255 : sv));
-                    }
-                }
-                for (int j = 0; j < 1024; j += 2) {
-                    uint64_t two;
-                    memcpy(&two, q + j, 8);
-                    if (two == 0) continue;
-                    for (int d = 0; d < 2; d++) {
-                        int32_t v = q[j + d];
-                        if (v == 0) continue;
-                        int dst = j + d;
-                        uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
-                        if (zz > 14) {
-                            if (*esc_count >= esc_cap) return -4;
-                            int e = (*esc_count)++;
-                            esc_row[e] = (int32_t)(row_base + orow);
-                            esc_pos[e] = dst;
-                            esc_val[e] = v;
-                        } else {
-                            qrow[dst >> 1] |= (uint8_t)(
-                                (dst & 1) ? (zz << 4) : zz);
-                        }
-                    }
-                }
-            } else {
-            int pos = 0, win_base = 0;
-            for (int g = 0; g < ngroups; g++) {
-                int wins = group_wins[g];
-                for (int k = 0; k < max_sfb; k++) {
-                    int width = offsets[k + 1] - offsets[k];
-                    int cbv = cbr[g * 15 + k];
-                    bool coded = cbv >= 1 && cbv <= 11;
-                    int32_t sv = sfr[g * 15 + k];
-                    uint8_t sb = (uint8_t)(sv < 0 ? 0 : (sv > 255 ? 255 : sv));
-                    for (int w = 0; w < wins; w++) {
-                        int dbase = (win_base + w) * 128 + offsets[k];
-                        for (int j = 0; j < width; j++) {
-                            int dst = dbase + j;
-                            if (coded) srow[dst] = sb;
-                            int32_t v = q[pos + j];
-                            if (v == 0) continue;
-                            uint32_t zz = (uint32_t)((v << 1) ^ (v >> 31));
-                            if (zz > 14) {
-                                if (*esc_count >= esc_cap) return -4;
-                                int e = (*esc_count)++;
-                                esc_row[e] = (int32_t)(row_base + orow);
-                                esc_pos[e] = dst;
-                                esc_val[e] = v;
-                            } else {
-                                qrow[dst >> 1] |= (uint8_t)(
-                                    (dst & 1) ? (zz << 4) : zz);
-                            }
-                        }
-                        pos += width;
-                    }
-                }
-                win_base += wins;
-                pos = win_base * 128;
-            }
-            }
-            bool ch_special = false;
-            for (int k = 0; k < 120; k++)
-                if (cbr[k] >= 13) ch_special = true;
-            const int32_t* tn = tnsn + (int64_t)r * 8;
-            bool has_tns = false;
-            for (int w = 0; w < 8; w++)
-                if (tn[w]) { has_tns = true; break; }
-            if (ch_special || (has_tns && tns_cap == 0)) {
-                // exotic rows — and, with no TNS pool, TNS rows too —
-                // go to the host-prepared special/side path
-                if (*n_special >= max_special) return -2;
-                special_rows[(*n_special)++] = f * C + c;
-            } else if (has_tns) {
-                if (*tns_count >= tns_cap) return -6;
-                int tj = (*tns_count)++;
-                uint8_t* firow = tfi + (int64_t)tj * 1024;
-                float* corow = tco + (int64_t)tj * 24 * 12;
-                uint8_t* drow = tdir + (int64_t)tj * 24;
-                memset(firow, 0, 1024);
-                memset(corow, 0, sizeof(float) * 24 * 12);
-                memset(drow, 0, 24);
-                trow[tj] = (int32_t)(row_base + orow);
-                const int16_t* toff = shortw ? g_sfb_short[rate_index]
-                                             : g_sfb_long[rate_index];
-                int nbands = g_nsfb[rate_index][shortw ? 1 : 0];
-                int nwin = shortw ? 8 : 1;
-                for (int w = 0; w < nwin; w++) {
-                    int base = shortw ? w * 128 : 0;
-                    int bottom = nbands;
-                    for (int fi = 0; fi < tn[w] && fi < 3; fi++) {
-                        const int32_t* p = &tnsp[(r * 24 + w * 3 + fi) * 3];
-                        int length = p[0], order = p[1], dir = p[2];
-                        int top = bottom;
-                        bottom = top - length;
-                        if (bottom < 0) bottom = 0;
-                        if (order == 0) continue;
-                        int start = toff[bottom < nbands ? bottom : nbands];
-                        int end = toff[top < nbands ? top : nbands];
-                        int lim = shortw ? 128 : 1024;
-                        if (end > lim) end = lim;
-                        if (end <= start) continue;
-                        // lattice -> direct form (same as aac_tns_group)
-                        double a[16] = {0};
-                        int alen = 0;
-                        const float* kk =
-                            &tnsc[(int64_t)(r * 24 + w * 3 + fi) * 12];
-                        for (int i = 0; i < order && i < 12; i++) {
-                            double tmp[16];
-                            for (int j = 0; j < alen; j++)
-                                tmp[j] = a[j] + kk[i] * a[alen - 1 - j];
-                            for (int j = 0; j < alen; j++) a[j] = tmp[j];
-                            a[alen++] = kk[i];
-                        }
-                        int slot = w * 3 + fi;
-                        for (int j = 0; j < alen; j++)
-                            corow[slot * 12 + j] = (float)a[j];
-                        drow[slot] = (uint8_t)(dir ? 1 : 0);
-                        for (int i = base + start; i < base + end; i++)
-                            firow[i] = (uint8_t)(slot + 1);
-                    }
-                }
-            }
+            int rc = zz_emit_channel(ics, cb, sf, quant, tnsn, tnsp, tnsc,
+                                     parsed, rate_index, Z, f, c, C);
+            if (rc) return rc;
         }
         // per-coefficient M/S bitmask (left channel's layout; shared ics)
-        for (int p = 0; p < pairs; p++) {
-            uint8_t* mrow = msb + ((int64_t)f * SP + pair0 + p) * 128;
-            memset(mrow, 0, 128);
-            if (f >= nframes) continue;
-            const uint8_t* ms = msmask + (int64_t)f * SFB_SLOTS;
-            uint8_t flag = ms[0];
-            if (flag != 1 && flag != 2) continue;
-            int rl = f * C + p * 2;
-            int seq = ics[rl * 4];
-            int max_sfb = ics[rl * 4 + 2];
-            int grouping = ics[rl * 4 + 3];
-            bool shortw = seq == 2;
-            const int16_t* offsets = shortw ? g_sfb_short[rate_index]
-                                            : g_sfb_long[rate_index];
-            int group_wins[8] = {1, 0, 0, 0, 0, 0, 0, 0};
-            int ngroups = 1;
-            if (shortw) {
-                int gi = 0;
-                for (int b = 6; b >= 0; b--) {
-                    if ((grouping >> b) & 1) group_wins[gi]++;
-                    else group_wins[++gi] = 1;
-                }
-                ngroups = gi + 1;
-            }
-            const int8_t* cbp = cb + ((int64_t)(f * C + p * 2 + 1))
-                * SFB_SLOTS;
-            int win_base = 0;
-            for (int g = 0; g < ngroups; g++) {
-                int wins = group_wins[g];
-                for (int k = 0; k < max_sfb; k++) {
-                    bool on = (flag == 2) || ms[1 + g * 15 + k];
-                    if (cbp[g * 15 + k] >= 13) on = false;
-                    if (on) {
-                        for (int w = 0; w < wins; w++) {
-                            int dbase = shortw
-                                ? (win_base + w) * 128 + offsets[k]
-                                : offsets[k];
-                            for (int j = offsets[k]; j < offsets[k + 1]; j++) {
-                                int dst = dbase + (j - offsets[k]);
-                                mrow[dst >> 3] |= (uint8_t)(1u << (dst & 7));
-                            }
-                        }
-                    }
-                }
-                win_base += wins;
-            }
-        }
+        for (int p = 0; p < pairs; p++)
+            zz_emit_msrow(ics, cb, msmask, parsed, rate_index, Z, f, p, C);
     }
     return 0;
+}
+
+// Fused parse + zz emission: one call does aac_parse_group AND
+// aac_prepare_rows_zz, emitting each frame's wire rows while its dense
+// planes are cache-hot (the second cold pass over ~4 KB/row quant data
+// was the dominant remaining host cost of the bench's AAC leg).  The
+// dense batch planes are still fully written — callers use them for the
+// special/side rows.  Returns nframes >= 0, or the negative overflow
+// codes of aac_prepare_rows_zz.
+int aac_parse_group_zz(
+        const uint8_t* buf, int64_t nbytes, int64_t* byte_pos,
+        int max_frames, int channels,
+        int32_t* ics, int8_t* cb, int32_t* sf, int32_t* quant,
+        uint8_t* msmask, int32_t* tnsn, int32_t* tnsp, float* tnsc,
+        int32_t* rate_index_out,
+        int32_t* prev_shape,
+        uint8_t* q4, uint8_t* sfb, uint8_t* msb, uint8_t* opx,
+        uint8_t* ssf, int32_t* ssr, int32_t* ssf_count, int ssf_cap,
+        uint8_t* tfi, float* tco, uint8_t* tdir, int32_t* trow,
+        int32_t* tns_count, int tns_cap,
+        int SC, int col0, int64_t row_base,
+        int32_t* esc_row, int32_t* esc_pos, int32_t* esc_val,
+        int32_t* esc_count, int esc_cap,
+        int32_t* special_rows, int32_t* n_special, int max_special) {
+    *n_special = 0;
+    ZzArgs Z{max_frames, prev_shape, q4, sfb, msb, opx,
+             ssf, ssr, ssf_count, ssf_cap,
+             tfi, tco, tdir, trow, tns_count, tns_cap,
+             SC, col0, row_base,
+             esc_row, esc_pos, esc_val, esc_count, esc_cap,
+             special_rows, n_special, max_special};
+    return parse_group_impl(buf, nbytes, byte_pos, max_frames, channels,
+                            ics, cb, sf, quant, msmask, tnsn, tnsp, tnsc,
+                            rate_index_out, nullptr, nullptr, nullptr, &Z);
 }
 
 }  // extern "C"

@@ -427,3 +427,93 @@ def test_aac_zz_tns_pool_matches_side_path():
         escb.val, sideb, srowb, np.zeros((SC, 1024), np.float32), E_sf,
         tns.tfi, tns.tco, tns.tdir, tns.row)
     assert float(np.abs(np.asarray(pcm_b) - ref).max()) <= 0.5
+
+
+def test_fused_parse_zz_matches_two_pass():
+    """aac_parse_group_zz (fused parse + zz emission) must produce
+    byte-identical wire planes, pools, escapes, specials and parse
+    positions to aac_parse_group followed by aac_prepare_rows_zz —
+    across chained groups (prev_shape continuity, row_base offsets)
+    on content with short windows, TNS and M/S."""
+    if not os.path.exists(ORACLE):
+        pytest.skip("aac oracle not built")
+    track = _noisy_track(4.0, noise=0.1)
+    # transients force short windows + TNS on
+    t = np.arange(track.shape[1]) / 44100.0
+    track = track.astype(np.float64)
+    for s in range(0, track.shape[1] - 900, 4410):
+        track[:, s:s + 800] += (np.sign(np.sin(2 * np.pi * 37 * t[:800]))
+                                * np.exp(-t[:800] * 300) * 9000)
+    track = np.clip(track, -32768, 32767).astype(np.int32)
+    with tempfile.TemporaryDirectory() as td:
+        fin, fout = os.path.join(td, "i.raw"), os.path.join(td, "o.aac")
+        np.ascontiguousarray(track.T).astype(np.int16).tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "128000"], check=True, capture_output=True)
+        data = open(fout, "rb").read()
+
+    nch, F = 2, 48                     # several chained groups
+    SC = nch
+
+    def slabs():
+        return (np.zeros((F, SC, 512), np.uint8),
+                np.zeros((F, SC, 64), np.uint8),
+                np.zeros((F, SC // 2, 128), np.uint8),
+                np.zeros((F, SC), np.uint8),
+                native.EscapeList(65536),
+                native.ShortSfPool(F * nch),
+                native.TnsPool(F * nch))
+
+    pos_a = pos_b = 0
+    ps_a = np.zeros(nch, np.int32)
+    ps_b = np.zeros(nch, np.int32)
+    groups = 0
+    while True:
+        row_base = groups * 1000       # arbitrary nonzero, same both paths
+        q4a, sfba, msba, opxa, esca, ssfa, tnsa = slabs()
+        n_a, pos_a, b_a = native.aac_parse_group(
+            data, pos_a, channels=nch, max_frames=F)
+        sp_a = native.aac_prepare_rows_zz(
+            b_a, n_a, F, nch, ps_a, esca, ssfa, q4=q4a, sfb=sfba,
+            msb=msba, opx=opxa, col0=0, row_base=row_base,
+            max_special=F * nch, tns=tnsa)
+        assert sp_a is not None
+
+        q4b, sfbb, msbb, opxb, escb, ssfb, tnsb = slabs()
+        n_b, pos_b, b_b, sp_b = native.aac_parse_group_zz(
+            data, pos_b, channels=nch, max_frames=F, prev_shape=ps_b,
+            esc=escb, ssf=ssfb, q4=q4b, sfb=sfbb, msb=msbb, opx=opxb,
+            col0=0, row_base=row_base, max_special=F * nch, tns=tnsb)
+        assert sp_b is not None
+
+        assert (n_a, pos_a) == (n_b, pos_b)
+        np.testing.assert_array_equal(sp_a, sp_b)
+        np.testing.assert_array_equal(ps_a, ps_b)
+        for x, y in ((q4a, q4b), (sfba, sfbb), (msba, msbb),
+                     (opxa, opxb)):
+            np.testing.assert_array_equal(x, y)
+        for pa, pb in ((esca, escb),):
+            assert pa.count.value == pb.count.value
+            k = pa.count.value
+            np.testing.assert_array_equal(pa.row[:k], pb.row[:k])
+            np.testing.assert_array_equal(pa.pos[:k], pb.pos[:k])
+            np.testing.assert_array_equal(pa.val[:k], pb.val[:k])
+        assert ssfa.count.value == ssfb.count.value
+        k = ssfa.count.value
+        np.testing.assert_array_equal(ssfa.row[:k], ssfb.row[:k])
+        np.testing.assert_array_equal(ssfa.sf[:k], ssfb.sf[:k])
+        assert tnsa.count.value == tnsb.count.value
+        k = tnsa.count.value
+        np.testing.assert_array_equal(tnsa.row[:k], tnsb.row[:k])
+        np.testing.assert_array_equal(tnsa.tfi[:k], tnsb.tfi[:k])
+        np.testing.assert_array_equal(tnsa.tco[:k], tnsb.tco[:k])
+        np.testing.assert_array_equal(tnsa.tdir[:k], tnsb.tdir[:k])
+        # dense batch planes match too (the special/side path reads them)
+        for key in ("ics", "cb", "sf", "msmask", "tnsn", "tnsp", "tnsc"):
+            np.testing.assert_array_equal(b_a[key], b_b[key])
+        np.testing.assert_array_equal(b_a["quant"][:n_a * nch],
+                                      b_b["quant"][:n_b * nch])
+        groups += 1
+        if n_a == 0:
+            break
+    assert groups >= 3
