@@ -106,6 +106,52 @@ def room_fanout(mesh: Mesh, x):
     return full, jnp.max(jnp.abs(full))
 
 
+def room_render_grid(mesh: Mesh, master, gains, delays, skew_ppm,
+                     ramp0, ramp1):
+    """Per-room pipeline render chain over the mesh — the receiver half
+    of multiroom (SURVEY.md §2.7/§5.8).
+
+    The reference's Songcast receivers each run their own pipeline tail
+    on the shared master mix: a VariableDelay aligns latency
+    (Media/Pipeline/VariableDelay.cpp), ClockPullerSongcast trims the
+    receiver clock against the sender's timestamps (fractional-rate
+    resample), and the local volume/ramp chain scales the result.  Here
+    the rooms ARE mesh devices: `master` is replicated (ICI fan-out,
+    `room_fanout`) and every room's chain — fractional delay + clock-skew
+    linear resample + linear ramp x gain — runs sharded P('dp') over
+    rooms inside one SPMD program.
+
+    master: (C, N) float32 master mix (replicated).
+    gains, delays, skew_ppm, ramp0, ramp1: (R,) per-room parameters
+    (gain scalar; delay in samples, may be fractional; clock skew in
+    ppm; ramp endpoints) — sharded over `dp`.
+    Returns (R, C, N) per-room PCM sharded P('dp', None, None).
+    """
+    C, N = master.shape
+    t = jnp.arange(N, dtype=jnp.float32)
+
+    def one_room(gain, delay, skew, r0, r1):
+        # clock-skew resample + fractional delay in one gather: the room
+        # clock runs (1 + skew*1e-6) x the sender clock, shifted by the
+        # room's latency-alignment delay
+        pos = t * (1.0 + skew * 1e-6) - delay
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
+        i1 = jnp.clip(i0 + 1, 0, N - 1)
+        frac = pos - i0.astype(jnp.float32)
+        x = master[:, i0] * (1.0 - frac) + master[:, i1] * frac
+        x = jnp.where((pos < 0.0) | (pos > N - 1.0), 0.0, x)
+        ramp = r0 + (r1 - r0) * t * (1.0 / N)
+        return x * (gain * ramp)
+
+    dp_vec = NamedSharding(mesh, P("dp"))
+    out = jax.vmap(one_room)(
+        *(jax.lax.with_sharding_constraint(jnp.asarray(a, jnp.float32),
+                                           dp_vec)
+          for a in (gains, delays, skew_ppm, ramp0, ramp1)))
+    return jax.lax.with_sharding_constraint(
+        out, NamedSharding(mesh, P("dp", None, None)))
+
+
 def sharded_pipeline_step(mesh: Mesh, num_channels: int = 2):
     """jit the full decode->render->multiroom step over `mesh`.
 
