@@ -233,8 +233,8 @@ def unpc_block(resid: np.ndarray, coefs: np.ndarray, numactive: int,
     return np.asarray(ol, np.int64)
 
 
-def decode_packet(data: bytes, cfg: AlacConfig) -> np.ndarray:
-    """One ALAC packet -> (channels, n) int32 native range."""
+def decode_packet(data: bytes, cfg: AlacConfig) -> tuple[np.ndarray, int]:
+    """One ALAC packet -> ((channels, n) int32 native range, num_samples)."""
     bits = _Bits(data)
     outputs = []
     num_samples = cfg.frame_length
@@ -267,7 +267,10 @@ def decode_packet(data: bytes, cfg: AlacConfig) -> np.ndarray:
         if len(outputs) >= cfg.num_channels:
             break
     if not outputs:
-        return np.zeros((cfg.num_channels, 0), np.int32)
+        # keep the (pcm, num_samples) shape: a hostile packet opening
+        # with ID_END otherwise desyncs `pcm, n = decode_packet(...)`
+        # callers (raop.py:314) into unpacking channel rows
+        return np.zeros((cfg.num_channels, 0), np.int32), 0
     n = min(len(o) for o in outputs)
     return np.stack([o[:n] for o in outputs]).astype(np.int32), num_samples
 
