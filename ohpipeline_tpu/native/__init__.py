@@ -10,6 +10,7 @@ toolchain.
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import subprocess
 import threading
@@ -17,7 +18,14 @@ import threading
 import numpy as np
 
 _DIR = pathlib.Path(__file__).resolve().parent
-_BUILD = _DIR / "_build"
+# OHP_NATIVE_ASAN=1 builds every helper with AddressSanitizer into a
+# separate _build/asan/ tree so the hostile-input fuzz suites
+# (tests/test_native_fuzz_codecs.py, test_native_hardening.py) can run
+# with live heap checking: LD_PRELOAD=libasan.so.8 OHP_NATIVE_ASAN=1
+# python -m pytest ...  (the preload is required because the .so is
+# dlopen'd into an uninstrumented interpreter).
+_ASAN = bool(os.environ.get("OHP_NATIVE_ASAN"))
+_BUILD = _DIR / "_build" / "asan" if _ASAN else _DIR / "_build"
 _LOCK = threading.Lock()
 _LIBS: dict[str, ctypes.CDLL | None] = {}
 
@@ -33,10 +41,13 @@ def _load(name: str, sources: list[str],
             srcs = [_DIR / s for s in sources]
             newest = max(s.stat().st_mtime for s in srcs)
             if not so.exists() or so.stat().st_mtime < newest:
-                _BUILD.mkdir(exist_ok=True)
+                _BUILD.mkdir(parents=True, exist_ok=True)
                 cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                        "-std=c++17", *(flags or []), *map(str, srcs),
                        "-o", str(so)]
+                if _ASAN:
+                    cmd[1:1] = ["-fsanitize=address", "-g",
+                                "-fno-omit-frame-pointer"]
                 subprocess.run(cmd, check=True, capture_output=True)
             _LIBS[name] = ctypes.CDLL(str(so))
         except (OSError, subprocess.CalledProcessError):

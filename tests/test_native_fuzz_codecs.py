@@ -135,41 +135,60 @@ def test_alac_survives_bitflips(monkeypatch):
 # MP3
 
 
+def _mp3_walk(data: bytes):
+    """All parsed frames' Huffman spectra through Mp3Stream (the exact
+    layer mp3_core.cc implements; header/side-info/resync are shared
+    Python either way, and no jit is entered — ASAN-safe)."""
+    from ohpipeline_tpu.codecs.mp3.bitstream import Mp3Stream
+    st = Mp3Stream(data)
+    out = []
+    while True:
+        try:
+            fr = st.next_frame()
+        except Exception as e:              # noqa: BLE001 — kinds compared
+            out.append(("raise", type(e).__name__))
+            return out
+        if fr is None:
+            return out
+        if fr.side is None:
+            out.append(("skip", None))
+            continue
+        for gr in fr.side.granules:
+            for g in gr:
+                out.append(("g", g.spectrum.copy()))
+
+
 @pytest.mark.skipif(not native.have_mp3_core(),
                     reason="native mp3 core unavailable")
 def test_mp3_huffman_survives_bitflips(monkeypatch):
     """Bit-flipped MP3 streams: the native Huffman walk and the Python
-    fallback must agree on the decoded PCM (or fail identically) —
-    header/side-info parsing and resync are shared code, so the diff
-    surface is exactly mp3_parse_huffman."""
-    from ohpipeline_tpu.codecs.mp3 import decode_mp3
+    fallback must agree granule-for-granule on the decoded spectra (or
+    skip/fail identically) — header/side-info parsing and resync are
+    shared code, so the diff surface is exactly mp3_parse_huffman."""
     from ohpipeline_tpu.codecs.mp3 import encoder as ENC
     rng = np.random.default_rng(55)
     spec = np.zeros((2, 576), np.int32)
     m = rng.random((2, 576)) < 0.3
     spec[m] = rng.integers(1, 13, m.sum())
     base = bytearray(ENC.build_stream([spec[0], spec[1]], nframes=10))
-    for trial in range(60):
+    for trial in range(80):
         data = bytearray(base)
         for _ in range(int(rng.integers(1, 4))):
             data[int(rng.integers(0, len(data)))] ^= \
                 1 << int(rng.integers(0, 8))
         data = bytes(data)
-        outs = []
-        for force_py in (False, True):
-            if force_py:
-                monkeypatch.setattr(native, "have_mp3_core", lambda: False)
-            try:
-                _info, pcm = decode_mp3(data)
-                outs.append(("ok", pcm))
-            except Exception as e:          # noqa: BLE001 — kinds compared
-                outs.append((type(e).__name__, None))
-            if force_py:
-                monkeypatch.undo()
-        (ka, ra), (kb, rb) = outs
-        assert ka == kb, (trial, ka, kb)
-        if ka == "ok":
-            np.testing.assert_array_equal(ra, rb)
+        nat = _mp3_walk(data)
+        monkeypatch.setattr(native, "have_mp3_core", lambda: False)
+        py = _mp3_walk(data)
+        monkeypatch.undo()
+        assert len(nat) == len(py), trial
+        for i, ((ta, va), (tb, vb)) in enumerate(zip(nat, py)):
+            assert ta == tb, (trial, i, ta, tb)
+            if ta == "g":
+                np.testing.assert_array_equal(va, vb,
+                                              err_msg=f"{trial}:{i}")
+            elif ta == "raise":
+                assert va == vb, (trial, i, va, vb)
 
 
 # --------------------------------------------------------------------------
