@@ -278,3 +278,113 @@ def test_celt_survives_hostile_packets():
             fails += 1
             st_nat, st_py = _OpusStream(head), _OpusStream(head)
     assert oks > 0
+
+
+# --------------------------------------------------------------------------
+# Batched group parsers (the serving/bench wire producers)
+
+
+@pytest.mark.skipif(not native.have_flac_unpack(),
+                    reason="native flac unpacker unavailable")
+def test_flac_group_parsers_survive_corruption():
+    """flac_parse_group / group16 / group_zz / group_rice consume
+    untrusted FLAC streams in the serving APIs.  Random buffers and
+    bit-flipped real streams must terminate with bounded outputs:
+    0 <= n <= max_frames, the bit cursor inside the buffer, per-frame
+    blocksizes within streaminfo's bound.  Run under OHP_NATIVE_ASAN=1
+    + LD_PRELOAD=libasan for the memory-safety half of the contract."""
+    from ohpipeline_tpu.codecs.flac import frames as FF
+    from ohpipeline_tpu.codecs.flac.encoder import encode_flac
+
+    rng = np.random.default_rng(31)
+    n = 4096 * 6
+    t = np.arange(n) / 44100.0
+    x = np.clip(np.sin(2 * np.pi * 480 * t) * 14000
+                + rng.standard_normal(n) * 1200, -30000, 30000)
+    pcm = np.stack([x, np.roll(x, 9)]).astype(np.int32)
+    data = encode_flac(pcm, 44100, 16)
+    meta = FF.parse_metadata(data)
+    si = meta.streaminfo
+    bit0 = meta.header_bytes * 8
+    MF, stride = 4, si.max_blocksize
+    B = MF * si.channels
+    kw = dict(sample_rate=si.sample_rate, bits_per_sample=si.bits_per_sample,
+              max_blocksize=stride, channels=si.channels, max_frames=MF)
+
+    def check(res, buf, crc):
+        nfr, pos = res[0], res[1]
+        assert 0 <= nfr <= MF
+        assert 0 <= pos <= len(buf) * 8
+        bs = res[3]["blocksize"]
+        assert (bs[:nfr] >= 1).all() and (bs[:nfr] <= stride).all()
+        assert (res[3]["order"] <= 32).all()
+        return nfr
+
+    def all_parsers(buf, crc):
+        check(native.flac_parse_group(buf, bit0, check_crc16=crc, **kw),
+              buf, crc)
+        out16 = np.zeros((B, stride), np.int16)
+        scr = np.zeros((B, stride), np.int32)
+        check(native.flac_parse_group16(buf, bit0, out16, scr,
+                                        check_crc16=crc, **kw), buf, crc)
+        lo = np.zeros((B, stride), np.uint8)
+        hi = np.zeros((B, stride // 2), np.uint8)
+        warm = np.zeros((B, 32), np.int32)
+        check(native.flac_parse_group_zz(buf, bit0, lo, hi, warm, scr,
+                                         native.EscapeList(1024), 0,
+                                         check_crc16=crc, **kw), buf, crc)
+        gcur = np.zeros((B, stride // 64), np.int32)
+        gk = np.zeros((B, stride // 64), np.int8)
+        return check(native.flac_parse_group_rice(
+            buf, bit0, gcur, gk, warm, scr, native.RiceOverflow(1024),
+            native.RiceConstFill(256), native.EscapeList(1024), 0,
+            check_crc16=crc, **kw), buf, crc)
+
+    assert all_parsers(data, True) > 0       # pristine stream parses
+    for trial in range(50):
+        buf = bytearray(data)
+        for _ in range(int(rng.integers(1, 6))):
+            buf[int(rng.integers(bit0 // 8, len(buf)))] ^= \
+                1 << int(rng.integers(0, 8))
+        # crc-off forces the parser deep into corrupted subframe payloads
+        all_parsers(bytes(buf), trial % 2 == 0)
+    for trial in range(50):
+        junk = data[:meta.header_bytes] + bytes(
+            rng.integers(0, 256, int(rng.integers(1, 6000)), dtype=np.uint8))
+        all_parsers(junk, trial % 2 == 0)
+
+
+@pytest.mark.skipif(not native.have_aac_unpack(),
+                    reason="native aac unpacker unavailable")
+def test_aac_group_parsers_survive_corruption():
+    """aac_parse_group / _sbr on bit-flipped and random ADTS buffers
+    (the checked-in dryrun assets are real fdk-encoded streams):
+    bounded outputs, byte cursor inside the buffer, no crash — also a
+    misdeclared channel count must not crash the batch layout."""
+    here = pathlib.Path(__file__).resolve().parent
+    rng = np.random.default_rng(32)
+    for name, ch in (("dryrun.aac", 2), ("dryrun_he.aac", 2)):
+        data = (here / "assets" / name).read_bytes()
+
+        def run(buf, channels):
+            nfr, pos, _b = native.aac_parse_group(
+                buf, 0, channels=channels, max_frames=4)
+            assert 0 <= nfr <= 4 and 0 <= pos <= len(buf)
+            r = native.aac_parse_group_sbr(
+                buf, 0, channels=channels, max_frames=4)
+            assert 0 <= r[0] <= 4 and 0 <= r[1] <= len(buf)
+            return nfr
+
+        assert run(data, ch) > 0
+        run(data, 1)                         # misdeclared channel count
+        for trial in range(60):
+            buf = bytearray(data[:8192])
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, len(buf)))] ^= \
+                    1 << int(rng.integers(0, 8))
+            run(bytes(buf), ch)
+        for trial in range(40):
+            junk = bytes(rng.integers(0, 256,
+                                      int(rng.integers(1, 4000)),
+                                      dtype=np.uint8))
+            run(junk, ch)
