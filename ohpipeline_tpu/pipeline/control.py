@@ -409,32 +409,71 @@ class Seeker(Element):
 
 class Muter(Element):
     """Sample-ramp mute (Muter.cpp): mute ramps audio to zero then marks
-    subsequent audio muted; unmute ramps back."""
+    subsequent audio muted; unmute ramps back.  A mid-ramp call inverts
+    the running ramp in place — the remaining span flips to
+    ``duration - remaining`` and the current value carries, mirroring
+    Muter.cpp:75-87,110-129."""
 
     def __init__(self, upstream, ramp_jiffies=RAMP_SHORT, name=""):
         super().__init__(upstream, name)
         self._ramp = _RampEngine(ramp_jiffies)
         self.muted = False
+        self._lock = threading.RLock()
+
+    def _invert(self, direction: RampDirection) -> bool:
+        """Flip the running ramp; False when it had consumed nothing
+        (already sitting at the new direction's start level)."""
+        eng = self._ramp
+        flipped = eng.duration - eng.remaining
+        if flipped <= 0:
+            eng.cancel()
+            return False
+        cur = eng.current
+        eng.direction = direction
+        eng.remaining = flipped
+        eng.current = cur
+        return True
 
     def mute(self):
-        if not self.muted and not self._ramp.active:
+        with self._lock:
+            if self.muted:
+                return
+            if self._ramp.active:
+                if self._ramp.direction is RampDirection.UP \
+                        and not self._invert(RampDirection.DOWN):
+                    self.muted = True     # up-ramp hadn't left silence yet
+                return
             self._ramp.start(RampDirection.DOWN)
 
     def unmute(self):
-        if self.muted:
-            self.muted = False
-            self._ramp.start(RampDirection.UP)
+        with self._lock:
+            if self._ramp.active:
+                if self._ramp.direction is RampDirection.DOWN:
+                    # cancel an in-flight mute: ramp back up from the
+                    # level already reached (or stay at full level if
+                    # the down ramp hadn't consumed anything)
+                    self.muted = False
+                    self._invert(RampDirection.UP)
+                return
+            if self.muted:
+                self.muted = False
+                self._ramp.start(RampDirection.UP)
 
     def pull(self):
         e = self._next()
         if isinstance(e, ev.AudioPcmEvent):
-            if self._ramp.active:
-                e, done = self._ramp.apply(e, self._defer)
-                if done and self._ramp.direction is not RampDirection.UP:
-                    self.muted = True
-                return e
-            if self.muted:
-                return e.with_ramp(Ramp.muted())
+            with self._lock:
+                if self._ramp.active:
+                    # capture before apply(): completion cancels the
+                    # engine (direction -> NONE), and reading it after
+                    # re-muted the pipeline at every UNMUTE completion
+                    direction = self._ramp.direction
+                    e, done = self._ramp.apply(e, self._defer)
+                    if done and direction is RampDirection.DOWN:
+                        self.muted = True
+                    return e
+                if self.muted:
+                    return e.with_ramp(Ramp.muted())
         return e
 
 

@@ -189,6 +189,54 @@ class TestMuter:
         e = m.pull()
         assert e.ramp.direction.value == "up"
 
+    def test_unmute_completion_stays_unmuted(self):
+        """Once the unmute ramp finishes, audio must flow at unity —
+        the completed UP ramp must not re-mute (regression: pull() read
+        the ramp direction AFTER apply() cancelled it to NONE, so every
+        finished unmute flipped `muted` back on and the pipeline went
+        permanently silent; found by the monkey property test)."""
+        up = ScriptedUpstream([stream()] + [audio() for _ in range(60)])
+        m = control.Muter(up, ramp_jiffies=Jiffies.kPerMs * 5)
+        m.pull()
+        m.mute()
+        for _ in range(40):
+            if m.muted:
+                break
+            m.pull()
+        assert m.muted
+        m.unmute()
+        saw_unity = False
+        for _ in range(40):
+            e = m.pull()
+            if isinstance(e, ev.AudioPcmEvent) and not e.ramp.enabled:
+                saw_unity = True
+                break
+        assert saw_unity, "unmute ramp completion re-muted the pipeline"
+        assert not m.muted
+
+    def test_mid_ramp_reversal(self):
+        """Unmute during the mute ramp (and vice versa) inverts the
+        running ramp from the level already reached (Muter.cpp:75-87,
+        110-129) instead of being ignored."""
+        up = ScriptedUpstream([stream()] + [audio() for _ in range(60)])
+        m = control.Muter(up, ramp_jiffies=Jiffies.kPerMs * 20)
+        m.pull()
+        m.mute()
+        e = m.pull()                        # first ramp-down fragment
+        assert e.ramp.direction.value == "down"
+        level = e.ramp.end
+        m.unmute()                          # cancel mid-mute
+        e = m.pull()
+        assert e.ramp.direction.value == "up"
+        assert e.ramp.start == level        # continues from reached level
+        assert not m.muted
+        # ride the up ramp out: must end at unity, not muted
+        for _ in range(40):
+            e = m.pull()
+            if isinstance(e, ev.AudioPcmEvent) and not e.ramp.enabled:
+                break
+        assert not m.muted
+
 
 class TestAggregator:
     def test_small_chunks_coalesce(self):
