@@ -49,7 +49,8 @@ class MediaPlayer:
         self.config = ConfigManager(self.store)
         self.power = PowerManager(self.store)
         self.pipeline = PipelineManager(p.pipeline_params)
-        self.volumes = VolumeManager(self.config, p.volume_profile)
+        self.volumes = VolumeManager(self.config, p.volume_profile,
+                                     power=self.power)
         self.product = Product(self.config, p.room, p.name)
         from .reactions import ReactionRegistry
         self.reactions = ReactionRegistry()

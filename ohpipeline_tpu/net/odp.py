@@ -23,6 +23,20 @@ from typing import Any, Callable, Optional
 PROTOCOL_VERSION = 1
 
 
+class OdpError(RuntimeError):
+    """Action failure with a protocol error code (the reference's
+    DviOdp relays the provider's invocation error code/description,
+    e.g. ProviderVolume's 811 'Volume invalid' / 814 'Volume not
+    supported', Av/ProviderVolume.cpp:18-28).  Raised by providers to
+    set the wire code, and by OdpClient when an action returns an
+    error response."""
+
+    def __init__(self, code: int, description: str):
+        super().__init__(description)
+        self.code = code
+        self.description = description
+
+
 class OdpService:
     """One service: named actions + evented properties."""
 
@@ -171,6 +185,10 @@ class OdpServer:
         args = {a["name"]: a["value"] for a in msg.get("arguments", [])}
         try:
             out = svc.invoke(msg.get("action", ""), args)
+        except OdpError as e:
+            send({"type": "error", "id": mid, "code": e.code,
+                  "description": e.description})
+            return
         except KeyError as e:
             send({"type": "error", "id": mid, "code": 501,
                   "description": str(e)})
@@ -266,7 +284,8 @@ class OdpClient:
                 raise TimeoutError(f"{service}.{action}")
             resp = self._responses.pop(mid)
         if resp["type"] == "error":
-            raise RuntimeError(resp.get("description", "odp error"))
+            raise OdpError(int(resp.get("code", 500)),
+                           resp.get("description", "odp error"))
         return {a["name"]: a["value"] for a in resp.get("arguments", [])}
 
     def subscribe(self, service: str, sid: str = "", device: str = "",

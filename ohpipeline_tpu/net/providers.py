@@ -10,7 +10,7 @@ the ODP JSON control plane instead of UPnP SOAP.
 
 from __future__ import annotations
 
-from .odp import OdpDevice, OdpService
+from .odp import OdpDevice, OdpError, OdpService
 
 
 def make_product_service(mp) -> OdpService:
@@ -69,10 +69,27 @@ def make_transport_service(mp) -> OdpService:
 def make_volume_service(mp) -> OdpService:
     svc = OdpService("Volume")
     vm = mp.volumes
+
+    def _vol(fn):
+        """Translate volume-chain errors to the reference ProviderVolume
+        codes: 811 'Volume invalid', 814 'Volume not supported'
+        (Av/ProviderVolume.cpp:18-28,575-598)."""
+        from ..av.volume import VolumeNotSupported, VolumeOutOfRange
+
+        def wrapped(**kw):
+            try:
+                return fn(**kw)
+            except VolumeOutOfRange:
+                raise OdpError(811, "Volume invalid") from None
+            except VolumeNotSupported:
+                raise OdpError(814, "Volume not supported") from None
+        return wrapped
+
     svc.add_action("Volume", lambda: {"value": vm.volume})
-    svc.add_action("SetVolume", lambda value: vm.set_volume(int(value)) or {})
-    svc.add_action("VolumeInc", lambda: vm.volume_inc() or {})
-    svc.add_action("VolumeDec", lambda: vm.volume_dec() or {})
+    svc.add_action("SetVolume",
+                   _vol(lambda value: vm.set_volume(int(value)) or {}))
+    svc.add_action("VolumeInc", _vol(lambda: vm.volume_inc() or {}))
+    svc.add_action("VolumeDec", _vol(lambda: vm.volume_dec() or {}))
     svc.add_action("Mute", lambda: {"value": vm.muted})
     svc.add_action(
         "SetMute",
@@ -82,6 +99,7 @@ def make_volume_service(mp) -> OdpService:
     svc.add_action("VolumeMax",
                    lambda: {"value": vm.profile.max_volume})
     vm.add_observer(lambda v: svc.set_property("Volume", v))
+    vm.add_mute_observer(lambda m: svc.set_property("Mute", m))
     return svc
 
 

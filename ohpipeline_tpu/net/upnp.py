@@ -624,7 +624,14 @@ def make_av_renderer(pipeline_manager, volume_manager=None,
     def set_volume(args):
         if vm is None:
             raise UpnpError(501, "no volume manager")
-        vm.set_volume(int(args.get("DesiredVolume", "0")))
+        from ..av.volume import VolumeNotSupported, VolumeOutOfRange
+        try:
+            vm.set_volume(int(args.get("DesiredVolume", "0")))
+        except VolumeOutOfRange:
+            # reference ProviderVolume kInvalidVolumeCode
+            raise UpnpError(811, "Volume invalid") from None
+        except VolumeNotSupported:
+            raise UpnpError(814, "Volume not supported") from None
         return {}
 
     def get_volume(args):

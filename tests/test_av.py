@@ -91,9 +91,92 @@ class TestVolume:
         assert hw[-1] == 80        # downstream capped
 
     def test_out_of_range(self):
-        vm, _ = self.make()
+        # VolumeUser::SetVolume (VolumeManager.cpp:150-160): a request
+        # above max clamps TO max while still below max, and only throws
+        # VolumeOutOfRange once already pinned at max
+        vm, hw = self.make()
+        vm.limiter._limit.set(100)          # take the limiter out of play
+        vm.set_volume(101)
+        assert vm.volume == 100 and hw[-1] == 100
         with pytest.raises(ValueError):
             vm.set_volume(101)
+        with pytest.raises(ValueError):
+            vm.set_volume(-1)
+
+    def test_limit_pinned_raise_throws(self):
+        # VolumeLimiter::SetVolume (VolumeManager.cpp:229-238): raising
+        # the volume further while already pinned at the limit throws —
+        # the control point sees error 811, not a silent no-op
+        vm, hw = self.make()
+        vm.set_volume(80)                   # exactly at limit
+        with pytest.raises(ValueError):
+            vm.set_volume(90)
+        assert vm.volume == 80 and hw[-1] == 80
+        # raising the limit afterwards does NOT restore a higher earlier
+        # request: the limiter stores the clamped value (DoSetVolume)
+        vm.limiter._limit.set(95)
+        assert hw[-1] == 80
+
+    def test_unity_gain_volume_not_supported(self):
+        # VolumeUnityGainBase::SetVolume throws VolumeNotSupported while
+        # unity gain is active (VolumeManager.cpp:408-418)
+        from ohpipeline_tpu.av.volume import VolumeNotSupported
+        vm, hw = self.make()
+        vm.set_volume(30)
+        vm.unity.set_unity_gain(True)
+        assert hw[-1] == 100
+        with pytest.raises(VolumeNotSupported):
+            vm.set_volume(50)
+        vm.unity.set_unity_gain(False)
+        assert hw[-1] == 30                 # pre-unity volume restored
+
+    def test_surround_boost(self):
+        # VolumeSurroundBoost (VolumeManager.cpp:352-396): signed boost,
+        # zero upstream stays silent, negative boost floors at 0
+        vm, hw = self.make()
+        vm.set_volume(50)
+        vm.set_volume_boost(10)
+        assert hw[-1] == 60
+        vm.set_volume_boost(-60)
+        assert hw[-1] == 0
+        vm.set_volume(0)
+        vm.set_volume_boost(15)
+        assert hw[-1] == 0                  # zero upstream stays silent
+
+    def test_mute_reporter_and_standby(self):
+        # MuteReporter dedupes + fans out (VolumeManager.cpp:828-868);
+        # MuteUser unmutes when leaving standby (VolumeManager.cpp:821-825)
+        from ohpipeline_tpu.av.config import ConfigManager, RamStore
+        from ohpipeline_tpu.av.power import PowerManager
+        from ohpipeline_tpu.av.volume import VolumeManager, VolumeProfile
+        store = RamStore()
+        power = PowerManager(store)
+        hw = []
+        vm = VolumeManager(ConfigManager(store),
+                           VolumeProfile(default_volume=40),
+                           hw.append, power=power)
+        seen = []
+        vm.add_mute_observer(seen.append)
+        assert seen == [False]              # initial state reported
+        vm.mute()
+        vm.mute()                           # deduped
+        assert seen == [False, True] and vm.muted
+        power.standby_disable()
+        assert not vm.muted and seen[-1] is False
+
+    def test_last_used_volume_persists(self):
+        # VolumeUser stores the last-used volume and starts from it when
+        # startup volume is disabled (ApplyStartupVolume,
+        # VolumeManager.cpp:191-206)
+        from ohpipeline_tpu.av.config import ConfigManager, RamStore
+        from ohpipeline_tpu.av.volume import VolumeManager, VolumeProfile
+        store = RamStore()
+        vm = VolumeManager(ConfigManager(store), VolumeProfile())
+        vm.user._startup_enabled.set(0)     # startup volume Off
+        vm.set_volume(63)
+        # same store, fresh manager = reboot
+        vm2 = VolumeManager(ConfigManager(store), VolumeProfile())
+        assert vm2.volume == 63
 
     def test_mute_unmute(self):
         vm, hw = self.make()
