@@ -50,6 +50,23 @@ class _RampEngine:
         self.direction = RampDirection.NONE
         self.remaining = 0
 
+    def reverse(self, direction: RampDirection) -> bool:
+        """Invert the running ramp in place: the remaining span flips to
+        ``duration - remaining`` and the level carries (reference
+        Stopper.cpp:58-66,117-121 "don't change iCurrentRampValue - just
+        start ramp ... from whatever value it is already at";
+        Muter.cpp:81-129 does the same).  Returns False when the old
+        ramp had consumed nothing — the level already sits at the new
+        direction's terminal value, so the caller jumps straight to the
+        terminal state."""
+        flipped = self.duration - self.remaining
+        if flipped <= 0:
+            self.cancel()
+            return False
+        self.direction = direction
+        self.remaining = flipped
+        return True
+
     def apply(self, e: ev.AudioPcmEvent, defer) -> tuple[ev.AudioPcmEvent, bool]:
         """Annotate `e` (splitting via defer(right)); returns (event, done).
 
@@ -121,10 +138,17 @@ class Stopper(Element):
                 self._ramp.start(RampDirection.UP)
                 self._resume.set()
             elif self.state == StopperState.RAMPING_DOWN:
-                self.state = StopperState.RAMPING_UP
-                self._ramp.start(RampDirection.UP, self._ramp.duration
-                                 - self._ramp.remaining or self._ramp.duration)
-                self._ramp.current = self._ramp.current
+                # Stopper.cpp:58-66: reverse the ramp in place — the
+                # level carries; restarting the up ramp from kMin made
+                # the output jump mid-ramp (caught by the monkey test's
+                # RampValidator as a discontinuity)
+                if self._ramp.reverse(RampDirection.UP):
+                    self.state = StopperState.RAMPING_UP
+                else:
+                    self.state = StopperState.RUNNING
+            # Play() cancels any pending stop (Stopper.cpp:83,
+            # iTargetHaltId = MsgHalt::kIdInvalid)
+            self._halt_pending = False
             self._observer("playing")
 
     def pause(self, ramp: bool = True) -> None:
@@ -136,6 +160,15 @@ class Stopper(Element):
                 else:
                     self._ramp.cancel()
                     self._enter_paused()
+            elif self.state == StopperState.RAMPING_UP:
+                # Stopper.cpp:117-121: reverse the up ramp in place
+                if not (ramp and self._ramp_on_pause):
+                    self._ramp.cancel()
+                    self._enter_paused()
+                elif self._ramp.reverse(RampDirection.DOWN):
+                    self.state = StopperState.RAMPING_DOWN
+                else:
+                    self._enter_paused()   # up ramp hadn't left silence
 
     def stop(self) -> None:
         with self._lock:
@@ -143,6 +176,18 @@ class Stopper(Element):
                 self.state = StopperState.RAMPING_DOWN
                 self._halt_pending = True
                 self._ramp.start(RampDirection.DOWN)
+            elif self.state == StopperState.RAMPING_DOWN:
+                # a pause ramp in flight becomes a stop: the reference
+                # records iTargetHaltId before the switch
+                # (Stopper.cpp:131-139), so ramp completion halts
+                self._halt_pending = True
+            elif self.state == StopperState.RAMPING_UP:
+                # Stopper.cpp:154-158: reverse down, level carries
+                self._halt_pending = True
+                if self._ramp.reverse(RampDirection.DOWN):
+                    self.state = StopperState.RAMPING_DOWN
+                else:
+                    self._enter_paused()
             elif self.state == StopperState.PAUSED:
                 self.state = StopperState.STOPPED
                 self._halt_pending = True
@@ -423,16 +468,7 @@ class Muter(Element):
     def _invert(self, direction: RampDirection) -> bool:
         """Flip the running ramp; False when it had consumed nothing
         (already sitting at the new direction's start level)."""
-        eng = self._ramp
-        flipped = eng.duration - eng.remaining
-        if flipped <= 0:
-            eng.cancel()
-            return False
-        cur = eng.current
-        eng.direction = direction
-        eng.remaining = flipped
-        eng.current = cur
-        return True
+        return self._ramp.reverse(direction)
 
     def mute(self):
         with self._lock:

@@ -78,6 +78,83 @@ class TestStopperAdmission:
         assert not ids.ok_to_play(s2)  # queued stream refused
 
 
+class TestStopperMidRampReversal:
+    """Stopper.cpp:58-66,117-121,154-158: Play during a pause/stop ramp
+    (and Pause/Stop during an up ramp) reverse the running ramp IN
+    PLACE — remaining flips to duration-remaining, the level carries.
+    The monkey test caught the old behaviour restarting the up ramp
+    from kMin (ramp discontinuity at the stopper's validator)."""
+
+    def make(self, n_audio=16, ramp_mult=4):
+        from ohpipeline_tpu.core.ramp import RampDirection
+        aj = audio().jiffies
+        up = ScriptedUpstream([stream(1)] + [audio() for _ in
+                                             range(n_audio)])
+        s = control.Stopper(up, ramp_jiffies=ramp_mult * aj)
+        assert s.pull().kind == "decoded_stream"
+        return s, RampDirection
+
+    def test_play_during_pause_ramp_carries_level(self):
+        from ohpipeline_tpu.core.ramp import RAMP_MAX
+        s, D = self.make()
+        s.pause()
+        e1 = s.pull()
+        assert e1.ramp.enabled and e1.ramp.direction is D.DOWN
+        e2 = s.pull()
+        assert e2.ramp.start == e1.ramp.end     # continuous down
+        s.play()                                # reverse mid-ramp
+        e3 = s.pull()
+        assert e3.ramp.direction is D.UP
+        assert e3.ramp.start == e2.ramp.end     # level carries
+        e4 = s.pull()
+        assert e4.ramp.start == e3.ramp.end
+        assert e4.ramp.end == RAMP_MAX          # 2 frags down = 2 up
+        assert s.state is control.StopperState.RUNNING
+        assert not s.pull().ramp.enabled        # running, unramped
+
+    def test_pause_during_up_ramp_reverses(self):
+        s, D = self.make()
+        s.pause()
+        frags = [s.pull() for _ in range(4)]    # full ramp down
+        assert frags[-1].ramp.end == 0
+        assert s.state is control.StopperState.PAUSED
+        s.play()                                # up ramp from kMin
+        e1 = s.pull()
+        assert e1.ramp.direction is D.UP and e1.ramp.start == 0
+        s.pause()                               # reverse the up ramp
+        e2 = s.pull()
+        assert e2.ramp.direction is D.DOWN
+        assert e2.ramp.start == e1.ramp.end     # level carries
+        # the up ramp had consumed one fragment, so the reversed down
+        # ramp takes exactly one fragment and re-enters PAUSED
+        assert e2.ramp.end == 0
+        assert s.state is control.StopperState.PAUSED
+
+    def test_stop_during_pause_ramp_halts(self):
+        s, D = self.make()
+        s.pause()
+        s.pull()
+        s.stop()                                # pause ramp becomes stop
+        for _ in range(3):
+            e = s.pull()
+        assert e.ramp.end == 0
+        assert s.state is control.StopperState.STOPPED
+        assert s.pull().kind == "halt"
+
+    def test_play_cancels_pending_stop(self):
+        s, D = self.make()
+        s.stop()
+        e1 = s.pull()
+        assert e1.ramp.direction is D.DOWN
+        s.play()                                # Stopper.cpp:83
+        e2 = s.pull()
+        assert e2.ramp.direction is D.UP
+        assert e2.ramp.start == e1.ramp.end
+        s.pull()
+        assert s.state is control.StopperState.RUNNING
+        assert not s._halt_pending              # stop cancelled
+
+
 class TestPrevNext:
     def make_manager(self):
         params = PipelineInitParams()
