@@ -21,6 +21,21 @@ from .config import RamStore, StoreKeyNotFound
 KEY_BITS = 2048
 
 
+class CredentialsIdNotFound(KeyError):
+    """Unknown service id (Credentials.h EXCEPTION CredentialsIdNotFound;
+    ProviderCredentials error 800 'Id not found')."""
+
+
+class CredentialsLoginFailed(Exception):
+    """Login/ReLogin failed (ProviderCredentials error 801)."""
+
+
+class CredentialsTooLong(ValueError):
+    """Username/password beyond the storable size (Credentials.h
+    EXCEPTION CredentialsTooLong; provider error 802). RSA-2048
+    PKCS1v15 bounds the raw password at 245 bytes."""
+
+
 class Credentials:
     """Service credential registry (ICredentials, Credentials.h:114)."""
 
@@ -30,6 +45,8 @@ class Credentials:
         self._observers: dict[str, list[Callable[[], None]]] = {}
         self._status: dict[str, str] = {}
         self._enabled: dict[str, bool] = {}
+        self._consumers: dict[str, object] = {}
+        self._register_observers: list[Callable[[], None]] = []
         self._key = self._load_or_create_key()
 
     # -- key management -----------------------------------------------------
@@ -55,15 +72,33 @@ class Credentials:
             serialization.PublicFormat.SubjectPublicKeyInfo).decode()
 
     # -- registration (services call this at startup) -----------------------
-    def add(self, service_id: str) -> None:
+    def add(self, service_id: str, consumer=None) -> None:
+        """Register a credential slot.  `consumer` is the
+        ICredentialConsumer analogue (Credentials.h:84-113): an object
+        with login(username, password) -> token and re_login(current)
+        -> token that the Login/ReLogin provider actions delegate to."""
         with self._lock:
             self._observers.setdefault(service_id, [])
             self._enabled.setdefault(service_id, True)
             self._status.setdefault(service_id, "")
+            if consumer is not None:
+                self._consumers[service_id] = consumer
+            regs = list(self._register_observers)
+        for cb in regs:
+            cb()
+
+    def add_register_observer(self, cb: Callable[[], None]) -> None:
+        """Called whenever a new service id registers (the provider
+        keeps its evented Ids property fresh)."""
+        self._register_observers.append(cb)
 
     def ids(self) -> list[str]:
         with self._lock:
             return sorted(self._observers)
+
+    def _check_id(self, service_id: str) -> None:
+        if service_id not in self._observers:
+            raise CredentialsIdNotFound(service_id)
 
     def subscribe(self, service_id: str, cb: Callable[[], None]) -> None:
         with self._lock:
@@ -80,10 +115,13 @@ class Credentials:
     def set(self, service_id: str, username: str, password: bytes) -> None:
         """`password` may be RSA-encrypted (control-point flow) or raw
         (local flow; it is encrypted before storage either way)."""
+        self._check_id(service_id)
         try:
             plain = self._decrypt(password)
         except ValueError:
             plain = password
+        if len(plain) > 245 or len(username.encode()) > 245:
+            raise CredentialsTooLong(service_id)
         with self._lock:
             self._store.write(f"Credentials.{service_id}.Username",
                               username.encode())
@@ -96,6 +134,7 @@ class Credentials:
 
     def get(self, service_id: str) -> tuple[str, bytes]:
         """Returns (username, decrypted password)."""
+        self._check_id(service_id)
         with self._lock:
             try:
                 user = self._store.read(
@@ -106,6 +145,7 @@ class Credentials:
         return user, self._decrypt(blob)
 
     def clear(self, service_id: str) -> None:
+        self._check_id(service_id)
         with self._lock:
             self._store.delete(f"Credentials.{service_id}.Username")
             self._store.delete(f"Credentials.{service_id}.Password")
@@ -123,9 +163,44 @@ class Credentials:
             return self._status.get(service_id, "")
 
     def set_enabled(self, service_id: str, enabled: bool) -> None:
+        self._check_id(service_id)
         with self._lock:
             self._enabled[service_id] = enabled
+            obs = list(self._observers.get(service_id, []))
+        for cb in obs:
+            cb()
 
     def enabled(self, service_id: str) -> bool:
         with self._lock:
             return self._enabled.get(service_id, True)
+
+    # -- login (delegates to the ICredentialConsumer analogue) --------------
+    def login(self, service_id: str) -> str:
+        """ProviderCredentials::Login — the registered consumer trades
+        the stored credentials for a service token."""
+        self._check_id(service_id)
+        consumer = self._consumers.get(service_id)
+        if consumer is None:
+            raise CredentialsLoginFailed(f"{service_id}: no consumer")
+        user, pw = self.get(service_id)
+        try:
+            return consumer.login(user, pw)
+        except CredentialsLoginFailed:
+            raise
+        except Exception as e:        # noqa: BLE001 — consumer failure
+            raise CredentialsLoginFailed(str(e)) from e
+
+    def re_login(self, service_id: str, current_token: str) -> str:
+        """ProviderCredentials::ReLogin — refresh an expired token; the
+        reference contract returns a NEW token (or the same one if still
+        valid)."""
+        self._check_id(service_id)
+        consumer = self._consumers.get(service_id)
+        if consumer is None:
+            raise CredentialsLoginFailed(f"{service_id}: no consumer")
+        try:
+            return consumer.re_login(current_token)
+        except CredentialsLoginFailed:
+            raise
+        except Exception as e:        # noqa: BLE001
+            raise CredentialsLoginFailed(str(e)) from e

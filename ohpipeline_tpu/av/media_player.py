@@ -49,9 +49,23 @@ class MediaPlayer:
         self.config = ConfigManager(self.store)
         self.power = PowerManager(self.store)
         self.pipeline = PipelineManager(p.pipeline_params)
-        self.volumes = VolumeManager(self.config, p.volume_profile,
-                                     power=self.power)
+        # stereo per-channel offsets + trims (the reference wires these
+        # from the integration's VolumeConsumer; this build's software
+        # render integration provides both by default)
+        from .volume import Trims, VolumeOffsets
+        profile = p.volume_profile
+        offsetter = VolumeOffsets(
+            self.config, ("Left", "Right"),
+            offset_max_bmdb=profile.offset_max * profile.milli_db_per_step)
+        trims = Trims(self.config, ("Left", "Right"))
+        self.volumes = VolumeManager(self.config, profile,
+                                     power=self.power,
+                                     offsetter=offsetter, trims=trims)
         self.product = Product(self.config, p.room, p.name)
+        from .credentials import Credentials
+        self.credentials = Credentials(self.store)
+        from .oauth import OAuthRegistry
+        self.oauth = OAuthRegistry()
         from .reactions import ReactionRegistry
         self.reactions = ReactionRegistry()
         # ring-buffered log + debug hooks (reference LoggerBuffered /

@@ -209,3 +209,143 @@ class OAuthDeviceFlow:
         if self.client_secret:
             data["client_secret"] = self.client_secret
         return self._post(self.token_url, data, {})
+
+
+class PollingJob:
+    """One limited-input-flow job (reference OAuthPollingManager job,
+    OAuth.h:570-625): created by BeginLimitedInputFlow, polled on a
+    worker thread, terminal status Complete/Failed."""
+
+    def __init__(self, job_id: str, service_id: str,
+                 request: DeviceCodeRequest):
+        self.job_id = job_id
+        self.service_id = service_id
+        self.request = request
+        self.status = "InProgress"
+
+
+class OAuthRegistry:
+    """The ProviderOAuth service registry (ProviderOAuth.cpp:292-339
+    AddService + ServiceProvider list): each streaming service
+    registers its TokenManager (and optionally its device-code flow);
+    the provider serialises state to the GetServiceStatus /
+    GetJobStatus JSON and bumps updateId/jobUpdateId on change."""
+
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._services: dict[str, dict] = {}
+        self.update_id = 0
+        self.job_update_id = 0
+        self._observers: list[Callable[[], None]] = []
+        self._job_observers: list[Callable[[], None]] = []
+        self._job_counter = 0
+        self.jobs: dict[str, PollingJob] = {}
+
+    def add_service(self, service_id: str, tokens: TokenManager,
+                    flow: Optional[OAuthDeviceFlow] = None,
+                    visible: bool = True, max_jobs: int = 1) -> None:
+        with self._lock:
+            self._services[service_id] = {
+                "tokens": tokens, "flow": flow, "visible": visible,
+                "max_jobs": max_jobs}
+        tokens.add_observer(self._bump)
+        self._bump()
+
+    def service_ids(self) -> list[str]:
+        with self._lock:
+            return sorted(self._services)
+
+    def service(self, service_id: str) -> Optional[dict]:
+        with self._lock:
+            return self._services.get(service_id)
+
+    # -- update ids (ProviderOAuth::UpdateIdSet/JobUpdateIdSet) ---------
+    def add_observer(self, cb: Callable[[], None]) -> None:
+        self._observers.append(cb)
+
+    def add_job_observer(self, cb: Callable[[], None]) -> None:
+        self._job_observers.append(cb)
+
+    def _bump(self) -> None:
+        with self._lock:
+            self.update_id += 1
+        for cb in self._observers:
+            cb()
+
+    def _bump_jobs(self) -> None:
+        with self._lock:
+            self.job_update_id += 1
+        for cb in self._job_observers:
+            cb()
+
+    # -- limited input flow (BeginLimitedInputFlow) ----------------------
+    def running_jobs(self, service_id: str) -> int:
+        with self._lock:
+            return sum(1 for j in self.jobs.values()
+                       if j.service_id == service_id
+                       and j.status == "InProgress")
+
+    def begin_limited_input_flow(self, service_id: str) -> PollingJob:
+        """Starts the device-code flow and a poller thread that lands
+        the refresh token in the service's TokenManager on success."""
+        svc = self.service(service_id)
+        if svc is None:
+            raise KeyError(service_id)
+        flow = svc["flow"]
+        if flow is None:
+            raise RuntimeError(f"{service_id}: no flow")
+        req = flow.begin()
+        with self._lock:
+            self._job_counter += 1
+            job = PollingJob(f"job-{self._job_counter}", service_id, req)
+            self.jobs[job.job_id] = job
+        self._bump_jobs()
+        t = threading.Thread(target=self._poll_job, args=(job, svc),
+                             daemon=True, name=f"OAuthPoll-{job.job_id}")
+        t.start()
+        return job
+
+    def _poll_job(self, job: PollingJob, svc: dict) -> None:
+        try:
+            resp = svc["flow"].poll_until_authorised(
+                job.request, deadline=job.request.expires_at)
+            svc["tokens"].add_token(job.job_id,
+                                    resp.get("refresh_token", ""))
+            job.status = "Complete"
+        except Exception:             # noqa: BLE001 — job failure state
+            job.status = "Failed"
+        self._bump_jobs()
+
+    # -- status JSON (ServiceProvider::ToJson / WriteJobStatus) ----------
+    def service_status(self) -> dict:
+        with self._lock:
+            services = []
+            for sid in sorted(self._services):
+                svc = self._services[sid]
+                tm = svc["tokens"]
+                toks = {False: [], True: []}
+                for tid in tm.token_ids():
+                    t = tm._tokens[tid]
+                    toks[t.long_lived].append(
+                        {"id": t.token_id, "isValid": t.valid,
+                         "username": ""})
+                services.append({
+                    "id": sid, "visible": svc["visible"],
+                    "shortLivedMax": tm._max[False],
+                    "longLivedMax": tm._max[True],
+                    "shortLivedTokens": toks[False],
+                    "longLivedTokens": toks[True]})
+            return {"updateId": self.update_id, "services": services}
+
+    def job_status(self) -> dict:
+        with self._lock:
+            services = []
+            for sid in sorted(self._services):
+                svc = self._services[sid]
+                jobs = [{"id": j.job_id, "status": j.status}
+                        for j in self.jobs.values()
+                        if j.service_id == sid]
+                services.append({"id": sid,
+                                 "maxRunningJobs": svc["max_jobs"],
+                                 "jobs": jobs})
+            return {"updateId": self.job_update_id, "services": services}

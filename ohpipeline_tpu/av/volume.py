@@ -1,12 +1,16 @@
 """Volume management: the composable volume element chain.
 
 Parity target: OpenHome/Av/VolumeManager.h:63-741 — a stack of small
-IVolume decorators (user -> limiter -> reporter -> source offset -> unity
-gain -> surround boost -> ramper -> muter), a mute chain
-(MuteUser -> MuteReporter -> muter), balance/fade, per-channel trim,
-VolumeConfig persistence, IVolumeProfile limits.  Error semantics follow
-the reference: raising volume while pinned at the limit throws
-VolumeOutOfRange (UPnP/ODP error 811) and volume changes during unity
+IVolume decorators mirroring the reference constructor order
+(VolumeManager.cpp:1059-1112): user -> limiter -> reporter -> source
+offset -> source unity gain -> config unity gain -> surround boost ->
+ramper -> stepped muter -> driver muter -> sink; a mute chain
+(MuteUser -> MuteReporter -> stepped muter), balance/fade, per-channel
+volume offsets (Av/VolumeOffsets.h) and trims (Av/Trim.h), VolumeConfig
+persistence, IVolumeProfile limits.  Error semantics follow the
+reference: raising volume while pinned at the limit throws
+VolumeOutOfRange (the provider maps to UPnP/ODP error 811 only above
+VolumeMax, ProviderVolume.cpp:573-585) and volume changes during unity
 gain throw VolumeNotSupported (814).
 
 Volume unit convention follows the reference: integer volume in
@@ -32,6 +36,35 @@ class VolumeNotSupported(Exception):
     volume); reference THROW(VolumeNotSupported), VolumeManager.cpp:414."""
 
 
+class BalanceOutOfRange(ValueError):
+    """Balance beyond +/-BalanceMax (reference BalanceUser::SetBalance,
+    VolumeManager.cpp:737-745; provider error 812)."""
+
+
+class FadeOutOfRange(ValueError):
+    """Fade beyond +/-FadeMax (VolumeManager.cpp:770-778; error 813)."""
+
+
+class ChannelInvalid(KeyError):
+    """Unknown volume-offset channel (Av/VolumeOffsets.h EXCEPTION
+    ChannelInvalid; provider error 816)."""
+
+
+class VolumeOffsetOutOfRange(ValueError):
+    """Per-channel offset beyond the device range (Av/VolumeOffsets.h;
+    provider error 817)."""
+
+
+class TrimChannelInvalid(KeyError):
+    """Unknown trim channel (Av/Trim.h EXCEPTION TrimChannelInvalid;
+    provider error 816)."""
+
+
+class TrimOutOfRange(ValueError):
+    """Trim beyond the channel's min/max (Av/Trim.h; provider error
+    819)."""
+
+
 class IVolume:
     def set_volume(self, volume: int) -> None:
         raise NotImplementedError
@@ -42,7 +75,8 @@ class VolumeProfile:
 
     def __init__(self, max_volume=100, default_volume=45, step=1,
                  default_limit=85, milli_db_per_step=1024, fade_max=10,
-                 balance_max=12, offset_max=15, always_on=False):
+                 balance_max=12, offset_max=15, always_on=False,
+                 unity_volume: Optional[int] = None):
         self.max_volume = max_volume
         self.default_volume = default_volume
         self.step = step
@@ -52,6 +86,11 @@ class VolumeProfile:
         self.balance_max = balance_max
         self.offset_max = offset_max
         self.always_on = always_on
+        # VolumeUnity (VolumeConfig::VolumeUnity) — the volume the unity
+        # gain stages pin while volume control is disabled; devices that
+        # don't distinguish it use full scale
+        self.unity_volume = unity_volume if unity_volume is not None \
+            else max_volume
 
 
 class VolumeElement(IVolume):
@@ -221,37 +260,76 @@ class VolumeSourceOffset(VolumeElement):
         self._current = volume
 
 
-class VolumeUnityGain(VolumeElement):
-    """Forces unity gain when a source requests analog bypass / fixed
-    volume (reference VolumeUnityGainBase, VolumeManager.cpp:399-445):
-    while unity gain is active, volume control is disabled — SetVolume
-    throws VolumeNotSupported so control points see error 814 rather
-    than a silently-ignored change."""
+class VolumeUnityGainBase(VolumeElement):
+    """Pins the downstream at the unity volume while volume control is
+    DISABLED (reference VolumeUnityGainBase, VolumeManager.cpp:395-437):
+    SetVolume then throws VolumeNotSupported so control points see error
+    814 rather than a silently-ignored change; the upstream volume is
+    recorded only after a successful downstream push."""
 
     def __init__(self, downstream, unity_volume: int):
         super().__init__(downstream)
         self._unity = unity_volume
-        self._enabled = False
+        self._control_enabled = True
         self._current = 0
 
     @property
-    def unity_gain(self) -> bool:
-        return self._enabled
+    def volume_control_enabled(self) -> bool:
+        return self._control_enabled
 
-    def set_unity_gain(self, enabled: bool) -> None:
-        self._enabled = enabled
+    @property
+    def unity_gain(self) -> bool:
+        return not self._control_enabled
+
+    def set_volume_control_enabled(self, enabled: bool) -> None:
+        self._control_enabled = enabled
         # reference SetVolumeControlEnabled pushes the new effective
-        # volume, swallowing errors from the stage below
+        # volume, swallowing VolumeNotSupported from the stage below
         try:
-            self._down.set_volume(self._unity if enabled else self._current)
-        except (VolumeNotSupported, VolumeOutOfRange):
+            self._down.set_volume(self._current if enabled
+                                  else self._unity)
+        except VolumeNotSupported:
             pass
 
     def set_volume(self, volume: int) -> None:
-        if self._enabled:
+        if not self._control_enabled:
             raise VolumeNotSupported(volume)
-        self._current = volume
         self._down.set_volume(volume)
+        self._current = volume
+
+
+class VolumeUnityGain(VolumeUnityGainBase):
+    """Config-driven unity gain: 'Volume.Enabled' = No fixes the device
+    at unity (reference VolumeUnityGain, VolumeManager.cpp:440-457 —
+    which subscribes then immediately unsubscribes, i.e. the value is
+    read once at construction and changing it takes a restart)."""
+
+    def __init__(self, downstream, config: ConfigManager,
+                 unity_volume: int):
+        super().__init__(downstream, unity_volume)
+        enabled = config.create_choice("Volume.Enabled",
+                                       {0: "No", 1: "Yes"}, 1)
+        self.set_volume_control_enabled(enabled.value == 1)
+
+
+class VolumeSourceUnityGain(VolumeUnityGainBase):
+    """Source-driven unity gain (analog bypass / fixed-volume sources;
+    reference VolumeSourceUnityGain, VolumeManager.cpp:460-483) with
+    unity-gain observers that get an immediate callback on add."""
+
+    def __init__(self, downstream, unity_volume: int):
+        super().__init__(downstream, unity_volume)
+        self._observers: list[Callable[[bool], None]] = []
+        self.set_volume_control_enabled(True)
+
+    def set_unity_gain(self, enable: bool) -> None:
+        self.set_volume_control_enabled(not enable)
+        for cb in self._observers:
+            cb(self.unity_gain)
+
+    def add_unity_gain_observer(self, cb: Callable[[bool], None]) -> None:
+        cb(self.unity_gain)
+        self._observers.append(cb)
 
 
 class VolumeSurroundBoost(VolumeElement):
@@ -323,6 +401,30 @@ class VolumeMuterStep(VolumeElement):
             self._down.set_volume(volume)
 
 
+class VolumeMuter(VolumeElement):
+    """Terminal driver-level mute (reference VolumeMuter,
+    VolumeManager.cpp:686-720, IVolumeMuter): zeroes the downstream
+    volume while muted, remembers upstream pushes so unmute restores
+    them.  Sits below the stepped muter — the animator/driver uses it
+    for hard mute without ramping."""
+
+    def __init__(self, downstream):
+        super().__init__(downstream)
+        self._muted = False
+        self._current = 0
+
+    def set_volume(self, volume: int) -> None:
+        self._current = volume
+        self._do_set_volume()
+
+    def set_volume_muted(self, muted: bool) -> None:
+        self._muted = muted
+        self._do_set_volume()
+
+    def _do_set_volume(self) -> None:
+        self._down.set_volume(0 if self._muted else self._current)
+
+
 class MuteReporter:
     """Fans mute-state changes out to observers, deduplicating repeats
     (reference MuteReporter, VolumeManager.cpp:828-868)."""
@@ -374,6 +476,107 @@ class MuteUser:
 
     def standby_disabled(self) -> None:
         self._down.unmute()
+
+
+class VolumeOffsets:
+    """Per-channel volume offsets in binary-milli-db (reference
+    IVolumeOffsetter, Av/VolumeOffsets.h:62-87): the collection a
+    multichannel integration feeds its per-channel volume drivers;
+    observers receive the visitable immediately on add and after every
+    change (ProviderVolume serialises it to the evented VolumeOffsets
+    JSON array, ProviderVolume.cpp:543-554)."""
+
+    def __init__(self, config: ConfigManager,
+                 channels: tuple = ("Left", "Right"),
+                 offset_max_bmdb: int = 15 * 1024):
+        self.offset_max = offset_max_bmdb
+        self._vals = {
+            ch: config.create_num(f"Volume.Offset.{ch}",
+                                  -offset_max_bmdb, offset_max_bmdb, 0)
+            for ch in channels}
+        self._observers: list[Callable[["VolumeOffsets"], None]] = []
+
+    def set_volume_offset(self, channel: str, offset_bmdb: int) -> None:
+        val = self._vals.get(channel)
+        if val is None:
+            raise ChannelInvalid(channel)
+        try:
+            val.set(int(offset_bmdb))
+        except ValueError:
+            raise VolumeOffsetOutOfRange(offset_bmdb) from None
+        for cb in self._observers:
+            cb(self)
+
+    def get_volume_offset(self, channel: str) -> int:
+        val = self._vals.get(channel)
+        if val is None:
+            raise ChannelInvalid(channel)
+        return val.value
+
+    def visit(self, fn: Callable[[str, int], None]) -> None:
+        """IVolumeOffsetterVisitor analogue: fn(channel, offset)."""
+        for ch, val in self._vals.items():
+            fn(ch, val.value)
+
+    def add_observer(self, cb: Callable[["VolumeOffsets"], None]) -> None:
+        cb(self)              # immediate callback, reference contract
+        self._observers.append(cb)
+
+
+class Trims:
+    """Per-channel trims in binary-milli-db (reference ITrim,
+    Av/Trim.h:48-71): SetTrim validates the channel and the channel's
+    min/max; observers receive the visitable immediately on add and
+    after every change (ProviderVolume serialises to the evented Trim
+    JSON array, ProviderVolume.cpp:556-568)."""
+
+    def __init__(self, config: ConfigManager,
+                 channels: tuple = ("Left", "Right"),
+                 min_bmdb: int = -10 * 1024, max_bmdb: int = 10 * 1024):
+        self.min_bmdb = min_bmdb
+        self.max_bmdb = max_bmdb
+        self._vals = {
+            ch: config.create_num(f"Volume.Trim.{ch}",
+                                  min_bmdb, max_bmdb, 0)
+            for ch in channels}
+        self._observers: list[Callable[["Trims"], None]] = []
+
+    @property
+    def trim_channel_count(self) -> int:
+        return len(self._vals)
+
+    def set_trim(self, channel: str, trim_bmdb: int) -> None:
+        val = self._vals.get(channel)
+        if val is None:
+            raise TrimChannelInvalid(channel)
+        try:
+            val.set(int(trim_bmdb))
+        except ValueError:
+            raise TrimOutOfRange(trim_bmdb) from None
+        for cb in self._observers:
+            cb(self)
+
+    def get_trim(self, channel: str) -> int:
+        val = self._vals.get(channel)
+        if val is None:
+            raise TrimChannelInvalid(channel)
+        return val.value
+
+    def visit(self, fn: Callable[[str, int, int, int], None]) -> None:
+        """ITrimVisitor analogue: fn(channel, min, max, trim)."""
+        for ch, val in self._vals.items():
+            fn(ch, self.min_bmdb, self.max_bmdb, val.value)
+
+    def add_observer(self, cb: Callable[["Trims"], None]) -> None:
+        cb(self)              # immediate callback, reference contract
+        self._observers.append(cb)
+
+    def channel_multipliers(self) -> dict[str, float]:
+        """Linear per-channel gains for a software render integration
+        (the reference leaves application to the integration's hardware
+        volume drivers)."""
+        return {ch: 10.0 ** ((val.value / 1024.0) / 20.0)
+                for ch, val in self._vals.items()}
 
 
 class VolumeSink(IVolume):
@@ -429,10 +632,24 @@ class BalanceFade:
         return self._fade.value
 
     def set_balance(self, v: int) -> None:
-        self._balance.set(v)
+        # reference BalanceUser::SetBalance translates the config range
+        # error (VolumeManager.cpp:737-745)
+        try:
+            self._balance.set(v)
+        except ValueError:
+            raise BalanceOutOfRange(v) from None
 
     def set_fade(self, v: int) -> None:
-        self._fade.set(v)
+        try:
+            self._fade.set(v)
+        except ValueError:
+            raise FadeOutOfRange(v) from None
+
+    def subscribe_balance(self, cb) -> None:
+        self._balance.subscribe(cb)
+
+    def subscribe_fade(self, cb) -> None:
+        self._fade.subscribe(cb)
 
     def channel_gains(self, num_channels: int = 2) -> list[float]:
         """Per-channel multipliers implementing balance (device render
@@ -453,13 +670,24 @@ class VolumeManager(IVolume):
     def __init__(self, config: ConfigManager,
                  profile: Optional[VolumeProfile] = None,
                  hw: Optional[Callable[[int], None]] = None,
-                 power=None):
+                 power=None, offsetter: Optional[VolumeOffsets] = None,
+                 trims: Optional[Trims] = None):
         self.profile = profile or VolumeProfile()
+        unity = self.profile.unity_volume
         self.sink = VolumeSink(self.profile, hw)
-        self.muter = VolumeMuterStep(self.sink)
+        self.volume_muter = VolumeMuter(self.sink)
+        self.muter = VolumeMuterStep(self.volume_muter)
         self.ramper = VolumeRamperVol(self.muter)
         self.boost = VolumeSurroundBoost(self.ramper)
-        self.unity = VolumeUnityGain(self.boost, self.profile.max_volume)
+        # reference VolumeManager ctor (VolumeManager.cpp:1096-1104):
+        # AlwaysOn devices skip the config-driven unity stage; the
+        # source-driven stage always exists
+        if self.profile.always_on:
+            self.unity_cfg = None
+            self.unity = VolumeSourceUnityGain(self.boost, unity)
+        else:
+            self.unity_cfg = VolumeUnityGain(self.boost, config, unity)
+            self.unity = VolumeSourceUnityGain(self.unity_cfg, unity)
         self.offset = VolumeSourceOffset(self.unity)
         self.reporter = VolumeReporter(self.offset)
         self.limiter = VolumeLimiter(self.reporter, self.profile, config)
@@ -467,6 +695,10 @@ class VolumeManager(IVolume):
         self.balance_fade = BalanceFade(self.profile, config)
         self.mute_reporter = MuteReporter(self.muter)
         self.mute_user = MuteUser(self.mute_reporter, power)
+        # VolumeConsumer extras (reference wires them from the
+        # integration; None => provider reports 815/818 NotSupported)
+        self.offsetter = offsetter
+        self.trims = trims
 
     # -- public API (ProviderVolume calls these) ---------------------------
     @property
@@ -474,14 +706,44 @@ class VolumeManager(IVolume):
         return self.user.volume
 
     def set_volume(self, volume: int) -> None:
+        # "OpenHome Volume service is expected to unmute" — the reference
+        # unmutes BEFORE pushing the volume (VolumeManager.cpp:1255-1271)
+        self.mute_user.unmute()
+        self.user.set_volume(volume)
+
+    def set_volume_no_unmute(self, volume: int) -> None:
+        """SetVolume minus the unmute (VolumeManager.cpp:1273-1282)."""
         self.user.set_volume(volume)
 
     def volume_inc(self) -> None:
-        self.set_volume(min(self.volume + self.profile.step,
-                            self.profile.max_volume))
+        # provider semantics: out-of-range on inc/dec is ignored
+        # (ProviderVolume HelperSetVolume ErrorOutOfRange::Ignore)
+        try:
+            self.set_volume(self.volume + self.profile.step)
+        except VolumeOutOfRange:
+            pass
 
     def volume_dec(self) -> None:
-        self.set_volume(max(self.volume - self.profile.step, 0))
+        if self.volume == 0:
+            return                    # ProviderVolume::VolumeDec no-op
+        try:
+            self.set_volume(self.volume - self.profile.step)
+        except VolumeOutOfRange:
+            pass
+
+    def volume_inc_no_unmute(self) -> None:
+        try:
+            self.set_volume_no_unmute(self.volume + self.profile.step)
+        except VolumeOutOfRange:
+            pass
+
+    def volume_dec_no_unmute(self) -> None:
+        if self.volume == 0:
+            return
+        try:
+            self.set_volume_no_unmute(self.volume - self.profile.step)
+        except VolumeOutOfRange:
+            pass
 
     def mute(self) -> None:
         self.mute_user.mute()
@@ -495,6 +757,21 @@ class VolumeManager(IVolume):
 
     def set_volume_boost(self, boost: int) -> None:
         self.boost.set_volume_boost(boost)
+
+    # -- unity gain (source-driven; VolumeManager.cpp:1188-1193) -----------
+    @property
+    def unity_gain(self) -> bool:
+        return self.unity.unity_gain
+
+    def set_unity_gain(self, enable: bool) -> None:
+        self.unity.set_unity_gain(enable)
+
+    def add_unity_gain_observer(self, cb: Callable[[bool], None]) -> None:
+        self.unity.add_unity_gain_observer(cb)
+
+    # -- driver mute (IVolumeMuter, VolumeManager.cpp:1310-1318) -----------
+    def set_volume_muted(self, muted: bool) -> None:
+        self.volume_muter.set_volume_muted(muted)
 
     def add_observer(self, cb: Callable[[int], None]) -> None:
         self.reporter.add_observer(cb)

@@ -10,6 +10,8 @@ the ODP JSON control plane instead of UPnP SOAP.
 
 from __future__ import annotations
 
+import json
+
 from .odp import OdpDevice, OdpError, OdpService
 
 
@@ -67,39 +69,197 @@ def make_transport_service(mp) -> OdpService:
 
 
 def make_volume_service(mp) -> OdpService:
+    """The full ProviderVolume action/property surface
+    (Av/ProviderVolume.cpp:181-253) with the reference error codes
+    (cpp:15-43): 801 action not supported, 811 volume invalid (only when
+    the requested volume exceeds VolumeMax — an in-range request that the
+    limiter pins is swallowed, HelperSetVolume cpp:573-585), 812/813
+    balance/fade invalid, 814 volume not supported, 815 offsets not
+    supported, 816 channel invalid, 817 offset out of range, 818 trim
+    not supported, 819 trim out of range."""
+    from ..av.volume import (BalanceOutOfRange, ChannelInvalid,
+                             FadeOutOfRange, TrimChannelInvalid,
+                             TrimOutOfRange, VolumeNotSupported,
+                             VolumeOffsetOutOfRange, VolumeOutOfRange)
     svc = OdpService("Volume")
     vm = mp.volumes
+    prof = vm.profile
 
-    def _vol(fn):
-        """Translate volume-chain errors to the reference ProviderVolume
-        codes: 811 'Volume invalid', 814 'Volume not supported'
-        (Av/ProviderVolume.cpp:18-28,575-598)."""
-        from ..av.volume import VolumeNotSupported, VolumeOutOfRange
-
-        def wrapped(**kw):
-            try:
-                return fn(**kw)
-            except VolumeOutOfRange:
+    def _set_volume(value, no_unmute=False, report=True):
+        """ProviderVolume::HelperSetVolume[NoUnmute] (cpp:573-602)."""
+        value = int(value)
+        try:
+            if no_unmute:
+                vm.set_volume_no_unmute(value)
+            else:
+                vm.set_volume(value)
+        except VolumeOutOfRange:
+            # reference volumes are unsigned, so < 0 only exists here;
+            # treat it like beyond-max
+            if (value > prof.max_volume or value < 0) and report:
                 raise OdpError(811, "Volume invalid") from None
-            except VolumeNotSupported:
-                raise OdpError(814, "Volume not supported") from None
-        return wrapped
+        except VolumeNotSupported:
+            raise OdpError(814, "Volume not supported") from None
+        return {}
 
+    def _inc_dec(delta, no_unmute=False):
+        vol = vm.volume
+        if delta < 0 and vol == 0:
+            return {}                 # VolumeDec at 0 is a no-op
+        return _set_volume(vol + delta, no_unmute=no_unmute, report=False)
+
+    svc.add_action("Characteristics", lambda: {
+        "VolumeMax": prof.max_volume,
+        "VolumeUnity": prof.unity_volume,
+        "VolumeSteps": prof.step,
+        "VolumeMilliDbPerStep": prof.milli_db_per_step,
+        "BalanceMax": prof.balance_max,
+        "FadeMax": prof.fade_max})
     svc.add_action("Volume", lambda: {"value": vm.volume})
-    svc.add_action("SetVolume",
-                   _vol(lambda value: vm.set_volume(int(value)) or {}))
-    svc.add_action("VolumeInc", _vol(lambda: vm.volume_inc() or {}))
-    svc.add_action("VolumeDec", _vol(lambda: vm.volume_dec() or {}))
+    svc.add_action("SetVolume", lambda value: _set_volume(value))
+    svc.add_action("VolumeInc", lambda: _inc_dec(+prof.step))
+    svc.add_action("VolumeDec", lambda: _inc_dec(-prof.step))
+    svc.add_action("SetVolumeNoUnmute",
+                   lambda value: _set_volume(value, no_unmute=True))
+    svc.add_action("VolumeIncNoUnmute",
+                   lambda: _inc_dec(+prof.step, no_unmute=True))
+    svc.add_action("VolumeDecNoUnmute",
+                   lambda: _inc_dec(-prof.step, no_unmute=True))
+
+    def _set_balance(value):
+        try:
+            vm.balance_fade.set_balance(int(value))
+        except BalanceOutOfRange:
+            raise OdpError(812, "Balance invalid") from None
+        return {}
+
+    def _set_fade(value):
+        try:
+            vm.balance_fade.set_fade(int(value))
+        except FadeOutOfRange:
+            raise OdpError(813, "Fade invalid") from None
+        return {}
+
+    def _nudge(fn, current, delta):
+        try:
+            fn(current + delta)      # Inc/Dec ignore out-of-range
+        except OdpError as e:
+            if e.code not in (812, 813):
+                raise
+        return {}
+
+    svc.add_action("Balance", lambda: {"value": vm.balance_fade.balance})
+    svc.add_action("SetBalance", _set_balance)
+    svc.add_action("BalanceInc",
+                   lambda: _nudge(_set_balance, vm.balance_fade.balance, 1))
+    svc.add_action("BalanceDec",
+                   lambda: _nudge(_set_balance, vm.balance_fade.balance, -1))
+    svc.add_action("Fade", lambda: {"value": vm.balance_fade.fade})
+    svc.add_action("SetFade", _set_fade)
+    svc.add_action("FadeInc",
+                   lambda: _nudge(_set_fade, vm.balance_fade.fade, 1))
+    svc.add_action("FadeDec",
+                   lambda: _nudge(_set_fade, vm.balance_fade.fade, -1))
+
     svc.add_action("Mute", lambda: {"value": vm.muted})
     svc.add_action(
         "SetMute",
         lambda value: (vm.mute() if value else vm.unmute()) or {})
-    svc.add_action("SetBalance",
-                   lambda value: vm.balance_fade.set_balance(int(value)) or {})
+    svc.add_action("VolumeLimit",
+                   lambda: {"value": vm.limiter._limit.value})
+    svc.add_action("UnityGain", lambda: {"value": vm.unity_gain})
     svc.add_action("VolumeMax",
-                   lambda: {"value": vm.profile.max_volume})
+                   lambda: {"value": prof.max_volume})
+
+    # -- per-channel offsets / trims (errors 815-819) -----------------------
+    def _offset_get(channel):
+        if vm.offsetter is None:
+            raise OdpError(815, "Volume offsets not supported")
+        try:
+            return {"value": vm.offsetter.get_volume_offset(str(channel))}
+        except ChannelInvalid:
+            raise OdpError(816, "Channel invalid") from None
+
+    def _offset_set(channel, value):
+        if vm.offsetter is None:
+            raise OdpError(815, "Volume offsets not supported")
+        try:
+            vm.offsetter.set_volume_offset(str(channel), int(value))
+        except ChannelInvalid:
+            raise OdpError(816, "Channel invalid") from None
+        except VolumeOffsetOutOfRange:
+            raise OdpError(817, "Volume offset out of range") from None
+        return {}
+
+    def _trim_get(channel):
+        if vm.trims is None:
+            raise OdpError(818, "Trim not supported")
+        try:
+            return {"value": vm.trims.get_trim(str(channel))}
+        except TrimChannelInvalid:
+            raise OdpError(816, "Channel invalid") from None
+
+    def _trim_set(channel, value):
+        if vm.trims is None:
+            raise OdpError(818, "Trim not supported")
+        try:
+            vm.trims.set_trim(str(channel), int(value))
+        except TrimChannelInvalid:
+            raise OdpError(816, "Channel invalid") from None
+        except TrimOutOfRange:
+            raise OdpError(819, "Trim out of range") from None
+        return {}
+
+    svc.add_action("VolumeOffset", _offset_get)
+    svc.add_action("SetVolumeOffset", _offset_set)
+    svc.add_action("Trim", _trim_get)
+    svc.add_action("SetTrim", _trim_set)
+
+    # -- evented properties (ProviderVolume ctor, cpp:206-253) -------------
+    svc.set_property("VolumeMax", prof.max_volume)
+    svc.set_property("VolumeUnity", prof.unity_volume)
+    svc.set_property("VolumeSteps", prof.step)
+    svc.set_property("VolumeMilliDbPerStep", prof.milli_db_per_step)
+    svc.set_property("BalanceMax", prof.balance_max)
+    svc.set_property("FadeMax", prof.fade_max)
+    svc.set_property("VolumeOffsetMax",
+                     prof.offset_max * prof.milli_db_per_step)
+    svc.set_property("Balance", vm.balance_fade.balance)
+    svc.set_property("Fade", vm.balance_fade.fade)
+    svc.set_property("VolumeLimit", vm.limiter._limit.value)
     vm.add_observer(lambda v: svc.set_property("Volume", v))
     vm.add_mute_observer(lambda m: svc.set_property("Mute", m))
+    vm.add_unity_gain_observer(
+        lambda u: svc.set_property("UnityGain", u))
+    vm.balance_fade.subscribe_balance(
+        lambda k, v: svc.set_property("Balance", v))
+    vm.balance_fade.subscribe_fade(
+        lambda k, v: svc.set_property("Fade", v))
+    vm.limiter._limit.subscribe(
+        lambda k, v: svc.set_property("VolumeLimit", v))
+
+    # OffsetsWriterJson / TrimWriterJson analogues (cpp:48-168): the
+    # collections event as JSON arrays
+    def _offsets_json(offsets):
+        rows = []
+        offsets.visit(lambda ch, off:
+                      rows.append({"channel": ch, "offset": off}))
+        svc.set_property("VolumeOffsets", json.dumps(rows))
+
+    def _trims_json(trims):
+        rows = []
+        trims.visit(lambda ch, lo, hi, trim: rows.append(
+            {"channel": ch, "min": lo, "max": hi, "trim": trim}))
+        svc.set_property("Trim", json.dumps(rows))
+
+    if vm.offsetter is not None:
+        vm.offsetter.add_observer(_offsets_json)
+    else:
+        svc.set_property("VolumeOffsets", "[]")
+    if vm.trims is not None:
+        vm.trims.add_observer(_trims_json)
+    else:
+        svc.set_property("Trim", "[]")
     return svc
 
 
@@ -215,6 +375,283 @@ def make_reaction_service(mp) -> OdpService:
     return svc
 
 
+def make_time_service(mp) -> OdpService:
+    """ProviderTime (Av/ProviderTime.cpp:14-97): TrackCount increments
+    per track, Duration/Seconds follow the pipeline time observer, a
+    stop resets Seconds to 0, and the Time action answers all three."""
+    svc = OdpService("Time")
+    svc.set_property("TrackCount", 0)
+    svc.set_property("Duration", 0)
+    svc.set_property("Seconds", 0)
+
+    class Obs:
+        def notify_track(self, track, sos):
+            svc.set_property(
+                "TrackCount", int(svc.properties()["TrackCount"]) + 1)
+
+        def notify_time(self, seconds, total):
+            svc.set_property("Duration", int(total))
+            svc.set_property("Seconds", int(seconds))
+
+        def notify_pipeline_state(self, state):
+            if getattr(state, "value", str(state)) == "stopped":
+                svc.set_property("Seconds", 0)
+
+    mp.pipeline.add_observer(Obs())
+    svc.add_action("Time", lambda: {
+        "TrackCount": svc.properties()["TrackCount"],
+        "Duration": svc.properties()["Duration"],
+        "Seconds": svc.properties()["Seconds"]})
+    return svc
+
+
+def make_credentials_service(mp) -> OdpService:
+    """ProviderCredentials (Av/ProviderCredentials.cpp:12-230): Set/
+    Clear/SetEnabled/Get/Login/ReLogin/GetIds/GetPublicKey/
+    GetSequenceNumber with the reference error codes 800 'Id not
+    found', 801 'Login failed', 802 'Username or password too long';
+    Ids is the space-separated registered list, SequenceNumber bumps
+    on every credentials change."""
+    import base64
+
+    from ..av.credentials import (CredentialsIdNotFound,
+                                  CredentialsLoginFailed,
+                                  CredentialsTooLong)
+    svc = OdpService("Credentials")
+    creds = mp.credentials
+
+    def _ids() -> str:
+        return " ".join(creds.ids())
+
+    svc.set_property("Ids", _ids())
+    svc.set_property("PublicKey", creds.public_key_pem())
+    svc.set_property("SequenceNumber", 0)
+
+    def _bump():
+        svc.set_property(
+            "SequenceNumber",
+            int(svc.properties()["SequenceNumber"]) + 1)
+
+    def _wrap(fn):
+        def wrapped(**kw):
+            try:
+                return fn(**kw)
+            except CredentialsIdNotFound:
+                raise OdpError(800, "Id not found") from None
+            except CredentialsLoginFailed:
+                raise OdpError(801, "Login failed") from None
+            except CredentialsTooLong:
+                raise OdpError(
+                    802, "Username or password too long") from None
+        return wrapped
+
+    def _set(Id, userName, password):
+        # the wire carries the RSA-encrypted password base64-coded (the
+        # reference's binary argument)
+        creds.set(str(Id), str(userName),
+                  base64.b64decode(password) if isinstance(password, str)
+                  else bytes(password))
+        _bump()
+        return {}
+
+    def _clear(Id):
+        creds.clear(str(Id))
+        _bump()
+        return {}
+
+    def _set_enabled(Id, enabled):
+        creds.set_enabled(str(Id), bool(enabled))
+        _bump()
+        return {}
+
+    def _get(Id):
+        sid = str(Id)
+        user, _pw = creds.get(sid)
+        # the reference answers the ENCRYPTED password blob — plaintext
+        # never crosses the wire (ProviderCredentials::Get)
+        try:
+            blob = mp.store.read(f"Credentials.{sid}.Password")
+        except Exception:             # noqa: BLE001 — no password stored
+            blob = b""
+        return {"userName": user,
+                "password": base64.b64encode(blob).decode(),
+                "enabled": creds.enabled(sid),
+                "status": creds.status(sid),
+                "data": ""}
+
+    svc.add_action("Set", _wrap(_set))
+    svc.add_action("Clear", _wrap(_clear))
+    svc.add_action("SetEnabled", _wrap(_set_enabled))
+    svc.add_action("Get", _wrap(_get))
+    svc.add_action("Login",
+                   _wrap(lambda Id: {"token": creds.login(str(Id))}))
+    svc.add_action(
+        "ReLogin",
+        _wrap(lambda Id, currentToken:
+              {"newToken": creds.re_login(str(Id), str(currentToken))}))
+    svc.add_action("GetIds", lambda: {"value": _ids()})
+    svc.add_action("GetPublicKey",
+                   lambda: {"value": creds.public_key_pem()})
+    svc.add_action(
+        "GetSequenceNumber",
+        lambda: {"value": svc.properties()["SequenceNumber"]})
+
+    # keep the Ids property fresh when services register later
+    creds.add_register_observer(
+        lambda: svc.set_property("Ids", _ids()))
+    return svc
+
+
+def make_oauth_service(mp) -> OdpService:
+    """ProviderOAuth (Av/ProviderOAuth.cpp): token upload rides the wire
+    encrypted — the AES-128 key and init vector RSA-OAEP-encrypted to
+    the device's public key, the refresh token AES-CBC-encrypted with a
+    big-endian uint16 content-length prefix (AESHelpers.cpp:16-40).
+    Error codes (cpp:199-223): 800 service id not found, 801 token
+    invalid, 802 parameter invalid, 803 decryption failed, 804 token id
+    not found, 805 polling jobs at capacity, 806 polling request
+    failed, 807 token id invalid/too big."""
+    import base64
+    import json as _json
+
+    svc = OdpService("OAuth")
+    reg = mp.oauth
+
+    def _b64(arg) -> bytes:
+        return base64.b64decode(arg) if isinstance(arg, str) \
+            else bytes(arg)
+
+    def _svc_or_800(service_id):
+        slot = reg.service(str(service_id))
+        if slot is None:
+            raise OdpError(800, "Service id not found")
+        return slot
+
+    svc.add_action("GetPublicKey",
+                   lambda: {"value": mp.credentials.public_key_pem()})
+
+    def _set_token(ServiceId, TokenId, AesKeyRsaEncrypted,
+                   InitVectorRsaEncrypted, TokenAesEncrypted,
+                   IsLongLived=False):
+        from cryptography.hazmat.primitives import hashes
+        from cryptography.hazmat.primitives.asymmetric import padding
+        from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                            algorithms,
+                                                            modes)
+        for name, arg in (("TokenId", TokenId),
+                          ("AesKey", AesKeyRsaEncrypted),
+                          ("InitVector", InitVectorRsaEncrypted),
+                          ("Token", TokenAesEncrypted)):
+            if not arg:
+                raise OdpError(802, f"Parameter {name} invalid")
+        slot = _svc_or_800(ServiceId)
+        oaep = padding.OAEP(mgf=padding.MGF1(hashes.SHA1()),
+                            algorithm=hashes.SHA1(), label=None)
+        try:
+            key = mp.credentials._key.decrypt(_b64(AesKeyRsaEncrypted),
+                                              oaep)
+            iv = mp.credentials._key.decrypt(
+                _b64(InitVectorRsaEncrypted), oaep)
+            dec = Cipher(algorithms.AES(key[:16]),
+                         modes.CBC(iv[:16])).decryptor()
+            plain = dec.update(_b64(TokenAesEncrypted)) + dec.finalize()
+            n = int.from_bytes(plain[:2], "big")
+            if n > len(plain) - 2:
+                raise ValueError("bad content length")
+            refresh = plain[2:2 + n].decode()
+        except OdpError:
+            raise
+        except Exception:             # noqa: BLE001 — wire-crypto failure
+            raise OdpError(803, "Decryption failed") from None
+        if len(str(TokenId)) > 128:
+            raise OdpError(807, "Token source too big")
+        try:
+            slot["tokens"].add_token(str(TokenId), refresh,
+                                     long_lived=bool(IsLongLived))
+        except RuntimeError:
+            raise OdpError(801, "Token invalid") from None
+        return {}
+
+    svc.add_action("SetToken", _set_token)
+
+    def _clear(ServiceId, TokenId, long_lived=None):
+        slot = _svc_or_800(ServiceId)
+        tm = slot["tokens"]
+        tid = str(TokenId)
+        match = [i for i in tm.token_ids() if i == tid
+                 and (long_lived is None
+                      or tm._tokens[i].long_lived == long_lived)]
+        if not match:
+            raise OdpError(804, "Token id not found")
+        tm.remove_token(tid)
+        return {}
+
+    svc.add_action("ClearToken",
+                   lambda ServiceId, TokenId: _clear(ServiceId, TokenId))
+    svc.add_action(
+        "ClearShortLivedToken",
+        lambda ServiceId, TokenId: _clear(ServiceId, TokenId, False))
+    svc.add_action(
+        "ClearLongLivedToken",
+        lambda ServiceId, TokenId: _clear(ServiceId, TokenId, True))
+
+    def _clear_many(ServiceId, want):
+        slot = _svc_or_800(ServiceId)
+        tm = slot["tokens"]
+        for tid in tm.token_ids():
+            if want is None or tm._tokens[tid].long_lived == want:
+                tm.remove_token(tid)
+        return {}
+
+    svc.add_action("ClearShortLivedTokens",
+                   lambda ServiceId: _clear_many(ServiceId, False))
+    svc.add_action("ClearLongLivedTokens",
+                   lambda ServiceId: _clear_many(ServiceId, True))
+    svc.add_action("ClearAllTokens",
+                   lambda ServiceId: _clear_many(ServiceId, None))
+
+    svc.add_action("GetUpdateId", lambda: {"value": reg.update_id})
+    svc.add_action("GetJobUpdateId",
+                   lambda: {"value": reg.job_update_id})
+    svc.add_action("GetServiceStatus",
+                   lambda: {"value": _json.dumps(reg.service_status())})
+    svc.add_action("GetJobStatus",
+                   lambda: {"value": _json.dumps(reg.job_status())})
+    svc.add_action("GetSupportedServices", lambda: {
+        "value": _json.dumps([{"id": sid} for sid in reg.service_ids()])})
+
+    def _begin_flow(ServiceId):
+        slot = _svc_or_800(ServiceId)
+        if reg.running_jobs(str(ServiceId)) >= slot["max_jobs"]:
+            raise OdpError(805, "Polling jobs at capacity")
+        try:
+            job = reg.begin_limited_input_flow(str(ServiceId))
+        except OdpError:
+            raise
+        except Exception:             # noqa: BLE001 — flow start failed
+            raise OdpError(806, "Polling request failed") from None
+        return {"JobId": job.job_id,
+                "LoginUrl": job.request.verification_url,
+                "UserCode": job.request.user_code}
+
+    svc.add_action("BeginLimitedInputFlow", _begin_flow)
+
+    svc.set_property("PublicKey", mp.credentials.public_key_pem())
+    svc.set_property("UpdateId", 0)
+    svc.set_property("JobUpdateId", 0)
+    svc.set_property("SupportedServices", _json.dumps([]))
+
+    def _sync():
+        svc.set_property("UpdateId", reg.update_id)
+        svc.set_property("SupportedServices", _json.dumps(
+            [{"id": sid} for sid in reg.service_ids()]))
+
+    reg.add_observer(_sync)
+    reg.add_job_observer(
+        lambda: svc.set_property("JobUpdateId", reg.job_update_id))
+    return svc
+
+
 def make_debug_service(mp) -> OdpService:
     """Debug service (reference ProviderDebug,
     OpenHome/Av/ProviderDebug.h:48-63 over Debug2): ring-buffer log
@@ -266,6 +703,8 @@ def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
     dev = OdpDevice(udn, mp.product.name, "av.openhome.org:media")
     for factory in (make_product_service, make_transport_service,
                     make_volume_service, make_info_service,
+                    make_time_service, make_credentials_service,
+                    make_oauth_service,
                     make_playlist_service, make_radio_service,
                     make_config_service, make_reaction_service,
                     make_debug_service):

@@ -625,11 +625,15 @@ def make_av_renderer(pipeline_manager, volume_manager=None,
         if vm is None:
             raise UpnpError(501, "no volume manager")
         from ..av.volume import VolumeNotSupported, VolumeOutOfRange
+        desired = int(args.get("DesiredVolume", "0"))
         try:
-            vm.set_volume(int(args.get("DesiredVolume", "0")))
+            vm.set_volume(desired)
         except VolumeOutOfRange:
-            # reference ProviderVolume kInvalidVolumeCode
-            raise UpnpError(811, "Volume invalid") from None
+            # HelperSetVolume (ProviderVolume.cpp:573-585): only a
+            # request beyond VolumeMax errors; an in-range request the
+            # limiter pins is swallowed
+            if desired > vm.profile.max_volume or desired < 0:
+                raise UpnpError(811, "Volume invalid") from None
         except VolumeNotSupported:
             raise UpnpError(814, "Volume not supported") from None
         return {}

@@ -164,6 +164,105 @@ class TestVolume:
         power.standby_disable()
         assert not vm.muted and seen[-1] is False
 
+    def test_set_volume_unmutes_no_unmute_does_not(self):
+        # VolumeManager::SetVolume unmutes ("OpenHome Volume service is
+        # expected to unmute", VolumeManager.cpp:1255-1271);
+        # SetVolumeNoUnmute is the same minus the unmute (cpp:1273-1282)
+        vm, hw = self.make()
+        vm.mute()
+        vm.set_volume_no_unmute(50)
+        assert vm.muted and hw[-1] == 0
+        vm.set_volume(55)
+        assert not vm.muted and hw[-1] == 55
+
+    def test_volume_dec_at_zero_noop_keeps_mute(self):
+        # ProviderVolume::VolumeDec at 0 answers without touching the
+        # chain (ProviderVolume.cpp:305-316) — so it must NOT unmute
+        vm, hw = self.make()
+        vm.set_volume(0)
+        vm.mute()
+        vm.volume_dec()
+        assert vm.muted and vm.volume == 0
+        vm.volume_inc()            # inc at 0 goes through SetVolume
+        assert not vm.muted and vm.volume == 1
+
+    def test_unity_gain_observer_and_config_stage(self):
+        # VolumeSourceUnityGain observers get an immediate callback and
+        # fire on change (VolumeManager.cpp:468-483); the config-driven
+        # VolumeUnityGain reads 'Volume.Enabled' once at construction
+        # (cpp:440-457)
+        vm, hw = self.make()
+        seen = []
+        vm.add_unity_gain_observer(seen.append)
+        assert seen == [False]
+        vm.set_unity_gain(True)
+        assert seen == [False, True] and vm.unity_gain
+        vm.set_unity_gain(False)
+        assert seen[-1] is False
+        # Volume.Enabled = No fixes the device at unity via the config
+        # stage (fresh manager: the value is construction-time)
+        import struct
+        store = RamStore()
+        store.write("Volume.Enabled", struct.pack(">I", 0))
+        hw2 = []
+        from ohpipeline_tpu.av.volume import VolumeNotSupported
+        vm2 = VolumeManager(ConfigManager(store),
+                            VolumeProfile(max_volume=100),
+                            hw=hw2.append)
+        assert hw2[-1] == 100      # pinned at unity (= max by default)
+        with pytest.raises(VolumeNotSupported):
+            vm2.set_volume(30)
+
+    def test_driver_volume_muter(self):
+        # VolumeMuter (VolumeManager.cpp:686-720): hard driver mute under
+        # the stepped muter; upstream pushes are remembered
+        vm, hw = self.make()
+        vm.set_volume(60)
+        vm.set_volume_muted(True)
+        assert hw[-1] == 0
+        vm.set_volume(70)          # recorded, not pushed
+        assert hw[-1] == 0
+        vm.set_volume_muted(False)
+        assert hw[-1] == 70
+
+    def test_volume_offsets_and_trims(self):
+        from ohpipeline_tpu.av.volume import (ChannelInvalid, Trims,
+                                              TrimChannelInvalid,
+                                              TrimOutOfRange,
+                                              VolumeOffsetOutOfRange,
+                                              VolumeOffsets)
+        store = RamStore()
+        cm = ConfigManager(store)
+        offs = VolumeOffsets(cm, ("Left", "Right"), offset_max_bmdb=1024)
+        trims = Trims(cm, ("Left", "Right"), min_bmdb=-512, max_bmdb=512)
+        events = []
+        offs.add_observer(lambda o: events.append("offs"))
+        trims.add_observer(lambda t: events.append("trims"))
+        assert events == ["offs", "trims"]   # immediate callback on add
+        offs.set_volume_offset("Left", -300)
+        assert offs.get_volume_offset("Left") == -300
+        assert events[-1] == "offs"
+        trims.set_trim("Right", 256)
+        assert trims.get_trim("Right") == 256
+        with pytest.raises(ChannelInvalid):
+            offs.get_volume_offset("Centre")
+        with pytest.raises(VolumeOffsetOutOfRange):
+            offs.set_volume_offset("Left", 2048)
+        with pytest.raises(TrimChannelInvalid):
+            trims.set_trim("Sub", 0)
+        with pytest.raises(TrimOutOfRange):
+            trims.set_trim("Left", 1000)
+        # visitors walk (channel, ...) rows; trims expose channel gains
+        rows = []
+        trims.visit(lambda ch, lo, hi, t: rows.append((ch, lo, hi, t)))
+        assert ("Right", -512, 512, 256) in rows
+        gains = trims.channel_multipliers()
+        assert gains["Right"] == pytest.approx(10 ** (0.25 / 20))
+        # persistence: same store, fresh collections
+        offs2 = VolumeOffsets(ConfigManager(store), ("Left", "Right"),
+                              offset_max_bmdb=1024)
+        assert offs2.get_volume_offset("Left") == -300
+
     def test_last_used_volume_persists(self):
         # VolumeUser stores the last-used volume and starts from it when
         # startup volume is disabled (ApplyStartupVolume,

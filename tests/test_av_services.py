@@ -27,9 +27,15 @@ class TestCredentials:
         # at rest the password must NOT be plaintext
         raw = store.read("Credentials.qobuz.com.Password")
         assert b"s3cret" not in raw
-        # same store, fresh instance: key + creds persist
+        # same store, fresh instance: key + creds persist (the service
+        # re-registers its id each boot, reference Credentials::Add)
         c2 = Credentials(store)
+        c2.add("qobuz.com")
         assert c2.get("qobuz.com") == ("alice", b"s3cret")
+        # unregistered ids throw (Credentials.cpp Get -> Find)
+        from ohpipeline_tpu.av.credentials import CredentialsIdNotFound
+        with pytest.raises(CredentialsIdNotFound):
+            c2.get("tidal.com")
 
     def test_control_point_encrypts_with_public_key(self):
         from cryptography.hazmat.primitives import serialization
@@ -210,3 +216,120 @@ class TestServices:
         assert p.recognise("tidal://track/9")
         p.stream("tidal://track/9")
         assert streamed == ["http://cdn/x.flac"]
+
+
+class TestOAuthProvider:
+    """ProviderOAuth surface (Av/ProviderOAuth.cpp): encrypted SetToken
+    wire (RSA-OAEP AES key/IV + AES-CBC token with BE-uint16 content
+    length, AESHelpers.cpp:16-40), clears, status JSON, updateId bumps,
+    limited-input-flow jobs, error codes 800/803/804."""
+
+    def make_mp(self):
+        from ohpipeline_tpu.av.media_player import MediaPlayer
+        from ohpipeline_tpu.av.oauth import OAuthDeviceFlow, TokenManager
+        from ohpipeline_tpu.net.providers import make_oauth_service
+        mp = MediaPlayer()
+        srv = FakeAuthServer()
+        flow = OAuthDeviceFlow("tidal", "https://x/auth",
+                               "https://x/token", "client1",
+                               http_post=srv.post)
+        tm = TokenManager("tidal", mp.store, flow.refresh)
+        svc = make_oauth_service(mp)
+        mp.oauth.add_service("tidal", tm, flow=flow)
+        return mp, svc, tm
+
+    @staticmethod
+    def encrypt_token(public_pem: str, refresh: bytes):
+        import base64
+        import os as _os
+
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding
+        from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                            algorithms,
+                                                            modes)
+        pub = serialization.load_pem_public_key(public_pem.encode())
+        key, iv = _os.urandom(16), _os.urandom(16)
+        oaep = padding.OAEP(mgf=padding.MGF1(hashes.SHA1()),
+                            algorithm=hashes.SHA1(), label=None)
+        plain = len(refresh).to_bytes(2, "big") + refresh
+        plain += b"\0" * (-len(plain) % 16)      # zero pad to block
+        enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        ct = enc.update(plain) + enc.finalize()
+        b64 = lambda b: base64.b64encode(b).decode()   # noqa: E731
+        return (b64(pub.encrypt(key, oaep)), b64(pub.encrypt(iv, oaep)),
+                b64(ct))
+
+    def test_set_token_encrypted_wire(self):
+        import json as _json
+        mp, svc, tm = self.make_mp()
+        pem = svc.invoke("GetPublicKey", {})["value"]
+        k, iv, tok = self.encrypt_token(pem, b"RT-secret")
+        u0 = svc.invoke("GetUpdateId", {})["value"]
+        svc.invoke("SetToken", {
+            "ServiceId": "tidal", "TokenId": "cp-1",
+            "AesKeyRsaEncrypted": k, "InitVectorRsaEncrypted": iv,
+            "TokenAesEncrypted": tok, "IsLongLived": False})
+        assert tm._tokens["cp-1"].refresh_token == "RT-secret"
+        assert svc.invoke("GetUpdateId", {})["value"] > u0
+        status = _json.loads(svc.invoke("GetServiceStatus", {})["value"])
+        srv = [s for s in status["services"] if s["id"] == "tidal"][0]
+        assert srv["shortLivedTokens"][0]["id"] == "cp-1"
+        # token actually works: refresh through the fake service
+        assert tm.access_token("cp-1") == "AT-RT-secret"
+
+    def test_error_codes(self):
+        from ohpipeline_tpu.net.odp import OdpError
+        mp, svc, tm = self.make_mp()
+        pem = svc.invoke("GetPublicKey", {})["value"]
+        k, iv, tok = self.encrypt_token(pem, b"RT")
+        with pytest.raises(OdpError) as ei:
+            svc.invoke("SetToken", {
+                "ServiceId": "nosuch", "TokenId": "t",
+                "AesKeyRsaEncrypted": k, "InitVectorRsaEncrypted": iv,
+                "TokenAesEncrypted": tok})
+        assert ei.value.code == 800
+        with pytest.raises(OdpError) as ei:
+            svc.invoke("SetToken", {
+                "ServiceId": "tidal", "TokenId": "t",
+                "AesKeyRsaEncrypted": "Z m9v",      # broken b64/rsa
+                "InitVectorRsaEncrypted": iv,
+                "TokenAesEncrypted": tok})
+        assert ei.value.code == 803
+        with pytest.raises(OdpError) as ei:
+            svc.invoke("ClearToken",
+                       {"ServiceId": "tidal", "TokenId": "absent"})
+        assert ei.value.code == 804
+
+    def test_clears_and_selection(self):
+        mp, svc, tm = self.make_mp()
+        tm.add_token("s1", "r1")
+        tm.add_token("l1", "r2", long_lived=True)
+        from ohpipeline_tpu.net.odp import OdpError
+        with pytest.raises(OdpError) as ei:      # wrong-kind clear
+            svc.invoke("ClearLongLivedToken",
+                       {"ServiceId": "tidal", "TokenId": "s1"})
+        assert ei.value.code == 804
+        svc.invoke("ClearShortLivedTokens", {"ServiceId": "tidal"})
+        assert tm.token_ids() == ["l1"]
+        svc.invoke("ClearAllTokens", {"ServiceId": "tidal"})
+        assert tm.token_ids() == []
+
+    def test_limited_input_flow_job(self):
+        import json as _json
+        import time as _time
+        mp, svc, tm = self.make_mp()
+        out = svc.invoke("BeginLimitedInputFlow", {"ServiceId": "tidal"})
+        assert out["UserCode"] == "ABCD"
+        assert out["LoginUrl"] == "https://x/activate"
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            jobs = _json.loads(svc.invoke("GetJobStatus", {})["value"])
+            states = [j["status"] for s in jobs["services"]
+                      for j in s["jobs"]]
+            if states and states[0] != "InProgress":
+                break
+            _time.sleep(0.02)
+        assert states == ["Complete"]
+        # the poller landed the refresh token in the manager
+        assert tm._tokens[out["JobId"]].refresh_token == "RT1"
