@@ -84,10 +84,34 @@ class MediaPlayer:
         self.volumes.sink.add_gain_listener(self._on_gain)
         self.shell = None                # Shell, when p.shell_port is set
         self._shell_port = p.shell_port
+        self.sender = None               # SongcastSender, when enabled
+        self._sender_thread = None
         self._started = False
 
     def add_source(self, source) -> None:
         self.product.add_source(source)
+
+    def add_songcast_sender(self, ohm=None, songcast_mode: str = "Receiver",
+                            default_channel=None):
+        """Create the Songcast sender (the reference builds it inside
+        SourceReceiver's ctor, SourceReceiver.cpp:236): OhmSender +
+        Sender.* config values + the ProviderSender status machine,
+        attached to the pipeline's songcast Brancher through a
+        SenderThread.  Call before start() so the config values register
+        (MediaPlayer::Start closes registration)."""
+        from ..net.songcast import OhmSender
+        from ..pipeline.branch import SenderThread, SongcastBranch
+        from .sender import SongcastSender
+        if ohm is None:
+            ohm = OhmSender(multicast=False)
+        self.sender = SongcastSender(self.config, ohm,
+                                     name=self.product.name,
+                                     songcast_mode=songcast_mode,
+                                     default_channel=default_channel)
+        branch = SongcastBranch(ohm)
+        self._sender_thread = SenderThread(branch.push)
+        self.pipeline.pipeline.brancher_songcast.attach(self._sender_thread)
+        return self.sender
 
     def start_upnp(self, port: int = 0, host: str = "127.0.0.1",
                    ssdp: bool = True):
@@ -125,6 +149,10 @@ class MediaPlayer:
         if self.shell is not None:
             self.shell.stop()
             self.shell = None
+        if self.sender is not None:
+            self.sender.close()
+        if self._sender_thread is not None:
+            self._sender_thread.quit()
         self.pipeline.quit()
         if isinstance(self.store, FileStore):
             self.store.flush()

@@ -106,16 +106,32 @@ class _PcmPushProtocol(Protocol):
                 self.supply.flush_pending()
 
 
+class UriError(ValueError):
+    """Invalid sender URI (the reference's UriError, surfaced by
+    ProviderReceiver as error 800 'Invalid sender uri',
+    ProviderReceiver.cpp:15-16)."""
+
+
 class SourceReceiver(Source):
     """Songcast receiver source (SourceReceiver.cpp): mode "Receiver",
     external latency, sender URI selection; audio arrives over OHM and is
-    re-broadcast by the Brancher when this device is also a sender."""
+    re-broadcast by the Brancher when this device is also a sender.
+
+    Full SetSender semantics (SourceReceiver.cpp:340-398): empty URI
+    clears the sender; an ohz:// URI must target the OHZ multicast
+    endpoint and carry a '/zone' path (else UriError) and switches the
+    source to zone monitoring; any other URI is joined directly.  The
+    chosen uri/metadata/zone persist in the store under Receiver.Uri /
+    Receiver.Metadata / Receiver.Zone (cpp:214-230)."""
 
     system_name = "Receiver"
     type = "Receiver"
 
+    # SourceReceiver.cpp:191
+    PROTOCOL_INFO = "ohz:*:*:*,ohm:*:*:*,ohu:*.*.*"
+
     def __init__(self, pipeline_manager, multicast: bool = True,
-                 sender_endpoint=None):
+                 sender_endpoint=None, store=None, zone_handler=None):
         super().__init__()
         self._pm = pipeline_manager
         self.protocol = _PcmPushProtocol("ohm")
@@ -127,14 +143,118 @@ class SourceReceiver(Source):
         self._receiver = None
         self._multicast = multicast
         self._sender_endpoint = sender_endpoint
+        self._store = store
+        self._zone_handler = zone_handler
+        self._lock = threading.Lock()
+        self.playing = False
+        self.uri = self._store_get("Receiver.Uri")
+        self.metadata = self._store_get("Receiver.Metadata")
+        self.zone = self._store_get("Receiver.Zone")
+        self._track_uri = "" if self.zone else self.uri
+        if zone_handler is not None:
+            zone_handler.on_zone_uri = self._zone_uri_changed
 
+    # -- store persistence (StoreText analogues, cpp:214-230) -------------
+    def _store_get(self, key: str) -> str:
+        if self._store is None:
+            return ""
+        try:
+            return self._store.read(key).decode()
+        except KeyError:
+            return ""
+
+    def _store_set(self, key: str, value: str) -> None:
+        if self._store is not None:
+            self._store.write(key, value.encode())
+
+    # -- ISourceReceiver (ProviderReceiver.h:15-22) ------------------------
     def set_sender(self, uri: str = "ohm://239.253.1.1:51970",
                    metadata: str = "") -> None:
-        self.provider.set_track(Track(uri, metadata, 9001))
+        from urllib.parse import urlparse
+        from ..net.songcast import OHZ_MCAST, OHZ_PORT
+        with self._lock:
+            if uri and urlparse(uri).scheme == "ohz":
+                # must target the OHZ multicast endpoint with a /zone
+                # path (cpp:356-373)
+                p = urlparse(uri)
+                try:
+                    host, port = p.hostname, p.port
+                except ValueError:
+                    raise UriError(uri)
+                if host != OHZ_MCAST or port != OHZ_PORT:
+                    raise UriError(uri)
+                if len(p.path) < 2 or not p.path.startswith("/"):
+                    raise UriError(uri)
+                self._track_uri = ""
+                self.zone = p.path[1:]
+                self._store_set("Receiver.Zone", self.zone)
+                if self.playing:
+                    self._start_monitoring()
+            else:
+                self.zone = ""
+                self._store_set("Receiver.Zone", "")
+                self._stop_monitoring()
+                self._track_uri = uri
+                if uri and self.active:
+                    self._uri_changed()
+            self.uri, self.metadata = uri, metadata
+            self._store_set("Receiver.Uri", uri)
+            self._store_set("Receiver.Metadata", metadata)
+
+    def sender_info(self) -> tuple[str, str]:
+        """Persisted sender selection (SourceReceiver::SenderInfo,
+        cpp:400-404)."""
+        return (self._store_get("Receiver.Uri") if self._store else self.uri,
+                self._store_get("Receiver.Metadata") if self._store
+                else self.metadata)
+
+    def play(self) -> None:
+        """ProviderReceiver Play -> SourceReceiver::Play (cpp:307-327)."""
+        if not self.active:
+            self.activate(auto_play=False)
+        with self._lock:
+            self.playing = True
+            if self.zone:
+                self._start_monitoring()
+            if self._track_uri:
+                self._uri_changed()
+
+    def stop(self) -> None:
+        """ProviderReceiver Stop -> SourceReceiver::Stop (cpp:329-338)."""
+        with self._lock:
+            self.playing = False
+            self._pm.stop()
+            self._stop_monitoring()
+
+    # -- zone monitoring (ZoneUriChanged, cpp:405-418) ---------------------
+    def _start_monitoring(self) -> None:
+        if self._zone_handler is not None and self.zone:
+            self._zone_handler.query(self.zone)
+
+    def _stop_monitoring(self) -> None:
+        pass  # the handler keeps listening; we just ignore answers
+
+    def _zone_uri_changed(self, zone: str, uri: str) -> None:
+        with self._lock:
+            if zone != self.zone or uri == self._track_uri or \
+                    not self.playing:
+                return
+            self._track_uri = uri
+            self._uri_changed()
+
+    def _uri_changed(self) -> None:
+        self.provider.set_track(Track(self._track_uri or self.uri,
+                                      self.metadata, 9001))
+        if self.active:
+            self._pm.begin("Receiver")
+            self._pm.play()
 
     def activate(self, auto_play: bool = False) -> None:
         super().activate(auto_play)
         from ..net.songcast import OhmReceiver
+        if self.provider._track is None and (self._track_uri or self.uri):
+            self.provider.set_track(Track(self._track_uri or self.uri,
+                                          self.metadata, 9001))
         if self._receiver is None:
             self._receiver = OhmReceiver(
                 self._on_audio, multicast=self._multicast,
@@ -144,9 +264,11 @@ class SourceReceiver(Source):
             self._receiver.start()
         self._pm.begin("Receiver")
         self._pm.play()
+        self.playing = True
 
     def deactivate(self) -> None:
         super().deactivate()
+        self.playing = False
         if self._receiver is not None:
             self._receiver.stop()
             self._receiver = None

@@ -697,9 +697,100 @@ def make_debug_service(mp) -> OdpService:
     return svc
 
 
+def make_receiver_service(mp, source=None) -> OdpService:
+    """Receiver service (Av/Songcast/ProviderReceiver.cpp): Play / Stop /
+    SetSender / Sender / ProtocolInfo / TransportState actions over the
+    Songcast receiver source, with evented Uri / Metadata /
+    TransportState / ProtocolInfo.  A bad sender URI maps to error 800
+    'Invalid sender uri' (cpp:15-16, 63-70)."""
+    from ..av.receiver_sources import SourceReceiver, UriError
+    if source is None:
+        source = next(s for s in mp.product._sources
+                      if isinstance(s, SourceReceiver))
+    svc = OdpService("Receiver")
+
+    def set_sender(uri, metadata=""):
+        try:
+            source.set_sender(uri, metadata)
+        except UriError:
+            raise OdpError(800, "Invalid sender uri")
+        svc.set_property("Uri", uri)
+        svc.set_property("Metadata", metadata)
+        return {}
+
+    svc.add_action("Play", lambda: source.play() or {})
+    svc.add_action("Stop", lambda: source.stop() or {})
+    svc.add_action("SetSender", set_sender)
+
+    def sender():
+        uri, metadata = source.sender_info()
+        return {"Uri": uri, "Metadata": metadata}
+
+    svc.add_action("Sender", sender)
+    svc.add_action("ProtocolInfo",
+                   lambda: {"value": source.PROTOCOL_INFO})
+    svc.add_action("TransportState",
+                   lambda: {"value": svc.properties().get(
+                       "TransportState", "Stopped")})
+
+    class Obs:
+        def notify_pipeline_state(self, state):
+            # TransportState::FromPipelineState (PipelineObserver.cpp:13)
+            svc.set_property("TransportState",
+                             getattr(state, "value", str(state)).title())
+
+    mp.pipeline.add_observer(Obs())
+    uri, metadata = source.sender_info()
+    svc.set_property("Uri", uri)
+    svc.set_property("Metadata", metadata)
+    svc.set_property("TransportState", "Stopped")
+    svc.set_property("ProtocolInfo", source.PROTOCOL_INFO)
+    return svc
+
+
+def make_sender_service(mp, sender=None) -> OdpService:
+    """Sender service (ProviderSender, Av/Songcast/OhmSender.cpp:84-293):
+    PresentationUrl / Metadata / Audio / Status / Status2 / Enabled /
+    Attributes, all evented, fed by the SongcastSender status machine."""
+    sender = sender if sender is not None else mp.sender
+    svc = OdpService("Sender")
+    st = sender.provider
+
+    svc.add_action("PresentationUrl",
+                   lambda: {"value": st.presentation_url})
+    svc.add_action("Metadata", lambda: {"value": st.metadata})
+    svc.add_action("Audio",
+                   lambda: {"value": bool(svc.properties().get("Audio",
+                                                               False))})
+    svc.add_action("Status", lambda: {"value": st.status})
+    svc.add_action("Status2", lambda: {"value": st.status2})
+    svc.add_action("Enabled",
+                   lambda: {"value": st.status == "Enabled"})
+    svc.add_action("Attributes", lambda: {"value": st.attributes})
+
+    st.add_observer(svc.set_property)
+    svc.set_property("PresentationUrl", st.presentation_url)
+    svc.set_property("Metadata", st.metadata)
+    svc.set_property("Audio", False)
+    svc.set_property("Status", st.status)
+    svc.set_property("Status2", st.status2)
+    svc.set_property("Enabled", st.status == "Enabled")
+    svc.set_property("Attributes", st.attributes)
+
+    class Obs:
+        def notify_pipeline_state(self, state):
+            sender.notify_pipeline_state(state)
+
+    mp.pipeline.add_observer(Obs())
+    return svc
+
+
 def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
     """Build the full ODP device for a MediaPlayer (the reference's
-    DvDeviceStandard + provider registration in MediaPlayer.cpp)."""
+    DvDeviceStandard + provider registration in MediaPlayer.cpp).
+    Receiver/Sender services register when the MediaPlayer has the
+    Songcast receiver source / a SongcastSender (the reference registers
+    them from SourceReceiver's ctor, SourceReceiver.cpp:218/236)."""
     dev = OdpDevice(udn, mp.product.name, "av.openhome.org:media")
     for factory in (make_product_service, make_transport_service,
                     make_volume_service, make_info_service,
@@ -709,4 +800,9 @@ def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
                     make_config_service, make_reaction_service,
                     make_debug_service):
         dev.add_service(factory(mp))
+    from ..av.receiver_sources import SourceReceiver
+    if any(isinstance(s, SourceReceiver) for s in mp.product._sources):
+        dev.add_service(make_receiver_service(mp))
+    if getattr(mp, "sender", None) is not None:
+        dev.add_service(make_sender_service(mp))
     return dev

@@ -313,6 +313,11 @@ class ZoneHandler:
         self._sock: Optional[socket.socket] = None
         self._running = False
         self.discovered: dict[str, str] = {}
+        #: ZoneUriChanged listener (IZoneListener, ZoneHandler.h):
+        #: called (zone, uri) whenever a zone-uri answer arrives
+        self.on_zone_uri: Optional[Callable[[str, str], None]] = None
+        #: zone preset number, answered to OHZ preset queries
+        self.preset = 0
 
     def start(self) -> None:
         s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -359,6 +364,8 @@ class ZoneHandler:
                                   src)
             elif t == OHZ_ZONE_URI:
                 self.discovered[fields["zone"]] = fields["uri"]
+                if self.on_zone_uri is not None:
+                    self.on_zone_uri(fields["zone"], fields["uri"])
 
 
 @dataclass(slots=True)
