@@ -68,6 +68,15 @@ class MediaPlayer:
         self.oauth = OAuthRegistry()
         from .reactions import ReactionRegistry
         self.reactions = ReactionRegistry()
+        # pin set with the local invoker family (reference MediaPlayer
+        # owns PinsManager, MediaPlayer.cpp; invokers register per
+        # source/service as in TransportPins/UrlPins/RadioPins)
+        from .pins import (PinsManager, PlaylistPinInvoker,
+                           RadioPinInvoker, TransportPinInvoker,
+                           UrlPinInvoker)
+        self.pins = PinsManager(self.store)
+        self.pins.add_invoker(TransportPinInvoker(self.pipeline))
+        self.pins.add_invoker(UrlPinInvoker(self.pipeline))
         # ring-buffered log + debug hooks (reference LoggerBuffered /
         # ProviderDebug wiring in MediaPlayer.cpp; Av/Logger.h:62-80)
         from .ops_support import BufferedLog
@@ -79,6 +88,9 @@ class MediaPlayer:
         self.source_radio = SourceRadio(self.pipeline)
         self.product.add_source(self.source_playlist)
         self.product.add_source(self.source_radio)
+        self.pins.add_invoker(RadioPinInvoker(self.source_radio))
+        self.pins.add_invoker(PlaylistPinInvoker(self.source_playlist,
+                                                 self.product))
         # volume drives the render gain chain: wire the sink multiplier to
         # the pipeline attenuator (device-side gain application)
         self.volumes.sink.add_gain_listener(self._on_gain)

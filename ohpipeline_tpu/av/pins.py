@@ -19,6 +19,32 @@ from .config import RamStore, StoreKeyNotFound
 DEVICE_PINS = 6       # reference default device pin count
 ACCOUNT_PINS = 10
 
+ID_EMPTY = 0          # IPinIdProvider::kIdEmpty
+
+
+class PinError(Exception):
+    """Base pin failure (Pins.h THROW family)."""
+
+
+class PinIndexOutOfRange(PinError, IndexError):
+    """ProviderPins error 801 'Pin index out of range'."""
+
+
+class PinIdNotFound(PinError, KeyError):
+    """ProviderPins error 802 'Pin id not found'."""
+
+
+class PinModeNotSupported(PinError, KeyError):
+    """ProviderPins error 803 'Pin mode not supported'."""
+
+
+class PinNothingToPlay(PinError):
+    """ProviderPins error 805 'Nothing to Play'."""
+
+
+class PinUriError(PinError, ValueError):
+    """ProviderPins error 806 'Pin uri not supported'."""
+
 
 @dataclass(slots=True)
 class Pin:
@@ -29,6 +55,8 @@ class Pin:
     description: str = ""
     artwork_uri: str = ""
     shuffle: bool = False
+    #: unique non-zero id while the pin is set (Pin::iId; 0 = empty slot)
+    id: int = ID_EMPTY
 
     @property
     def empty(self) -> bool:
@@ -36,6 +64,14 @@ class Pin:
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))
+
+    def to_json_obj(self) -> dict:
+        """The reference wire shape (Pin::Write, Pins.cpp:115-125):
+        camelCase artworkUri."""
+        return {"id": self.id, "mode": self.mode, "type": self.type,
+                "uri": self.uri, "title": self.title,
+                "description": self.description,
+                "artworkUri": self.artwork_uri, "shuffle": self.shuffle}
 
     @staticmethod
     def from_json(raw: str) -> "Pin":
@@ -49,13 +85,23 @@ class PinInvoker:
     """One pin mode handler (IPinInvoker, Pins.h:64)."""
 
     mode: str = "?"
+    #: pin-URI versions this invoker accepts (IPinInvoker::SupportsVersion)
+    supported_versions = (1,)
 
     def invoke(self, pin: Pin) -> None:
         raise NotImplementedError
 
 
 class PinsManager:
-    """Device pin set + invoker dispatch (PinsManager, Pins.h:180)."""
+    """Device pin set + invoker dispatch (PinsManager, Pins.h:180,
+    Pins.cpp:542-700): unique non-zero ids per set pin (PinIdProvider),
+    typed failures matching the ProviderPins error table, index- and
+    id-addressed operations, and the reference's JSON wire shape.
+
+    Design delta: the reference rejects any pin URI without a
+    ``version=N`` query parameter (TryParsePinUriVersion); this build's
+    local invokers (transport/url/radio) use bare URIs, so the version
+    check applies only when the parameter is present."""
 
     def __init__(self, store: RamStore, device_pins: int = DEVICE_PINS):
         self._store = store
@@ -63,12 +109,22 @@ class PinsManager:
         self._invokers: dict[str, PinInvoker] = {}
         self._observers: list[Callable[[int], None]] = []
         self._lock = threading.RLock()
+        self._next_id = ID_EMPTY
         for i in range(device_pins):
             try:
                 self._pins[i] = Pin.from_json(
                     store.read(f"Pins.{i}").decode())
             except StoreKeyNotFound:
                 pass
+        self._next_id = max([p.id for p in self._pins] + [ID_EMPTY])
+
+    def _fresh_id(self) -> int:
+        """PinIdProvider::NextId (Pins.cpp:230-237): monotonic, never
+        kIdEmpty."""
+        self._next_id += 1
+        if self._next_id == ID_EMPTY:
+            self._next_id += 1
+        return self._next_id
 
     def add_invoker(self, invoker: PinInvoker) -> None:
         self._invokers[invoker.mode] = invoker
@@ -83,46 +139,153 @@ class PinsManager:
         for cb in self._observers:
             cb(index)
 
-    # -- pin set (ProviderPins actions) --------------------------------------
+    # -- pin set -----------------------------------------------------------
     def count(self) -> int:
         return len(self._pins)
 
+    @property
+    def device_max(self) -> int:
+        return len(self._pins)
+
+    @property
+    def account_max(self) -> int:
+        return 0   # account pin set hook not wired to a cloud setter
+
     def pin(self, index: int) -> Pin:
         with self._lock:
+            self._check_index(index)
             return self._pins[index]
 
-    def set_pin(self, index: int, pin: Pin) -> None:
-        if pin.mode and pin.mode not in self._invokers:
-            raise KeyError(f"no invoker for mode {pin.mode!r}")
+    def _check_index(self, index: int) -> None:
+        if not 0 <= index < len(self._pins):
+            raise PinIndexOutOfRange(index)
+
+    def _check_uri(self, mode: str, uri: str) -> None:
+        """PinsManager::Set URI validation (Pins.cpp:551-569): non-empty,
+        and when a version parameter is present the invoker must support
+        it (see class docstring for the bare-URI delta)."""
+        if not uri:
+            raise PinUriError("empty pin uri")
+        from urllib.parse import parse_qs, urlparse
+        q = parse_qs(urlparse(uri).query)
+        if "version" in q:
+            try:
+                version = int(q["version"][0])
+            except ValueError:
+                raise PinUriError(uri) from None
+            inv = self._invokers[mode]
+            if version not in inv.supported_versions:
+                raise PinUriError(uri)
+
+    def set(self, index: int, mode: str, type: str = "", uri: str = "",
+            title: str = "", description: str = "", artwork_uri: str = "",
+            shuffle: bool = False) -> None:
+        """ProviderPins SetDevice -> PinsManager::Set
+        (Pins.cpp:542-585)."""
+        if mode not in self._invokers:
+            raise PinModeNotSupported(mode)
+        self._check_uri(mode, uri)
+        self._check_index(index)
         with self._lock:
+            pin = Pin(mode, type, uri, title, description, artwork_uri,
+                      shuffle, id=self._fresh_id())
             self._pins[index] = pin
             self._store.write(f"Pins.{index}", pin.to_json().encode())
         self._notify(index)
 
-    def clear_pin(self, index: int) -> None:
-        self.set_pin(index, Pin())
+    def set_pin(self, index: int, pin: Pin) -> None:
+        """Python-level convenience over set()/clear (empty pin
+        clears)."""
+        if pin.empty:
+            self.clear_index(index)
+            return
+        self.set(index, pin.mode, pin.type, pin.uri, pin.title,
+                 pin.description, pin.artwork_uri, pin.shuffle)
+
+    def clear_index(self, index: int) -> None:
+        with self._lock:
+            self._check_index(index)
+            self._pins[index] = Pin()
+            self._store.write(f"Pins.{index}", Pin().to_json().encode())
+        self._notify(index)
+
+    clear_pin = clear_index
+
+    def clear(self, pin_id: int) -> None:
+        """ProviderPins Clear -> PinSet::Clear (Pins.cpp:300-313):
+        by id, PinIdNotFound for kIdEmpty or unknown ids."""
+        with self._lock:
+            index = self._index_from_id(pin_id)
+            self._pins[index] = Pin()
+            self._store.write(f"Pins.{index}", Pin().to_json().encode())
+        self._notify(index)
+
+    def _index_from_id(self, pin_id: int) -> int:
+        if pin_id == ID_EMPTY:
+            raise PinIdNotFound(pin_id)
+        for i, p in enumerate(self._pins):
+            if p.id == pin_id:
+                return i
+        raise PinIdNotFound(pin_id)
 
     def swap(self, a: int, b: int) -> None:
         with self._lock:
+            self._check_index(a)
+            self._check_index(b)
             self._pins[a], self._pins[b] = self._pins[b], self._pins[a]
             self._store.write(f"Pins.{a}", self._pins[a].to_json().encode())
             self._store.write(f"Pins.{b}", self._pins[b].to_json().encode())
         self._notify(a)
         self._notify(b)
 
-    def invoke(self, index: int) -> None:
-        with self._lock:
-            pin = self._pins[index]
-        if pin.empty:
-            raise LookupError(f"pin {index} empty")
+    # -- invocation --------------------------------------------------------
+    def _begin_invoke(self, pin: Pin) -> None:
+        """PinsManager::BeginInvoke (Pins.cpp:685): empty or unregistered
+        mode -> PinModeNotSupported."""
+        if not pin.mode:
+            raise PinModeNotSupported("empty pin")
         invoker = self._invokers.get(pin.mode)
         if invoker is None:
-            raise KeyError(f"no invoker for mode {pin.mode!r}")
+            raise PinModeNotSupported(pin.mode)
         invoker.invoke(pin)
 
-    def id_array(self) -> list[str]:
+    def invoke_index(self, index: int) -> None:
         with self._lock:
-            return [p.to_json() for p in self._pins]
+            self._check_index(index)
+            pin = self._pins[index]
+        self._begin_invoke(pin)
+
+    invoke = invoke_index
+
+    def invoke_id(self, pin_id: int) -> None:
+        with self._lock:
+            pin = self._pins[self._index_from_id(pin_id)]
+        self._begin_invoke(pin)
+
+    def invoke_uri(self, mode: str, type: str = "", uri: str = "",
+                   shuffle: bool = False) -> None:
+        """One-shot invocation without touching the pin set
+        (Pins.cpp:677-683)."""
+        self._begin_invoke(Pin(mode, type, uri, shuffle=shuffle))
+
+    # -- wire shapes (ProviderPins) ----------------------------------------
+    def id_array(self) -> list[int]:
+        """IdArray property: the slot->id mapping (PinSet::IdArray)."""
+        with self._lock:
+            return [p.id for p in self._pins]
+
+    def write_json(self, ids: list[int]) -> str:
+        """ReadList payload (PinsManager::WriteJson, Pins.cpp:632-646):
+        unknown ids are silently skipped."""
+        out = []
+        with self._lock:
+            for pin_id in ids:
+                try:
+                    out.append(self._pins[self._index_from_id(pin_id)]
+                               .to_json_obj())
+                except PinIdNotFound:
+                    pass
+        return json.dumps(out)
 
 
 # -- local invokers (the reference's PinInvoker* family) ---------------------
@@ -217,7 +380,9 @@ class ServiceCatalogPinInvoker(PinInvoker):
         ident = u.path.lstrip("/")
         tracks = self._browse(kind, ident)
         if not tracks:
-            raise ValueError(f"{self.mode} pin found no tracks: {pin.uri}")
+            # kCodeNothingToPlay 805 (ProviderPins.cpp:27-28)
+            raise PinNothingToPlay(
+                f"{self.mode} pin found no tracks: {pin.uri}")
         self._product.set_source_by_name(self._playlist.system_name)
         db = self._playlist.db
         db.delete_all()

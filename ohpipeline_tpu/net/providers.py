@@ -697,6 +697,85 @@ def make_debug_service(mp) -> OdpService:
     return svc
 
 
+def make_pins_service(mp) -> OdpService:
+    """Pins service (Av/Pins/ProviderPins.cpp): the full action table
+    (GetDeviceMax/GetAccountMax/GetModes/GetIdArray/GetCloudConnected/
+    ReadList/InvokeId/InvokeIndex/InvokeUri/SetDevice/SetAccount/Clear/
+    Swap) with the reference error mapping (cpp:19-30): 801 index out of
+    range, 802 id not found, 803 mode not supported, 804 login required,
+    805 nothing to play, 806 uri not supported.  DeviceMax/AccountMax/
+    Modes/IdArray/CloudConnected are evented."""
+    from ..av.credentials import CredentialsLoginFailed
+    from ..av.pins import (PinIdNotFound, PinIndexOutOfRange,
+                           PinModeNotSupported, PinNothingToPlay,
+                           PinUriError)
+    svc = OdpService("Pins")
+    pins = mp.pins
+
+    def guard(fn):
+        """Map the typed pin failures onto the wire codes
+        (ProviderPins.cpp:212-345)."""
+        def run(*a, **kw):
+            try:
+                return fn(*a, **kw) or {}
+            except PinIndexOutOfRange:
+                raise OdpError(801, "Pin index out of range") from None
+            except PinIdNotFound:
+                raise OdpError(802, "Pin id not found") from None
+            except PinModeNotSupported:
+                raise OdpError(803, "Pin mode not supported") from None
+            except CredentialsLoginFailed:
+                raise OdpError(804, "Login required") from None
+            except PinNothingToPlay:
+                raise OdpError(805, "Nothing to Play") from None
+            except PinUriError:
+                raise OdpError(806, "Pin uri not supported") from None
+        return run
+
+    svc.add_action("GetDeviceMax", lambda: {"value": pins.device_max})
+    svc.add_action("GetAccountMax", lambda: {"value": pins.account_max})
+    svc.add_action("GetModes", lambda: {"value": json.dumps(pins.modes())})
+    svc.add_action("GetIdArray",
+                   lambda: {"value": json.dumps(pins.id_array())})
+    svc.add_action("GetCloudConnected", lambda: {"value": False})
+    svc.add_action(
+        "ReadList",
+        lambda ids: {"value": pins.write_json(json.loads(ids))})
+    svc.add_action("InvokeId",
+                   guard(lambda id: pins.invoke_id(int(id))))
+    svc.add_action("InvokeIndex",
+                   guard(lambda index: pins.invoke_index(int(index))))
+    svc.add_action(
+        "InvokeUri",
+        guard(lambda mode, type="", uri="", shuffle=False:
+              pins.invoke_uri(mode, type, uri, bool(shuffle))))
+    svc.add_action(
+        "SetDevice",
+        guard(lambda index, mode, type="", uri="", title="",
+              description="", artworkUri="", shuffle=False:
+              pins.set(int(index), mode, type, uri, title, description,
+                       artworkUri, bool(shuffle))))
+    svc.add_action(
+        "SetAccount",
+        guard(lambda index, **kw: (_ for _ in ()).throw(
+            PinIndexOutOfRange(index))))   # account set not wired (max 0)
+    svc.add_action("Clear", guard(lambda id: pins.clear(int(id))))
+    svc.add_action(
+        "Swap",
+        guard(lambda index1, index2: pins.swap(int(index1), int(index2))))
+
+    def update(_index=None):
+        svc.set_property("IdArray", json.dumps(pins.id_array()))
+        svc.set_property("Modes", json.dumps(pins.modes()))
+
+    pins.add_observer(update)
+    svc.set_property("DeviceMax", pins.device_max)
+    svc.set_property("AccountMax", pins.account_max)
+    svc.set_property("CloudConnected", False)
+    update()
+    return svc
+
+
 def make_receiver_service(mp, source=None) -> OdpService:
     """Receiver service (Av/Songcast/ProviderReceiver.cpp): Play / Stop /
     SetSender / Sender / ProtocolInfo / TransportState actions over the
@@ -798,7 +877,7 @@ def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
                     make_oauth_service,
                     make_playlist_service, make_radio_service,
                     make_config_service, make_reaction_service,
-                    make_debug_service):
+                    make_debug_service, make_pins_service):
         dev.add_service(factory(mp))
     from ..av.receiver_sources import SourceReceiver
     if any(isinstance(s, SourceReceiver) for s in mp.product._sources):
