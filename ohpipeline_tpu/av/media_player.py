@@ -62,6 +62,14 @@ class MediaPlayer:
                                      power=self.power,
                                      offsetter=offsetter, trims=trims)
         self.product = Product(self.config, p.room, p.name)
+        # read-only manufacturer/model/product data (reference
+        # IStaticDataSource -> KvpStore, queried by ProviderProduct)
+        from .misc import KvpStore
+        self.kvp = KvpStore({"Product.Name": p.name,
+                             "Product.Info": "ohpipeline-tpu renderer",
+                             "Product.Url": "",
+                             "Product.ImageUri": "",
+                             "Product.ImageHiresUri": ""})
         from .credentials import Credentials
         self.credentials = Credentials(self.store)
         from .oauth import OAuthRegistry
@@ -77,6 +85,10 @@ class MediaPlayer:
         self.pins = PinsManager(self.store)
         self.pins.add_invoker(TransportPinInvoker(self.pipeline))
         self.pins.add_invoker(UrlPinInvoker(self.pipeline))
+        # shared repeat/random transport state (TransportControl.h,
+        # observed by ProviderTransport and the playlist source)
+        from .misc import TransportRepeatRandom
+        self.transport_repeat_random = TransportRepeatRandom()
         # ring-buffered log + debug hooks (reference LoggerBuffered /
         # ProviderDebug wiring in MediaPlayer.cpp; Av/Logger.h:62-80)
         from .ops_support import BufferedLog
@@ -91,6 +103,13 @@ class MediaPlayer:
         self.pins.add_invoker(RadioPinInvoker(self.source_radio))
         self.pins.add_invoker(PlaylistPinInvoker(self.source_playlist,
                                                  self.product))
+        # the playlist source observes the shared repeat/random state
+        # (the reference's SourcePlaylist registers with
+        # ITransportRepeatRandom the same way)
+        self.transport_repeat_random.add_observer(
+            lambda repeat, random:
+            (self.source_playlist.provider.set_repeat(repeat),
+             self.source_playlist.provider.set_shuffle(random)))
         # volume drives the render gain chain: wire the sink multiplier to
         # the pipeline attenuator (device-side gain application)
         self.volumes.sink.add_gain_listener(self._on_gain)

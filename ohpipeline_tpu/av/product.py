@@ -40,6 +40,24 @@ class Source:
         self.name_cfg = config.create_text(name_key, 30, self.name)
         self.name = self.name_cfg.value
 
+        # renames / visibility flips change the source XML (the reference
+        # source subscribes its config values and calls back into
+        # Product, Source.cpp NameChanged/VisibleChanged)
+        armed = [False]   # subscribe() fires immediately; skip that one
+
+        def _name_changed(_key, value):
+            self.name = value
+            if armed[0]:
+                product.source_xml_changed()
+
+        def _visible_changed(_key, _value):
+            if armed[0]:
+                product.source_xml_changed()
+
+        self.name_cfg.subscribe(_name_changed)
+        self.visible_cfg.subscribe(_visible_changed)
+        armed[0] = True
+
     @property
     def visible(self) -> bool:
         return bool(self.visible_cfg.value)
@@ -76,10 +94,17 @@ class Product:
         self._observers: list[Callable[[], None]] = []
         self._standby_observers: list[StandbyObserver] = []
         self.standby = True
+        #: bumped whenever the source XML changes (Product::
+        #: SourceXmlChangeCount; clients re-fetch SourceXml when it moves)
+        self.source_xml_change_count = 1
         self.room_cfg = config.create_text("Product.Room", 30, room)
         self.name_cfg = config.create_text("Product.Name", 30, name)
         self._startup_source = config.create_text("Source.StartupName", 30,
                                                   "")
+
+    def source_xml_changed(self) -> None:
+        self.source_xml_change_count += 1
+        self._notify()
 
     # -- registration ------------------------------------------------------
     def add_source(self, source: Source) -> None:
@@ -88,6 +113,7 @@ class Product:
                 raise RuntimeError("too many sources")
             source.initialise(self, self._config)
             self._sources.append(source)
+        self.source_xml_changed()
 
     def start(self) -> None:
         """Select the startup source (reference Product::Start)."""

@@ -16,18 +16,70 @@ from .odp import OdpDevice, OdpError, OdpService
 
 
 def make_product_service(mp) -> OdpService:
+    """The full ProviderProduct surface (Av/ProviderProduct.cpp):
+    Manufacturer/Model/Product detail actions backed by the KvpStore,
+    Attributes, Source(index)/SourceXmlChangeCount/StandbyTransitioning,
+    and source selection by index / display name / system name with the
+    reference fault 801 'Source not found' (FaultCode.cpp:21)."""
     svc = OdpService("Product")
     prod = mp.product
+    kvp = getattr(mp, "kvp", None)
+
+    def _kvp(key):
+        return kvp.get(key) if kvp is not None and kvp.has(key) else ""
+
+    def _select(fn, *args):
+        try:
+            fn(*args)
+        except (IndexError, KeyError):
+            raise OdpError(801, "Source not found") from None
+        return {}
+
     svc.add_action("Room", lambda: {"value": prod.room})
     svc.add_action("Name", lambda: {"value": prod.name})
+    svc.add_action("Manufacturer", lambda: {
+        "Name": _kvp("Manufacturer.Name"),
+        "Info": _kvp("Manufacturer.Info"),
+        "Url": _kvp("Manufacturer.Url"),
+        "ImageUri": _kvp("Manufacturer.ImageUri")})
+    svc.add_action("Model", lambda: {
+        "Name": _kvp("Model.Name"), "Info": _kvp("Model.Info"),
+        "Url": _kvp("Model.Url"), "ImageUri": _kvp("Model.ImageUri")})
+    svc.add_action("Product", lambda: {
+        "Room": prod.room, "Name": prod.name,
+        "Info": _kvp("Product.Info"), "Url": _kvp("Product.Url"),
+        "ImageUri": _kvp("Product.ImageUri"),
+        "ImageHiresUri": _kvp("Product.ImageHiresUri")})
+    svc.add_action("GetImageUri", lambda resolution="": {
+        "value": _kvp("Product.ImageHiresUri")
+        if resolution == "hires" and _kvp("Product.ImageHiresUri")
+        else _kvp("Product.ImageUri")})
+    svc.add_action("Attributes", lambda: {"value": prod.ATTRIBUTES})
     svc.add_action("SourceCount", lambda: {"value": prod.source_count()})
     svc.add_action("SourceXml", lambda: {"value": prod.source_xml()})
+    svc.add_action("SourceXmlChangeCount",
+                   lambda: {"value": prod.source_xml_change_count})
     svc.add_action("SourceIndex", lambda: {"value": prod.source_index()})
     svc.add_action("SetSourceIndex",
-                   lambda value: prod.set_source_index(int(value)) or {})
+                   lambda value: _select(prod.set_source_index, int(value)))
     svc.add_action("SetSourceByName",
-                   lambda value: prod.set_source_by_name(value) or {})
+                   lambda value: _select(prod.set_source_by_name, value))
+    svc.add_action("SetSourceIndexByName",
+                   lambda value: _select(prod.set_source_by_name, value))
+    svc.add_action("SetSourceBySystemName",
+                   lambda value: _select(prod.set_source_by_name, value))
+
+    def _source(index):
+        index = int(index)
+        if not 0 <= index < prod.source_count():
+            raise OdpError(801, "Source not found")
+        s = prod.source(index)
+        return {"SystemName": s.system_name, "Type": s.type,
+                "Name": s.name, "Visible": s.visible}
+
+    svc.add_action("Source", _source)
     svc.add_action("Standby", lambda: {"value": prod.standby})
+    svc.add_action("StandbyTransitioning", lambda: {"value": False})
     svc.add_action(
         "SetStandby",
         lambda value: (prod.standby_enable() if value
@@ -36,35 +88,171 @@ def make_product_service(mp) -> OdpService:
     def update():
         svc.set_property("SourceIndex", prod.source_index())
         svc.set_property("Standby", prod.standby)
+        svc.set_property("SourceCount", prod.source_count())
+        svc.set_property("SourceXml", prod.source_xml())
+        svc.set_property("StandbyTransitioning", False)
 
     prod.add_observer(update)
+    svc.set_property("Attributes", prod.ATTRIBUTES)
+    svc.set_property("ProductRoom", prod.room)
+    svc.set_property("ProductName", prod.name)
     update()
     return svc
 
 
 def make_transport_service(mp) -> OdpService:
+    """The full ProviderTransport surface (Av/ProviderTransport.cpp):
+    Play/Pause/Stop/SkipNext/SkipPrevious with standby-disable on
+    play-class actions (cpp:206-293), PlayAs with 'track={json}' command
+    parsing (TransportControl.cpp:73-93), Repeat/Shuffle through the
+    shared TransportRepeatRandom, SeekSecondAbsolute/Relative with the
+    reference error codes (801 action not supported by current mode, 803
+    seek failed, 804 stream id not current, cpp:18-23), and the
+    ModeInfo/StreamInfo/StreamId/Modes/TransportState query actions over
+    evented Can* properties (NotifyMode/NotifyStreamInfo, cpp:133-180)."""
     svc = OdpService("Transport")
     pm = mp.pipeline
-    svc.add_action("Play", lambda: pm.play() or {})
-    svc.add_action("Pause", lambda: pm.pause() or {})
+    rr = getattr(mp, "transport_repeat_random", None)
+    st = {"stream_id": 0, "pos_seconds": 0, "sample_rate": 0,
+          "mode_pausable": False}
+
+    def _standby_off():
+        # iPowerManager.StandbyDisable(Product) on play-class actions
+        if mp.product.standby:
+            mp.product.standby_disable()
+
+    def _play():
+        _standby_off()
+        pm.play()
+        return {}
+
+    def _pause():
+        # PipelineStreamNotPausable -> Stop (cpp:223-242)
+        try:
+            pm.pause()
+        except Exception:
+            pm.stop()
+        return {}
+
+    def _skip(backwards):
+        _standby_off()
+        (pm.prev if backwards else pm.next)()
+        return {}
+
+    def _play_as(mode, command=""):
+        for i in range(mp.product.source_count()):
+            src = mp.product.source(i)
+            if src.system_name == mode:
+                mp.product.set_source_by_name(src.name)
+                break
+        else:
+            raise OdpError(801, "Action not supported by current mode")
+        if command.startswith("track="):
+            # PlayAsCommandTrack (TransportControl.cpp:73-93)
+            try:
+                track = json.loads(command[len("track="):])
+                uri = track["uri"]
+            except (ValueError, KeyError):
+                raise OdpError(801,
+                               "Action not supported by current mode")
+            pm.play_uri(uri, track.get("metadata", ""))
+        else:
+            pm.play()
+        return {}
+
+    def _seek_absolute(streamId, secondAbsolute):
+        _standby_off()
+        stream_id = int(streamId)
+        if stream_id != st["stream_id"] or st["sample_rate"] == 0:
+            raise OdpError(804, "Stream id not current")
+        if not pm.seek(stream_id, int(secondAbsolute),
+                       st["sample_rate"]):
+            raise OdpError(803, "Seek failed")
+        pm.play()
+        return {}
+
+    def _seek_relative(streamId, secondRelative):
+        # cpp:341-352: clamp below zero
+        seconds = max(0, st["pos_seconds"] + int(secondRelative))
+        return _seek_absolute(streamId, seconds)
+
+    svc.add_action("Play", _play)
+    svc.add_action("Pause", _pause)
     svc.add_action("Stop", lambda: pm.stop() or {})
-    svc.add_action("SkipNext", lambda: pm.next() or {})
-    svc.add_action("SkipPrevious", lambda: pm.prev() or {})
+    svc.add_action("SkipNext", lambda: _skip(False))
+    svc.add_action("SkipPrevious", lambda: _skip(True))
+    svc.add_action("PlayAs", _play_as)
     svc.add_action("PlayUri",
                    lambda uri, metadata="": pm.play_uri(uri, metadata) or {})
+    if rr is not None:
+        svc.add_action("SetRepeat",
+                       lambda value: rr.set_repeat(bool(value)) or {})
+        svc.add_action("SetShuffle",
+                       lambda value: rr.set_random(bool(value)) or {})
+        svc.add_action("Repeat", lambda: {"value": rr.repeat})
+        svc.add_action("Shuffle", lambda: {"value": rr.random})
+        rr.add_observer(lambda repeat, random:
+                        (svc.set_property("Repeat", repeat),
+                         svc.set_property("Shuffle", random)))
+    svc.add_action("SeekSecondAbsolute", _seek_absolute)
+    svc.add_action("SeekSecondRelative", _seek_relative)
+    svc.add_action("TransportState",
+                   lambda: {"value": svc.properties().get(
+                       "TransportState", "Stopped")})
+    svc.add_action("Modes",
+                   lambda: {"value": json.dumps(
+                       sorted(pm._providers))})
+    svc.add_action("ModeInfo", lambda: {
+        "CanSkipNext": svc.properties().get("CanSkipNext", False),
+        "CanSkipPrevious": svc.properties().get("CanSkipPrevious", False),
+        "CanRepeat": svc.properties().get("CanRepeat", False),
+        "CanShuffle": svc.properties().get("CanShuffle", False)})
+    svc.add_action("StreamInfo", lambda: {
+        "StreamId": st["stream_id"],
+        "CanSeek": svc.properties().get("CanSeek", False),
+        "CanPause": svc.properties().get("CanPause", False)})
+    svc.add_action("StreamId", lambda: {"value": st["stream_id"]})
 
     class Obs:
         def notify_pipeline_state(self, state):
-            svc.set_property("TransportState", state.value)
+            # reference wire strings (TransportState::FromPipelineState)
+            svc.set_property("TransportState", state.value.title())
+
+        def notify_mode(self, mode, info):
+            # NotifyMode (cpp:133-151): capabilities reset per mode
+            svc.set_property("CanSkipNext", info.supports_next)
+            svc.set_property("CanSkipPrevious", info.supports_prev)
+            svc.set_property("CanRepeat", info.supports_repeat)
+            svc.set_property("CanShuffle", info.supports_random)
+            st["stream_id"] = 0
+            st["mode_pausable"] = info.supports_pause
+            svc.set_property("StreamId", 0)
+            svc.set_property("CanSeek", False)
+            svc.set_property("CanPause", False)
 
         def notify_track(self, track, sos):
             svc.set_property("TrackUri", track.uri)
 
+        def notify_stream_info(self, info):
+            # NotifyStreamInfo (cpp:170-180)
+            st["stream_id"] = info.stream_id
+            st["sample_rate"] = info.sample_rate
+            svc.set_property("StreamId", info.stream_id)
+            svc.set_property("CanSeek", info.seekable)
+            svc.set_property("CanPause",
+                             st["mode_pausable"] and not info.live)
+
         def notify_time(self, seconds, total):
+            st["pos_seconds"] = seconds
             svc.set_property("Seconds", seconds)
 
     pm.add_observer(Obs())
-    svc.set_property("TransportState", mp.pipeline.pipeline.state.value)
+    svc.set_property("TransportState",
+                     mp.pipeline.pipeline.state.value.title())
+    for prop in ("CanSkipNext", "CanSkipPrevious", "CanRepeat",
+                 "CanShuffle", "CanSeek", "CanPause"):
+        svc.set_property(prop, False)
+    svc.set_property("StreamId", 0)
     return svc
 
 
@@ -264,23 +452,67 @@ def make_volume_service(mp) -> OdpService:
 
 
 def make_info_service(mp) -> OdpService:
+    """The full ProviderInfo surface (Av/ProviderInfo.cpp): Counters /
+    Track / Details / Metatext actions over the evented
+    TrackCount/DetailsCount/MetatextCount and stream detail properties
+    (NotifyTrack bumps TrackCount and clears details at start-of-stream,
+    cpp:152-167; NotifyStreamInfo fills Details, cpp:187-206)."""
+    from ..core.jiffies import Jiffies
     svc = OdpService("Info")
+
+    def _p(name, default=0):
+        return svc.properties().get(name, default)
+
+    svc.add_action("Counters", lambda: {
+        "TrackCount": _p("TrackCount"),
+        "DetailsCount": _p("DetailsCount"),
+        "MetatextCount": _p("MetatextCount")})
+    svc.add_action("Track", lambda: {
+        "Uri": _p("Uri", ""), "Metadata": _p("Metadata", "")})
+    svc.add_action("Details", lambda: {
+        "Duration": _p("Duration"), "BitRate": _p("BitRate"),
+        "BitDepth": _p("BitDepth"), "SampleRate": _p("SampleRate"),
+        "Lossless": _p("Lossless", False),
+        "CodecName": _p("CodecName", "")})
+    svc.add_action("Metatext", lambda: {"value": _p("Metatext", "")})
 
     class Obs:
         def notify_track(self, track, sos):
+            svc.set_property("TrackCount", _p("TrackCount") + 1)
             svc.set_property("Uri", track.uri)
             svc.set_property("Metadata", track.metadata)
+            if sos:
+                # ClearStreamInfo (cpp:57-71)
+                for prop in ("DetailsCount", "Duration", "BitRate",
+                             "BitDepth", "SampleRate", "MetatextCount"):
+                    svc.set_property(prop, 0)
+                svc.set_property("Lossless", False)
+                svc.set_property("CodecName", "")
+                svc.set_property("Metatext", "")
 
         def notify_metatext(self, text):
-            svc.set_property("Metatext", text)
+            if _p("Metatext", "") != text:
+                svc.set_property("Metatext", text)
+                svc.set_property("MetatextCount",
+                                 _p("MetatextCount") + 1)
 
         def notify_stream_info(self, info):
+            svc.set_property("DetailsCount", _p("DetailsCount") + 1)
             svc.set_property("SampleRate", info.sample_rate)
             svc.set_property("BitDepth", info.bit_depth)
+            svc.set_property("BitRate", info.bitrate)
             svc.set_property("CodecName", info.codec_name)
             svc.set_property("Lossless", info.lossless)
+            svc.set_property("Duration", info.track_length_jiffies
+                             // Jiffies.kPerSecond)
 
     mp.pipeline.add_observer(Obs())
+    for prop in ("TrackCount", "DetailsCount", "MetatextCount",
+                 "Duration", "BitRate", "BitDepth", "SampleRate"):
+        svc.set_property(prop, 0)
+    svc.set_property("Lossless", False)
+    for prop in ("Uri", "Metadata", "CodecName", "Metatext"):
+        svc.set_property(prop, "")
     return svc
 
 

@@ -540,6 +540,22 @@ class Drainer(Element):
         return e
 
 
+class DecodedStreamView:
+    """Observer view of a decoded-stream announcement: the PcmStreamInfo
+    plus the stream id (the reference's DecodedStreamInfo carries
+    StreamId, Msg.h:833, which IPipelineObserver::NotifyStreamInfo
+    consumers like ProviderTransport rely on)."""
+
+    __slots__ = ("info", "stream_id")
+
+    def __init__(self, info, stream_id: int):
+        self.info = info
+        self.stream_id = stream_id
+
+    def __getattr__(self, name):
+        return getattr(self.info, name)
+
+
 class Reporter(Element):
     """Feeds IPipelineObserver equivalents (Reporter.cpp): track, metatext
     and per-second time callbacks, marshalled off the audio thread by
@@ -582,7 +598,8 @@ class Reporter(Element):
             self._info = e.info
             self._offset_jiffies = (e.info.sample_start
                                     * e.info.jiffies_per_sample)
-            self._emit("notify_stream_info", e.info)
+            self._emit("notify_stream_info",
+                       DecodedStreamView(e.info, e.stream_id))
             self._last_second = -1
         elif isinstance(e, ev.AudioPcmEvent) and self._info is not None:
             self._offset_jiffies += e.jiffies
