@@ -516,45 +516,228 @@ def make_info_service(mp) -> OdpService:
     return svc
 
 
+def _xml_escape(text: str) -> str:
+    return (text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _protocol_info(mp) -> str:
+    """Supported-protocol string built from the registered protocol
+    schemes (the reference assembles it from each protocol's
+    ProtocolInfo)."""
+    schemes = []
+    for p in mp.pipeline.protocol_manager._protocols:
+        scheme = getattr(p, "scheme", None) or getattr(p, "name", "")
+        if scheme and scheme not in schemes:
+            schemes.append(scheme)
+    return ",".join(f"{s}:*:*:*" for s in schemes)
+
+
 def make_playlist_service(mp) -> OdpService:
+    """The full ProviderPlaylist surface (Av/Playlist/
+    ProviderPlaylist.cpp): transport actions, Insert with 800/801 errors
+    (id not found / playlist full, cpp:22-25), Read/ReadList (TrackList
+    XML, cpp:324-372), SeekId/SeekIndex (802 index not found),
+    IdArray+token / IdArrayChanged, Repeat/Shuffle, TracksMax,
+    ProtocolInfo, TransportState."""
     svc = OdpService("Playlist")
     src = mp.source_playlist
+    pm = mp.pipeline
     db = src.db
-    svc.add_action(
-        "Insert",
-        lambda afterId, uri, metadata="":
-        {"newId": db.insert(int(afterId), uri, metadata)})
+
+    def _insert(afterId, uri, metadata=""):
+        try:
+            return {"newId": db.insert(int(afterId), uri, metadata)}
+        except RuntimeError:
+            raise OdpError(801, "Playlist full") from None
+        except KeyError:
+            raise OdpError(800, "Id not found") from None
+
+    def _read(id):
+        t = db.track_by_id(int(id))
+        if t is None:
+            raise OdpError(800, "Id not found")
+        return {"uri": t.uri, "metadata": t.metadata}
+
+    def _read_list(idList):
+        # space-separated ids -> TrackList XML (cpp:324-372); bad or
+        # unknown ids are silently skipped
+        out = ["<TrackList>"]
+        for tok in str(idList).split():
+            try:
+                t = db.track_by_id(int(tok))
+            except ValueError:
+                continue
+            if t is None:
+                continue
+            out.append(f"<Entry><Id>{t.id}</Id>"
+                       f"<Uri>{_xml_escape(t.uri)}</Uri>"
+                       f"<Metadata>{_xml_escape(t.metadata)}</Metadata>"
+                       "</Entry>")
+        out.append("</TrackList>")
+        return {"value": "".join(out)}
+
+    def _seek_index(value):
+        ids = db.id_array()
+        index = int(value)
+        if not 0 <= index < len(ids):
+            raise OdpError(802, "Index not found")
+        src.seek_id(ids[index])
+        return {}
+
+    svc.add_action("Play", lambda: pm.play() or {})
+    svc.add_action("Pause", lambda: pm.pause() or {})
+    svc.add_action("Stop", lambda: pm.stop() or {})
+    svc.add_action("Next", lambda: pm.next() or {})
+    svc.add_action("Previous", lambda: pm.prev() or {})
+    svc.add_action("Insert", _insert)
     svc.add_action("DeleteId", lambda value: db.delete(int(value)) or {})
     svc.add_action("DeleteAll", lambda: db.delete_all() or {})
-    svc.add_action("IdArray", lambda: {"array": db.id_array()})
-    svc.add_action(
-        "Read",
-        lambda id: (lambda t: {"uri": t.uri if t else "",
-                               "metadata": t.metadata if t else ""})(
-            db.track_by_id(int(id))))
+    svc.add_action("IdArray",
+                   lambda: {"token": db.seq, "array": db.id_array()})
+    svc.add_action("IdArrayChanged",
+                   lambda token: {"value": int(token) != db.seq})
+    svc.add_action("Read", _read)
+    svc.add_action("ReadList", _read_list)
     svc.add_action("SeekId", lambda value: src.seek_id(int(value)) or {})
+    svc.add_action("SeekIndex", _seek_index)
+    svc.add_action("TracksMax", lambda: {"value": db.max_tracks})
+    svc.add_action("ProtocolInfo",
+                   lambda: {"value": _protocol_info(mp)})
     svc.add_action(
         "SetRepeat",
         lambda value: src.provider.set_repeat(bool(value)) or {})
     svc.add_action(
         "SetShuffle",
         lambda value: src.provider.set_shuffle(bool(value)) or {})
-    db.add_observer(lambda: svc.set_property("IdArraySeq", db.seq))
+    svc.add_action("Repeat", lambda: {"value": src.provider.repeat})
+    svc.add_action("Shuffle", lambda: {"value": src.provider.shuffle})
+    svc.add_action("TransportState",
+                   lambda: {"value": svc.properties().get(
+                       "TransportState", "Stopped")})
+
+    class Obs:
+        def notify_pipeline_state(self, state):
+            svc.set_property("TransportState", state.value.title())
+
+        def notify_track(self, track, sos):
+            svc.set_property("Id", track.id)
+
+    pm.add_observer(Obs())
+
+    def _db_changed():
+        svc.set_property("IdArraySeq", db.seq)
+        svc.set_property("IdArray", db.id_array())
+
+    db.add_observer(_db_changed)
+    svc.set_property("TransportState", "Stopped")
+    svc.set_property("Id", 0)
+    svc.set_property("TracksMax", db.max_tracks)
+    svc.set_property("ProtocolInfo", _protocol_info(mp))
+    _db_changed()
     return svc
 
 
 def make_radio_service(mp) -> OdpService:
+    """The full ProviderRadio surface (Av/Radio/ProviderRadio.cpp):
+    Play/Pause/Stop, Channel/SetChannel (the directly-tuned station),
+    Id/SetId (preset selection by id, 800 'Id not found', cpp:23-24),
+    Read/ReadList, IdArray+token / IdArrayChanged, ChannelsMax,
+    ProtocolInfo, TransportState."""
     svc = OdpService("Radio")
     src = mp.source_radio
+    pm = mp.pipeline
+    presets = src.presets
+    state = {"channel_uri": "", "channel_metadata": "", "id": 0}
+
+    def _preset_by_id(preset_id):
+        for i in range(presets.max_presets):
+            p = presets.preset(i)
+            if p is not None and p.id == int(preset_id):
+                return p
+        raise OdpError(800, "Id not found")
+
+    def _set_id(value, uri=""):
+        p = _preset_by_id(value)
+        state["id"] = p.id
+        state["channel_uri"] = p.uri
+        state["channel_metadata"] = p.metadata
+        svc.set_property("Id", p.id)
+        src.provider.set_station(p.uri, p.metadata, p.id)
+        pm.begin("Radio")
+        return {}
+
+    def _set_channel(uri, metadata=""):
+        state["id"] = 0
+        state["channel_uri"] = uri
+        state["channel_metadata"] = metadata
+        svc.set_property("Id", 0)
+        svc.set_property("Uri", uri)
+        svc.set_property("Metadata", metadata)
+        src.provider.set_station(uri, metadata)
+        pm.begin("Radio")
+        return {}
+
+    def _read(id):
+        p = _preset_by_id(id)
+        return {"metadata": p.metadata}
+
+    def _read_list(idList):
+        # ChannelList XML, same silent-skip rules as the playlist
+        out = ["<ChannelList>"]
+        for tok in str(idList).split():
+            try:
+                p = _preset_by_id(int(tok))
+            except (ValueError, OdpError):
+                continue
+            out.append(f"<Entry><Id>{p.id}</Id>"
+                       f"<Uri>{_xml_escape(p.uri)}</Uri>"
+                       f"<Metadata>{_xml_escape(p.metadata)}</Metadata>"
+                       "</Entry>")
+        out.append("</ChannelList>")
+        return {"value": "".join(out)}
+
+    svc.add_action("Play", lambda: pm.play() or {})
+    svc.add_action("Pause", lambda: pm.pause() or {})
+    svc.add_action("Stop", lambda: pm.stop() or {})
     svc.add_action(
         "SetPreset",
         lambda index, uri, metadata="":
-        src.presets.set_preset(int(index), uri, metadata) or {})
-    svc.add_action("IdArray", lambda: {"array": src.presets.id_array()})
+        presets.set_preset(int(index), uri, metadata) or {})
+    svc.add_action("Channel", lambda: {
+        "uri": state["channel_uri"],
+        "metadata": state["channel_metadata"]})
+    svc.add_action("SetChannel", _set_channel)
+    svc.add_action("Id", lambda: {"value": state["id"]})
+    svc.add_action("SetId", _set_id)
+    svc.add_action("Read", _read)
+    svc.add_action("ReadList", _read_list)
+    svc.add_action("IdArray",
+                   lambda: {"token": presets.seq,
+                            "array": presets.id_array()})
+    svc.add_action("IdArrayChanged",
+                   lambda token: {"value": int(token) != presets.seq})
+    svc.add_action("ChannelsMax",
+                   lambda: {"value": presets.max_presets})
+    svc.add_action("ProtocolInfo",
+                   lambda: {"value": _protocol_info(mp)})
+    svc.add_action("TransportState",
+                   lambda: {"value": svc.properties().get(
+                       "TransportState", "Stopped")})
     svc.add_action("PlayPreset",
                    lambda index: src.play_preset(int(index)) or {})
     svc.add_action("PlayUri",
                    lambda uri, metadata="": src.play_uri(uri, metadata) or {})
+
+    class Obs:
+        def notify_pipeline_state(self, state_):
+            svc.set_property("TransportState", state_.value.title())
+
+    pm.add_observer(Obs())
+    svc.set_property("TransportState", "Stopped")
+    svc.set_property("Id", 0)
+    svc.set_property("ChannelsMax", presets.max_presets)
+    svc.set_property("ProtocolInfo", _protocol_info(mp))
     return svc
 
 

@@ -162,3 +162,74 @@ class TestInfoDepth:
         assert det["Duration"] == 1
         assert det["CodecName"]
         assert client.invoke("Info", "Metatext")["value"] == ""
+
+
+class TestPlaylistDepth:
+    def test_full_table(self, client_server):
+        mp, client = client_server
+        assert client.invoke("Playlist", "TracksMax")["value"] == 1000
+        pinfo = client.invoke("Playlist", "ProtocolInfo")["value"]
+        assert "HTTP:*:*:*" in pinfo and "HLS:*:*:*" in pinfo
+        i1 = client.invoke("Playlist", "Insert", afterId=0,
+                           uri="http://a/1.flac", metadata="<m1/>")["newId"]
+        i2 = client.invoke("Playlist", "Insert", afterId=i1,
+                           uri="http://a/2&x.flac")["newId"]
+        arr = client.invoke("Playlist", "IdArray")
+        assert arr["array"] == [i1, i2]
+        token = arr["token"]
+        assert client.invoke("Playlist", "IdArrayChanged",
+                             token=token)["value"] is False
+        assert client.invoke("Playlist", "IdArrayChanged",
+                             token=token + 5)["value"] is True
+        # ReadList XML with escaping; bad/unknown ids skipped
+        xml = client.invoke("Playlist", "ReadList",
+                            idList=f"{i2} 999 bogus")["value"]
+        assert xml.startswith("<TrackList>")
+        assert "http://a/2&amp;x.flac" in xml and "999" not in xml
+        with pytest.raises(OdpError) as e:
+            client.invoke("Playlist", "Read", id=999)
+        assert e.value.code == 800
+        with pytest.raises(OdpError) as e:
+            client.invoke("Playlist", "Insert", afterId=777, uri="u://x")
+        assert e.value.code == 800
+        with pytest.raises(OdpError) as e:
+            client.invoke("Playlist", "SeekIndex", value=50)
+        assert e.value.code == 802
+        assert client.invoke("Playlist",
+                             "TransportState")["value"] == "Stopped"
+
+    def test_playlist_full_801(self, client_server):
+        mp, client = client_server
+        mp.source_playlist.db.max_tracks = 1
+        client.invoke("Playlist", "Insert", afterId=0, uri="u://1")
+        with pytest.raises(OdpError) as e:
+            client.invoke("Playlist", "Insert", afterId=0, uri="u://2")
+        assert e.value.code == 801
+
+
+class TestRadioDepth:
+    def test_full_table(self, client_server):
+        mp, client = client_server
+        assert client.invoke("Radio", "ChannelsMax")["value"] == 100
+        client.invoke("Radio", "SetPreset", index=0,
+                      uri="http://radio/one", metadata="<r1/>")
+        client.invoke("Radio", "SetPreset", index=2,
+                      uri="http://radio/three")
+        arr = client.invoke("Radio", "IdArray")
+        assert arr["array"][0] == 1 and arr["array"][2] == 3
+        assert client.invoke("Radio", "IdArrayChanged",
+                             token=arr["token"])["value"] is False
+        # select by preset id
+        client.invoke("Radio", "SetId", value=1)
+        assert client.invoke("Radio", "Id")["value"] == 1
+        assert client.invoke("Radio", "Read", id=1)["metadata"] == "<r1/>"
+        with pytest.raises(OdpError) as e:
+            client.invoke("Radio", "SetId", value=42)
+        assert e.value.code == 800
+        # directly-tuned channel clears the preset id
+        client.invoke("Radio", "SetChannel", uri="http://radio/direct")
+        ch = client.invoke("Radio", "Channel")
+        assert ch["uri"] == "http://radio/direct"
+        assert client.invoke("Radio", "Id")["value"] == 0
+        xml = client.invoke("Radio", "ReadList", idList="1 3 77")["value"]
+        assert "<Entry><Id>1</Id>" in xml and "77" not in xml
