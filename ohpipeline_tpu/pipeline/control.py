@@ -310,6 +310,12 @@ class Skipper(Element):
                         self._stream_handler = (e.stream_handler
                                                 or self._stream_handler)
                         self._stream_id = e.stream_id
+                    # a new stream cancels any pending removal — the
+                    # ramp/flush applied to the PREVIOUS stream only
+                    # (Skipper.cpp NewStream: iState -> eRunning); without
+                    # this a RemoveAll issued while idle wedged the next
+                    # played stream in the stale removal ramp
+                    self._ramp.cancel()
                     self._flushing = False
                 elif e.kind == "flush":
                     if e.id == self._flush_id:

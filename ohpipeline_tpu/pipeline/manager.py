@@ -272,6 +272,53 @@ class PipelineManager:
         self.begin("Default")
         self.play()
 
+    def play_as(self, mode: str, command: str = "") -> None:
+        """PipelineManager::PlayAs (PipelineManager.cpp:220-229): drop
+        everything queued, switch to `mode` and play.  A 'track={json}'
+        command pins the given track first (PlayAsCommandTrack,
+        Av/TransportControl.cpp:73-93); modes whose provider cannot pin
+        a single track play via the default single-track provider."""
+        self.remove_all()
+        if command.startswith("track="):
+            import json as _json
+            try:
+                t = _json.loads(command[len("track="):])
+                uri = t["uri"]
+            except (ValueError, KeyError, TypeError):
+                raise ValueError(f"bad PlayAs command {command!r}")
+            provider = self._providers.get(mode)
+            track = ev.Track(uri, t.get("metadata", ""),
+                             self._next_track_id)
+            self._next_track_id += 1
+            if provider is not None and hasattr(provider, "set_track"):
+                provider.set_track(track)
+            else:
+                self._default_provider.set_track(track)
+                mode = "Default"
+        self.begin(mode)
+        self.play()
+
+    def remove_all(self) -> None:
+        """PipelineManager::RemoveAllLocked (cpp:305-316): stop the
+        filler, invalidate queued streams, discard the current one."""
+        self.filler.stop()
+        self.pipeline.id_manager.invalidate_pending()
+        self.pipeline.skipper.remove_current_stream()
+
+    def stop_prefetch(self, mode: str, track_id: int = -1) -> None:
+        """PipelineManager::StopPrefetch: flush everything, then queue
+        `mode`'s track WITHOUT starting playback — the filler streams
+        and the reservoirs fill while the Stopper keeps the sink
+        silent until Play()."""
+        self.remove_all()
+        self.begin(mode, track_id)
+        self.filler.play()
+
+    def flush_quick(self, flush_id: int) -> None:
+        """PipelineManager::FlushQuick (cpp:244-249): discard the
+        current stream up to `flush_id` without the removal ramp."""
+        self.pipeline.skipper.try_remove_stream(flush_id)
+
     def pause(self) -> None:
         self.pipeline.stopper.pause()
 

@@ -283,3 +283,98 @@ class TestDsdEndToEnd:
         expect = rev[np.frombuffer(payload, np.uint8)]
         np.testing.assert_array_equal(data[0][:len(expect)], expect)
         assert dsd[0][1].sample_rate == 2_822_400
+
+
+class TestFacadeExtras:
+    """PlayAs / RemoveAll / StopPrefetch / FlushQuick facade methods
+    (PipelineManager.cpp:220-316, TransportControl.cpp:73-93)."""
+
+    def make_manager(self):
+        params = PipelineInitParams()
+        params.gorge_jiffies = 0
+        params.threaded_starvation_ramper = False
+        return PipelineManager(params)
+
+    def collect(self, mgr, min_samples=44100, timeout=10.0):
+        import threading
+        import time as _time
+        chunks, total, done = [], [0], threading.Event()
+
+        def sink(s, info):
+            chunks.append(s)
+            total[0] += s.shape[1]
+            if total[0] >= min_samples:
+                done.set()
+
+        an = AnimatorBatch(mgr.pipeline.predriver, sink, use_device=False)
+        t = threading.Thread(target=lambda: an.run(stop_on_halt=False),
+                             daemon=True)
+        t.start()
+        done.wait(timeout)
+        an.quit()
+        t.join(2.0)
+        return (np.concatenate(chunks, axis=1) if chunks
+                else np.zeros((2, 0), np.int32))
+
+    def test_play_as_with_track_command(self):
+        import json
+        mgr = self.make_manager()
+        try:
+            cmd = "track=" + json.dumps(
+                {"uri": "tone://sine.wav?pitch=1000&duration=1"})
+            mgr.play_as("Default", cmd)
+            pcm = self.collect(mgr)
+            assert pcm.shape[1] >= 44100
+        finally:
+            mgr.quit()
+
+    def test_play_as_bad_command_raises(self):
+        mgr = self.make_manager()
+        try:
+            with pytest.raises(ValueError):
+                mgr.play_as("Default", "track=notjson")
+        finally:
+            mgr.quit()
+
+    def test_stop_prefetch_buffers_without_audio(self):
+        import time as _time
+        mgr = self.make_manager()
+        try:
+            mgr.play_uri("tone://sine.wav?pitch=1000&duration=1")
+            mgr.stop()
+            track = ev.Track("tone://sine.wav?pitch=500&duration=1",
+                             "", 4242)
+            mgr._default_provider.set_track(track)
+            mgr.stop_prefetch("Default", 4242)
+            # the filler streams and the reservoirs fill...
+            deadline = _time.time() + 5
+            enc = mgr.pipeline.encoded
+            while _time.time() < deadline and \
+                    mgr.pipeline.decoded.occupancy == 0:
+                _time.sleep(0.05)
+            assert mgr.pipeline.decoded.occupancy > 0
+            # ...then Play releases the prefetched audio
+            mgr.play()
+            pcm = self.collect(mgr)
+            nz = pcm[0][pcm[0] != 0]
+            assert len(nz) > 10000
+        finally:
+            mgr.quit()
+
+    def test_remove_all_then_silence(self):
+        mgr = self.make_manager()
+        try:
+            mgr.play_uri("tone://sine.wav?pitch=1000&duration=10")
+            import time as _time
+            deadline = _time.time() + 5
+            while _time.time() < deadline and \
+                    mgr.pipeline.decoded.occupancy == 0:
+                _time.sleep(0.05)
+            mgr.remove_all()
+            # queued streams invalidated; a following play of a new uri
+            # still works (the pipeline was not wedged)
+            mgr.play_uri("tone://sine.wav?pitch=500&duration=1")
+            pcm = self.collect(mgr)
+            assert pcm.shape[1] >= 44100
+        finally:
+            mgr.quit()
