@@ -147,17 +147,11 @@ def make_transport_service(mp) -> OdpService:
                 break
         else:
             raise OdpError(801, "Action not supported by current mode")
-        if command.startswith("track="):
-            # PlayAsCommandTrack (TransportControl.cpp:73-93)
-            try:
-                track = json.loads(command[len("track="):])
-                uri = track["uri"]
-            except (ValueError, KeyError):
-                raise OdpError(801,
-                               "Action not supported by current mode")
-            pm.play_uri(uri, track.get("metadata", ""))
-        else:
-            pm.play()
+        try:
+            pm.play_as(mode, command)
+        except ValueError:
+            raise OdpError(801,
+                           "Action not supported by current mode") from None
         return {}
 
     def _seek_absolute(streamId, secondAbsolute):
