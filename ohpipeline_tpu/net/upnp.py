@@ -751,3 +751,80 @@ def msearch(st: str = "ssdp:all", timeout: float = 1.0,
     finally:
         s.close()
     return out
+
+
+# -- openhome service family over UPnP ---------------------------------------
+
+def _soap_value(v) -> str:
+    """Provider out-arg -> SOAP string (ohNet bool wire is 1/0)."""
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (list, dict)):
+        import json as _json
+        return _json.dumps(v)
+    return str(v)
+
+
+def _soap_arg(v: str):
+    """SOAP in-arg string -> the typed value the provider actions expect
+    (ohNet declares typed arguments; our SOAP layer is stringly)."""
+    low = v.strip().lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(v)
+    except ValueError:
+        return v
+
+
+def bridge_odp_service(odp_svc, version: int = 1) -> Service:
+    """Publish an OdpService as an av-openhome-org UPnP service: every
+    ODP action becomes a SOAP action and every evented property a GENA
+    state variable.  The reference publishes the same provider objects
+    through ohNet's DvProvider UPnP stack (MediaPlayer.cpp provider
+    registration); here one provider table serves both planes, with the
+    provider error codes carried into SOAP faults."""
+    from .odp import OdpError
+    svc = Service(
+        f"urn:av-openhome-org:service:{odp_svc.name}:{version}",
+        f"urn:av-openhome-org:serviceId:{odp_svc.name}",
+        f"oh{odp_svc.name}")
+    for name in list(odp_svc._actions):
+        def handler(args, _n=name):
+            try:
+                out = odp_svc.invoke(
+                    _n, {k: _soap_arg(v) for k, v in args.items()})
+            except OdpError as e:
+                raise UpnpError(e.code, e.description) from None
+            except (KeyError, IndexError, ValueError, TypeError) as e:
+                raise UpnpError(402, f"Invalid Args: {e}") from None
+            return {k: _soap_value(v) for k, v in (out or {}).items()}
+        svc.add_action(name, handler)
+    for k, v in odp_svc.properties().items():
+        svc.set_state(k, _soap_value(v), notify=False)
+    odp_svc._subscribe(
+        lambda _n, props: [svc.set_state(k, _soap_value(v))
+                           for k, v in props.items()])
+    return svc
+
+
+def make_openhome_device(mp, odp_device=None, friendly_name=None,
+                         port: int = 0, host: str = "127.0.0.1"):
+    """Publish the full openhome provider family over UPnP — the same
+    surface as the ODP device (Product/Volume/Info/Transport/Playlist/
+    Radio/Time/Credentials/OAuth/Config/Reaction/Debug/Pins, plus
+    Receiver/Sender when present) as av-openhome-org services with SOAP
+    control + GENA eventing.  Pass an existing OdpDevice to share one
+    provider table between both planes (avoids double observer
+    registration)."""
+    if odp_device is None:
+        from .providers import make_device
+        odp_device = make_device(mp)
+    dev = UpnpDevice(
+        friendly_name or f"{mp.product.room}:{mp.product.name}",
+        port=port, host=host)
+    for odp_svc in odp_device.services.values():
+        dev.add_service(bridge_odp_service(odp_svc))
+    return dev
