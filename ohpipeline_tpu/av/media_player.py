@@ -157,6 +157,17 @@ class MediaPlayer:
         self.upnp.start(ssdp=ssdp)
         return self.upnp
 
+    def start_openhome_upnp(self, odp_device=None, port: int = 0,
+                            host: str = "127.0.0.1", ssdp: bool = True):
+        """Publish the openhome provider family over UPnP (the same
+        provider table as the ODP device, bridged to av-openhome-org
+        SOAP services with GENA eventing).  Returns the UpnpDevice."""
+        from ..net.upnp import make_openhome_device
+        self.upnp_openhome = make_openhome_device(
+            self, odp_device=odp_device, port=port, host=host)
+        self.upnp_openhome.start(ssdp=ssdp)
+        return self.upnp_openhome
+
     def _on_gain(self, multiplier: float) -> None:
         att = self.pipeline.pipeline.attenuator
         att.active = True
