@@ -195,3 +195,81 @@ class AnimatorBasic(AnimatorBase):
                     time.sleep(delay)
                 else:
                     next_deadline = time.monotonic()
+
+
+class Silencer:
+    """Non-blocking upstream wrapper generating silence while the
+    pipeline is halted (Media/Utils/Silencer.cpp): a thread pulls the
+    (blocking) pipeline into a bounded queue; pull() hands out queued
+    events when available, otherwise — once a stream format is known —
+    a SilenceEvent of `silence_jiffies`.  Halt events are swallowed
+    (cpp:100-106: "the driver presumably can't do anything with them");
+    used by the Songcast driver so receivers keep their clock lock
+    across source silence."""
+
+    def __init__(self, upstream, silence_jiffies: int = 5 * Jiffies.kPerMs,
+                 max_events: int = 4):
+        import queue as _queue
+        self._up = upstream
+        self._q: "_queue.Queue[ev.Event]" = _queue.Queue(max_events)
+        self._silence = silence_jiffies
+        self._info = None
+        self.halted = True
+        self._quit = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="Silencer")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._quit:
+            e = self._up.pull()
+            self._q.put(e)
+            if e.kind == "quit":
+                break
+
+    def pull(self) -> ev.Event:
+        while True:
+            if self._info is None or not self._q.empty():
+                e = self._q.get()
+                if e.kind == "halt":
+                    self.halted = True
+                    e.report_halted()
+                    continue
+                if e.kind == "decoded_stream":
+                    self._info = e.info
+                elif isinstance(e, ev.AudioPcmEvent):
+                    self.halted = False
+                elif e.kind == "quit":
+                    self._quit = True
+                return e
+            return ev.SilenceEvent(self._silence, self._info)
+
+
+class AnimatorSongcastSender(AnimatorBasic):
+    """Headless driver rendering the pipeline INTO a Songcast sender
+    (Av/Utils/DriverSongcastSender.cpp): pulls 5 ms quanta through a
+    Silencer — receivers stay locked across halts because silence keeps
+    flowing — and sends every rendered quantum as OHM audio frames with
+    running sample positions."""
+
+    def __init__(self, pipeline, ohm_sender, quantum_ms: int = 5,
+                 use_device: bool = False, realtime: bool = True):
+        self.silencer = Silencer(pipeline)
+        self._ohm = ohm_sender
+        self._sample_pos = 0
+        super().__init__(self.silencer, self._send, quantum_ms=quantum_ms,
+                         use_device=use_device, realtime=realtime)
+
+    #: samples per OHM frame — the reference sends 5 ms packets
+    #: (Sender.h kSongcastPacketJiffies); also keeps each frame's payload
+    #: under the OHM header's 16-bit byte count
+    FRAME_SAMPLES = 1024
+
+    def _send(self, samples: np.ndarray, info) -> None:
+        halted = self.silencer.halted
+        for pos in range(0, samples.shape[1], self.FRAME_SAMPLES):
+            chunk = samples[:, pos:pos + self.FRAME_SAMPLES]
+            self._ohm.send_audio(chunk, info.sample_rate, info.bit_depth,
+                                 sample_start=self._sample_pos,
+                                 halt=halted)
+            self._sample_pos += chunk.shape[1]

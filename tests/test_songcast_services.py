@@ -288,3 +288,54 @@ class TestOdpSongcastServices:
         finally:
             client.close()
             server.close()
+
+
+class TestDriverSongcastSender:
+    """AnimatorSongcastSender (Av/Utils/DriverSongcastSender.cpp): the
+    pipeline renders into OHM frames, and the Silencer keeps silence
+    flowing after the source halts so receivers stay clock-locked."""
+
+    def test_pipeline_to_ohm_with_silence_fill(self):
+        import numpy as np
+        from ohpipeline_tpu.net.songcast import OhmSender
+        from ohpipeline_tpu.pipeline import PipelineManager
+        from ohpipeline_tpu.pipeline.animator import AnimatorSongcastSender
+        from ohpipeline_tpu.pipeline.manager import PipelineInitParams
+
+        p = PipelineInitParams()
+        p.gorge_jiffies = 0
+        p.threaded_starvation_ramper = False
+        mgr = PipelineManager(p)
+        sent = []
+
+        class FakeOhm(OhmSender):
+            def __init__(self):
+                pass   # no socket
+
+            def send_audio(self, samples, sample_rate, bit_depth,
+                           sample_start=0, samples_total=0, halt=False):
+                sent.append((samples.shape[1], sample_start,
+                             bool(np.any(samples)), halt))
+                return 0
+
+        an = AnimatorSongcastSender(mgr.pipeline.predriver, FakeOhm(),
+                                    realtime=False)
+        mgr.play_uri("tone://sine.wav?pitch=500&duration=1")
+        an.start()
+        deadline = time.time() + 15
+        # 1s of tone then the silencer keeps frames flowing post-halt
+        while time.time() < deadline:
+            audio = sum(n for n, _, nz, _ in sent if nz)
+            silence = sum(n for n, _, nz, _ in sent if not nz)
+            if audio >= 44100 and silence >= 4410:
+                break
+            time.sleep(0.05)
+        an.quit()
+        mgr.quit()
+        audio = sum(n for n, _, nz, _ in sent if nz)
+        silence = sum(n for n, _, nz, _ in sent if not nz)
+        assert audio >= 44100, (audio, silence)
+        assert silence >= 4410, (audio, silence)
+        # sample positions run monotonically
+        positions = [s for _, s, _, _ in sent]
+        assert positions == sorted(positions)
