@@ -83,7 +83,7 @@ class StandbyObserver:
 class Product:
     """Source registry & selection + product attributes (Product.h:91)."""
 
-    ATTRIBUTES = "Info Time Volume Sender"   # Product.h:123 attribute string
+    ATTRIBUTES = "Info Time Volume Sender"   # static fallback (Product.h:123)
 
     def __init__(self, config: ConfigManager, room: str = "Main Room",
                  name: str = "ohpipeline-tpu"):
@@ -94,6 +94,7 @@ class Product:
         self._observers: list[Callable[[], None]] = []
         self._standby_observers: list[StandbyObserver] = []
         self.standby = True
+        self._attributes = self.ATTRIBUTES
         #: bumped whenever the source XML changes (Product::
         #: SourceXmlChangeCount; clients re-fetch SourceXml when it moves)
         self.source_xml_change_count = 1
@@ -105,6 +106,20 @@ class Product:
     def source_xml_changed(self) -> None:
         self.source_xml_change_count += 1
         self._notify()
+
+    def add_attribute(self, name: str) -> None:
+        """Providers register their presence (Product::AddAttribute,
+        called per provider in MediaPlayer.cpp:222-253); the attribute
+        string tells control points which services exist."""
+        attrs = self._attributes.split()
+        if name not in attrs:
+            attrs.append(name)
+            self._attributes = " ".join(attrs)
+            self._notify()
+
+    @property
+    def attributes(self) -> str:
+        return self._attributes
 
     # -- registration ------------------------------------------------------
     def add_source(self, source: Source) -> None:

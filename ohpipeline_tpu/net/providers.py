@@ -54,7 +54,7 @@ def make_product_service(mp) -> OdpService:
         "value": _kvp("Product.ImageHiresUri")
         if resolution == "hires" and _kvp("Product.ImageHiresUri")
         else _kvp("Product.ImageUri")})
-    svc.add_action("Attributes", lambda: {"value": prod.ATTRIBUTES})
+    svc.add_action("Attributes", lambda: {"value": prod.attributes})
     svc.add_action("SourceCount", lambda: {"value": prod.source_count()})
     svc.add_action("SourceXml", lambda: {"value": prod.source_xml()})
     svc.add_action("SourceXmlChangeCount",
@@ -91,9 +91,9 @@ def make_product_service(mp) -> OdpService:
         svc.set_property("SourceCount", prod.source_count())
         svc.set_property("SourceXml", prod.source_xml())
         svc.set_property("StandbyTransitioning", False)
+        svc.set_property("Attributes", prod.attributes)
 
     prod.add_observer(update)
-    svc.set_property("Attributes", prod.ATTRIBUTES)
     svc.set_property("ProductRoom", prod.room)
     svc.set_property("ProductName", prod.name)
     update()
@@ -1287,10 +1287,16 @@ def make_device(mp, udn: str = "ohpipeline-tpu-1") -> OdpDevice:
                     make_playlist_service, make_radio_service,
                     make_config_service, make_reaction_service,
                     make_debug_service, make_pins_service):
-        dev.add_service(factory(mp))
+        svc = factory(mp)
+        dev.add_service(svc)
+        # each provider registers its presence on the product attribute
+        # string (Product::AddAttribute, MediaPlayer.cpp:222-253)
+        mp.product.add_attribute(svc.name)
     from ..av.receiver_sources import SourceReceiver
     if any(isinstance(s, SourceReceiver) for s in mp.product._sources):
         dev.add_service(make_receiver_service(mp))
+        mp.product.add_attribute("Receiver")
     if getattr(mp, "sender", None) is not None:
         dev.add_service(make_sender_service(mp))
+        mp.product.add_attribute("Sender")
     return dev

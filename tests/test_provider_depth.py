@@ -233,3 +233,15 @@ class TestRadioDepth:
         assert client.invoke("Radio", "Id")["value"] == 0
         xml = client.invoke("Radio", "ReadList", idList="1 3 77")["value"]
         assert "<Entry><Id>1</Id>" in xml and "77" not in xml
+
+
+class TestProductAttributes:
+    def test_providers_register_attributes(self, client_server):
+        """Each provider adds its name to the attribute string
+        (Product::AddAttribute, MediaPlayer.cpp:222-253)."""
+        mp, client = client_server
+        attrs = client.invoke("Product", "Attributes")["value"].split()
+        for name in ("Info", "Time", "Volume", "Credentials", "OAuth",
+                     "Transport", "Playlist", "Radio", "Config",
+                     "Reaction", "Debug", "Pins"):
+            assert name in attrs, (name, attrs)
