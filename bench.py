@@ -105,9 +105,17 @@ def cached_encodes(seed: int, seconds: float, rate: int):
     key = hashlib.sha1(
         f"v{CONTENT_VERSION}:{seed}:{seconds}:{rate}".encode()).hexdigest()
     path = os.path.join(CACHE_DIR, key + ".npz")
+    oracle_now = os.path.exists(
+        os.path.join(HERE, ".oracle_build", "aac_oracle"))
     if os.path.exists(path):
         z = np.load(path)
-        return z["flac"].tobytes(), z["aac"].tobytes()
+        fb, ab = z["flac"].tobytes(), z["aac"].tobytes()
+        if len(ab) or not oracle_now:
+            return fb, ab
+        # cached empty AAC blob but the oracle exists now: a prior run
+        # without the oracle poisoned this entry — treat as a miss and
+        # re-encode (round-3 verdict: the poisoned cache silently zeroed
+        # the whole AAC half of the recorded bench)
     from ohpipeline_tpu.codecs import flac
     track = make_track(seconds, rate, seed)
     fb = flac.encode_flac(track, rate, 16)
@@ -175,7 +183,18 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=32)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--secondary", action="store_true",
+                    help="run the per-codec secondary sweep "
+                         "(bench_secondary.py) instead of the headline")
     args = ap.parse_args()
+    # self-contained verification: build the conformance oracles if this
+    # is a fresh checkout (untimed setup; no-op when already built)
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from oracles import ensure_oracles
+    have_oracles = ensure_oracles()
+    if args.secondary:
+        import bench_secondary
+        return bench_secondary.main()
     if args.smoke:
         args.flac_streams, args.aac_streams = 2, 2
         args.seconds, args.chunks, args.passes = 4.0, 2, 1
@@ -240,7 +259,14 @@ def main() -> int:
            for i in range(ntracks)]
     flac_streams = [enc[i][0] for i in range(S_f)]
     aac_streams = [enc[i][1] for i in range(S_a)]
+    aac_error = None
     if any(len(a) == 0 for a in aac_streams):
+        # the AAC half is part of the headline metric: losing it must be
+        # loud, not a silently-smaller number (round-3 verdict item 1c)
+        aac_error = ("aac oracle unavailable: aac half NOT measured"
+                     if not have_oracles else
+                     "aac encodes empty despite oracle present")
+        print(f"# BENCH ERROR: {aac_error}", file=sys.stderr)
         aac_streams, S_a = [], 0
     metas = [FF.parse_metadata(b) for b in flac_streams]
     stride = max(m.streaminfo.max_blocksize for m in metas)
@@ -770,13 +796,16 @@ def main() -> int:
         fa = counts["flac_samples"] / nch / rate
         aa = counts["aac"] * 1024 / rate
         v = (fa + aa) / min(walls)
-        best_line["s"] = json.dumps(
-            {"metric": "flac_aac_decode_realtime_x", "value": round(v, 1),
-             "unit": "x_realtime", "vs_baseline": round(v / 500.0, 3),
-             "flac_audio_s": round(fa, 1), "aac_audio_s": round(aa, 1),
-             "wall_s": round(min(walls), 2),
-             "tunnel_mbps": round(tunnel_mbps, 1),
-             "passes_completed": len(walls)})
+        best = {"metric": "flac_aac_decode_realtime_x",
+                "value": round(v, 1),
+                "unit": "x_realtime", "vs_baseline": round(v / 500.0, 3),
+                "flac_audio_s": round(fa, 1), "aac_audio_s": round(aa, 1),
+                "wall_s": round(min(walls), 2),
+                "tunnel_mbps": round(tunnel_mbps, 1),
+                "passes_completed": len(walls)}
+        if aac_error:
+            best["error"] = aac_error
+        best_line["s"] = json.dumps(best)
         if time.monotonic() > deadline - 60:
             break                       # enough passes; report what we have
     wall = min(walls)
@@ -844,13 +873,15 @@ def main() -> int:
             "aac_audio_s": round(aac_audio, 1),
             "wall_s": round(wall, 2),
             "tunnel_mbps": round(tunnel_mbps, 1)}
+    if aac_error:
+        line["error"] = aac_error
     if args.smoke:
         line["bit_exact_flac"] = ok
         line["peak"] = peak
         if S_a:
             line.update(line_extra)
     print(json.dumps(line))
-    return 0 if ok else 1
+    return 0 if ok and not aac_error else 1
 
 
 if __name__ == "__main__":

@@ -82,6 +82,15 @@ def bench_one(name: str, data: bytes, decode, audio_s: float,
 
 
 def main() -> int:
+    # self-contained: build missing conformance oracles on first run
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from oracles import ensure_oracles
+    if not ensure_oracles():
+        print(json.dumps({"metric": "secondary_codecs_realtime_x",
+                          "codecs": {}, "floor": 0.0,
+                          "all_above_realtime": False,
+                          "error": "oracles unavailable"}))
+        return 1
     results: dict[str, float] = {}
     secs = SECONDS
 
