@@ -931,7 +931,15 @@ BW_TABLE = [0.0, 0.6, 0.9, 0.98]
 #: global envelope-reference calibration: ratio between the encoder's
 #: envelope energy reference and this decoder's analysis-kernel scale,
 #: measured once against libSBRdec output (tests/test_sbr.py)
-ENERGY_CAL = 32768.0
+# envelope dequant reference level: E = 2^(sf/a) * 64 * ENERGY_CAL maps
+# the bitstream scalefactors to this implementation's QMF |X|^2 units
+# (64 * 262144 = 2^24).  Measured against fdk's HQ decoder in its own
+# QMF analysis domain: the gained-signal part of every HF band tracks
+# libSBRdec only at this level (at 32768 every SBR band came out 9 dB
+# low, historically masked by an 8x-too-loud noise table — both halves
+# of that wrong pair reproduced the band-energy sums but neither
+# per-sample waveforms nor noise/sine amplitudes)
+ENERGY_CAL = 262144.0
 
 
 #: ratio of the previous envelope's gains/noise for the first 4 slots
@@ -943,7 +951,13 @@ _SMOOTH_FILTER = (0.66666666666666, 0.36516383427084,
 class SbrChannelState:
     def __init__(self):
         self.ana_hist = np.zeros(320, np.float64)
+        # buffer slots [32, 38) of the previous frame, HF-generated and
+        # envelope-adjusted up to that frame's last border (sbr_dec.cpp
+        # overlap update: QmfBuffer[i] = QmfBuffer[i+noCols])
         self.x_hist = np.zeros((6, 64), np.complex128)
+        # transposer LPC prehistory: previous buffer slots [30, 32)
+        # (sbr_dec.cpp:537 lpcFilterStates = QmfBuffer[noCols-2+i])
+        self.lpp_pre = np.zeros((2, 64), np.complex128)
         self.syn_state = None
         self.prev_env = None
         self.prev_res = 1
@@ -963,8 +977,14 @@ class SbrDecoder:
     dense kernel matmuls (see module docstring)."""
 
     #: envelope timing offset in QMF slots within the buffered frame
-    #: (tuned against libSBRdec output)
+    #: (the 6-slot SBR overlap; kept for the device-path cond builder)
     ENV_LAG = 6
+    #: amplitude calibration for values injected directly into the QMF
+    #: domain (noise, synthetic sines).  1.0: with ENERGY_CAL fixed the
+    #: levels sqrt(E*...) are already in |X| units — fdk's decoded noise
+    #: measures 1.00x of sqrt(E*q/(1+q)) and a flagged harmonic lands
+    #: at 0.0 dB of the oracle's band energy (see noise_tab comment)
+    INJECT_CAL = 1.0
 
     def __init__(self, core_rate: int):
         self.core_rate = core_rate
@@ -978,8 +998,15 @@ class SbrDecoder:
         # time response of +1 in band k = S[k,0]; of +1j = S[k,1]
         self.syn_re = S[:, 0]
         self.syn_im = S[:, 1]
+        # fdk's V noise table (env_calc.cpp FDK_sbrDecoder_sbr_randomPhase,
+        # unit magnitude).  Calibration history: least-squares of fdk's
+        # decoded noise against ours in fdk's own QMF analysis domain on
+        # low-signal cells measured fdk at 0.346 of the old 8.0-scaled
+        # table = 2.83x the uncalibrated level = exactly sqrt(8) — the
+        # same factor the gained-signal bands were missing in energy —
+        # which located the real bug in ENERGY_CAL (8x low), not here
         self.noise_tab = (T["random_phase"][:, 0]
-                          + 1j * T["random_phase"][:, 1]) * 8.0
+                          + 1j * T["random_phase"][:, 1]) * self.INJECT_CAL
 
     def set_header(self, h: SbrHeader) -> None:
         self.header = h
@@ -1156,6 +1183,18 @@ class SbrDecoder:
                                                       E, Q))
 
     def _reconstruct(self, ch, pcm, data, E, Q):
+        """fdk's delayed-output frame scheme (sbr_dec.cpp:338-520): the
+        38-slot buffer is [6 carried slots | 32 new analysis slots];
+        transposer and envelope adjuster both run over buffer slots
+        [2*borders[0], 2*borders[nEnv]) (lpp_tran.cpp:266-267,
+        env_calc.cpp:621-622); the frame outputs buffer slots [0, 32)
+        and carries the (already HF-patched and adjusted) tail [32, 38)
+        into the next frame.  Envelopes with borders past 16 therefore
+        land in next frame's output — never truncated — and consecutive
+        frames tile the slot timeline exactly, which keeps the noise /
+        sine phase counters in lock-step with libSBRdec (the per-sample
+        conformance bound depends on it: noise filling only matches the
+        oracle sample-exactly when the V-table index walk is identical)."""
         ft, hdr = self.ft, self.header
         st = self.state[ch]
         Xlow32 = self.analyze(ch, pcm)             # (32, 32)
@@ -1163,10 +1202,12 @@ class SbrDecoder:
         X = np.zeros((nsl, 64), np.complex128)
         X[:, :32] = Xlow32
         Xbuf = np.concatenate([st.x_hist, X], axis=0)   # (6 + nsl, 64)
-        new_hist = Xbuf[-6:].copy()
+        nbuf = Xbuf.shape[0]
 
         g = data.grid
         kx, M = ft.kx, ft.M
+        start = max(0, min(2 * g.t_env[0], nbuf))
+        stop = max(start, min(2 * g.t_env[-1], nbuf))
         # chirp factors (one per noise band, smoothed across frames)
         bw = np.empty(ft.n_q)
         for i in range(ft.n_q):
@@ -1179,8 +1220,10 @@ class SbrDecoder:
             bw[i] = min(v, 0.99609375)
             st.bw[i] = bw[i]
 
-        # HF generation: per low band, 2nd-order LPC over the buffered
-        # slots, then patch with chirped inverse filtering
+        # HF generation: per low band, 2nd-order LPC over the contiguous
+        # low-band sequence (2-slot prehistory + 38 buffer slots, the
+        # autoCorrLength = nCols + overlap window of lpp_tran.cpp:274),
+        # then patch slots [start, stop) with chirped inverse filtering
         alphas = {}
         for (t0, s0, width) in ft.patches:
             for j in range(width):
@@ -1189,8 +1232,8 @@ class SbrDecoder:
                 if not (kx <= k < kx + M) or p < 0 or p >= kx:
                     continue
                 if p not in alphas:
-                    x = Xbuf[:, p]
-                    x0, x1, x2 = x[2:], x[1:-1], x[:-2]
+                    z = np.concatenate([st.lpp_pre[:, p], Xbuf[:, p]])
+                    x0, x1, x2 = z[2:], z[1:-1], z[:-2]
                     phi01 = np.vdot(x1, x0)
                     phi02 = np.vdot(x2, x0)
                     phi11 = np.vdot(x1, x1).real
@@ -1208,21 +1251,20 @@ class SbrDecoder:
                 qi = min(max(int(np.searchsorted(
                     ft.f_noise, k, side="right") - 1), 0), ft.n_q - 1)
                 bwk = bw[qi]
-                xs = Xbuf[:, p]
-                hf = np.zeros_like(xs)
-                hf[2:] = (xs[2:] + bwk * a0 * xs[1:-1]
-                          + bwk * bwk * a1 * xs[:-2])
-                Xbuf[:, k] = hf
+                z = np.concatenate([st.lpp_pre[:, p], Xbuf[:, p]])
+                sl = np.arange(start, stop)
+                Xbuf[sl, k] = (z[sl + 2] + bwk * a0 * z[sl + 1]
+                               + bwk * bwk * a1 * z[sl])
 
         Xadj = self._adjust(st, Xbuf, data, E, Q)
-        st.x_hist = new_hist
-        return Xadj[6:6 + nsl]
+        st.lpp_pre = Xadj[nsl - 2:nsl].copy()       # buffer slots 30, 31
+        st.x_hist = Xadj[nsl:nsl + 6].copy()        # adjusted tail 32..38
+        return Xadj[:nsl]
 
     def _adjust(self, st, Xbuf, data, E, Q):
         ft, hdr = self.ft, self.header
         g = data.grid
         kx, M = ft.kx, ft.M
-        lag = self.ENV_LAG
         # sine start envelope per mid bin (env_calc mapSineFlags): a sine
         # flagged last frame continues from envelope 0, a new one starts
         # at the transient envelope
@@ -1246,12 +1288,11 @@ class SbrDecoder:
         Xout = Xbuf
         bins = np.arange(M)
         for e in range(g.n_env):
-            t0 = g.t_env[e] * 2
-            t1 = g.t_env[e + 1] * 2
-            sl0 = lag + t0 - 2 * g.t_env[0]
-            sl1 = sl0 + (t1 - t0)
-            sl0 = max(0, min(sl0, Xbuf.shape[0]))
-            sl1 = max(sl0, min(sl1, Xbuf.shape[0]))
+            # buffer slot range = timeStep * borders (env_calc.cpp:621-
+            # 622): borders index the delayed-output timeline directly;
+            # borders past 16 adjust the carried tail (never truncated)
+            sl0 = max(0, min(g.t_env[e] * 2, Xbuf.shape[0]))
+            sl1 = max(sl0, min(g.t_env[e + 1] * 2, Xbuf.shape[0]))
             if sl1 <= sl0:
                 continue
             fr = g.freq_res[e]
@@ -1348,14 +1389,15 @@ class SbrDecoder:
                 if sine.any():
                     ph = st.sine_index & 3
                     parity = np.where(((bins + kx) & 1) > 0, -1.0, 1.0)
+                    sine_amp = sine_lvl * self.INJECT_CAL
                     if ph == 0:
-                        s = sine_lvl + 0j
+                        s = sine_amp + 0j
                     elif ph == 1:
-                        s = 1j * sine_lvl * parity
+                        s = 1j * sine_amp * parity
                     elif ph == 2:
-                        s = -sine_lvl + 0j
+                        s = -sine_amp + 0j
                     else:
-                        s = -1j * sine_lvl * parity
+                        s = -1j * sine_amp * parity
                     row = row + s
                 Xout[sl, kx:kx + M] = row
                 st.sine_index = (st.sine_index + 1) & 3

@@ -40,17 +40,6 @@ def _jnp():
     return jnp
 
 
-class SbrDeviceState:
-    """Device-side carried state for one channel."""
-
-    def __init__(self, M: int):
-        self.ana_hist = np.zeros(320, np.float32)
-        self.x_hist = np.zeros((6, 32), np.complex64)   # low bands only
-        self.syn_state = np.zeros(768 - 64, np.float32)
-        self.filt_gain = np.zeros(M, np.float32)
-        self.filt_noise = np.zeros(M, np.float32)
-
-
 class SbrStatic:
     """Per-header static conditioning (patch maps, limiter one-hots)."""
 
@@ -92,6 +81,7 @@ class SbrStatic:
         # the per-slot noise/sine value planes from the counter seeds
         self.noise_tab_re = dec.noise_tab.real.astype(np.float32)
         self.noise_tab_im = dec.noise_tab.imag.astype(np.float32)
+        self.inject_cal = np.float32(dec.INJECT_CAL)
         self.parity = np.where((np.arange(M) + kx) & 1, -1.0, 1.0) \
             .astype(np.float32)
         # padded band->bin one-hot maps: the cond wire ships per-BAND
@@ -106,6 +96,23 @@ class SbrStatic:
         self.map_high = np.zeros((self.nb_row, M), np.float32)
         self.map_high[:mapH.shape[0]] = mapH
         self.map_noise = mapN.astype(np.float32)       # (n_q, M)
+
+
+def device_init_state(M: int) -> dict:
+    """Fresh per-channel device-side SBR state (fdk delayed-output
+    scheme): analysis window history, low-band timeline history + the
+    transposer's 2-slot LPC prehistory, the adjusted 6-slot tail that
+    rides into the next group's output, synthesis tail, and the gain/
+    noise smoothing buffer."""
+    return {"ana_hist": np.zeros(320, np.float32),
+            "x_hist_re": np.zeros((6, 32), np.float32),
+            "x_hist_im": np.zeros((6, 32), np.float32),
+            "pre_re": np.zeros((2, 32), np.float32),
+            "pre_im": np.zeros((2, 32), np.float32),
+            "tail_r": np.zeros((6, M), np.float32),
+            "tail_i": np.zeros((6, M), np.float32),
+            "syn_state": np.zeros(704, np.float32),
+            "filt": np.zeros((2, M), np.float32)}
 
 
 class SbrFrameCond:
@@ -137,6 +144,12 @@ class SbrFrameCond:
         self.noise_idx0 = z(1, np.int32)               # V-table seed
         self.sine_ph0 = z(1, np.int32)                 # phase seed
         self.bwk = z((F, 64), np.float32)              # chirp per band
+        # fdk frame tiling (sbr_dec.cpp delayed-output scheme): slots
+        # below 2*borders[0] belong to the previous frame's envelopes —
+        # their adjusted values ride the scan carry; slots in
+        # [2*borders[0], 2*borders[nEnv]) are patched+adjusted by THIS
+        # frame
+        self.carry_mask = z((F, NSL), np.float32)      # 1 = use carry
 
 
 def _band_bin_maps(ft) -> tuple:
@@ -185,7 +198,6 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
         cond = SbrFrameCond(F, static)
     cond.noise_idx0[0] = st.noise_index
     cond.sine_ph0[0] = st.sine_index
-    lag = dec.ENV_LAG
     map_low, map_high, map_noise = static._band_maps
     bw_tab = np.asarray(SBR.BW_TABLE)
     smooth = np.asarray(SBR._SMOOTH_FILTER)
@@ -215,14 +227,14 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
         prev_tran = st.prev_tran_env
         st.prev_harm_bins = cur_bins
         st.prev_tran_env = 0 if g.tran_env == g.n_env else -1
+        cond.carry_mask[f, :max(0, min(g.t_env[0] * 2, NSL))] = 1.0
         last_processed = -1
         for e in range(min(g.n_env, MAXE)):
-            t0 = g.t_env[e] * 2
-            t1 = g.t_env[e + 1] * 2
-            sl0 = lag + t0 - 2 * g.t_env[0]
-            sl1 = sl0 + (t1 - t0)
-            sl0 = max(0, min(sl0, NSL))
-            sl1 = max(sl0, min(sl1, NSL))
+            # fdk buffer slot range = timeStep * borders (env_calc.cpp:
+            # 621-622, delayed-output timeline; never truncated — slots
+            # past 32 ride the scan carry into the next frame's output)
+            sl0 = max(0, min(g.t_env[e] * 2, NSL))
+            sl1 = max(sl0, min(g.t_env[e + 1] * 2, NSL))
             if sl1 <= sl0:
                 continue
             fr = g.freq_res[e]
@@ -296,17 +308,31 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     Xim = jnp.dot(win, Kim, precision=jax.lax.Precision.HIGHEST)
     new_ana_hist = x[-320:]
 
-    # ---- per-frame 38-slot buffers (6-slot history prepended) --------
+    # ---- per-frame 38-slot buffers on the fdk delayed-output timeline
+    # (sbr_dec.cpp): timeline = [6 carried slots | NS fresh slots]; the
+    # window of frame f is timeline[f*32 : f*32+38], and the frame
+    # patches + adjusts window slots [2*borders[0], 2*borders[nEnv])
+    # exactly — consecutive frames tile the timeline.  The transposer's
+    # LPC additionally sees a 2-slot prehistory (lpp_tran.cpp
+    # lpcFilterStates), carried in state["pre_re"/"pre_im"].
     Xre_ext = jnp.concatenate([state["x_hist_re"], Xre])
     Xim_ext = jnp.concatenate([state["x_hist_im"], Xim])
+    Pre_ext = jnp.concatenate([state["pre_re"], Xre_ext])  # (NS+8, 32)
+    Pim_ext = jnp.concatenate([state["pre_im"], Xim_ext])
     idx = (jnp.arange(F)[:, None] * 32
            + jnp.arange(NSL)[None, :])                  # (F, 38)
+    idx40 = (jnp.arange(F)[:, None] * 32
+             + jnp.arange(NSL + 2)[None, :])            # (F, 40)
     Bre = Xre_ext[idx]                                  # (F, 38, 32)
     Bim = Xim_ext[idx]
+    B40r = Pre_ext[idx40]                               # (F, 40, 32)
+    B40i = Pim_ext[idx40]
     new_x_hist = (Xre_ext[-6:], Xim_ext[-6:])
+    new_pre = (Xre_ext[-8:-6], Xim_ext[-8:-6])          # slots 30, 31
 
     # ---- HF generator ------------------------------------------------
-    # covariance over the buffered slots per low band (einsums)
+    # covariance over prehistory + buffered slots per low band
+    # (autoCorrLength window of lpp_tran.cpp:274, einsums)
     def phi(a_re, a_im, b_re, b_im):
         # sum over slots of a * conj(b): (F, 32) complex as two planes
         re = jnp.einsum("fsk,fsk->fk", a_re, b_re) \
@@ -315,9 +341,9 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
             - jnp.einsum("fsk,fsk->fk", a_re, b_im)
         return re, im
 
-    x0r, x0i = Bre[:, 2:], Bim[:, 2:]
-    x1r, x1i = Bre[:, 1:-1], Bim[:, 1:-1]
-    x2r, x2i = Bre[:, :-2], Bim[:, :-2]
+    x0r, x0i = B40r[:, 2:], B40i[:, 2:]
+    x1r, x1i = B40r[:, 1:-1], B40i[:, 1:-1]
+    x2r, x2i = B40r[:, :-2], B40i[:, :-2]
     # np.vdot(a, b) = sum(conj(a) * b) = phi(b, a) in this convention
     p01r, p01i = phi(x0r, x0i, x1r, x1i)     # vdot(x1, x0)
     p02r, p02i = phi(x0r, x0i, x2r, x2i)     # vdot(x2, x0)
@@ -354,20 +380,15 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     sa0i = jnp.take(a0i, src, axis=1) * bwk
     sa1r = jnp.take(a1r, src, axis=1) * bwk * bwk
     sa1i = jnp.take(a1i, src, axis=1) * bwk * bwk
-    xsr = jnp.take(Bre, src, axis=2)                    # (F, 38, 64)
-    xsi = jnp.take(Bim, src, axis=2)
-    z = jnp.zeros_like(xsr[:, :2])
-    x1sr = jnp.concatenate([z, xsr[:, 1:-1]], axis=1)   # slot-1 at >=2
-    x1si = jnp.concatenate([z, xsi[:, 1:-1]], axis=1)
-    x2sr = jnp.concatenate([z, xsr[:, :-2]], axis=1)
-    x2si = jnp.concatenate([z, xsi[:, :-2]], axis=1)
-    hfr = xsr + (sa0r[:, None, :] * x1sr - sa0i[:, None, :] * x1si) \
+    xsr = jnp.take(B40r, src, axis=2)                   # (F, 40, 64)
+    xsi = jnp.take(B40i, src, axis=2)
+    x0sr, x0si = xsr[:, 2:], xsi[:, 2:]                 # slot i
+    x1sr, x1si = xsr[:, 1:-1], xsi[:, 1:-1]             # slot i-1
+    x2sr, x2si = xsr[:, :-2], xsi[:, :-2]               # slot i-2
+    hfr = x0sr + (sa0r[:, None, :] * x1sr - sa0i[:, None, :] * x1si) \
         + (sa1r[:, None, :] * x2sr - sa1i[:, None, :] * x2si)
-    hfi = xsi + (sa0r[:, None, :] * x1si + sa0i[:, None, :] * x1sr) \
+    hfi = x0si + (sa0r[:, None, :] * x1si + sa0i[:, None, :] * x1sr) \
         + (sa1r[:, None, :] * x2si + sa1i[:, None, :] * x2sr)
-    slot_ge2 = (jnp.arange(NSL) >= 2).astype(jnp.float32)[None, :, None]
-    hfr = hfr * slot_ge2
-    hfi = hfi * slot_ge2
     # assemble 64-band buffer: low bands raw, patched bands hf
     low_pad = jnp.concatenate(
         [Bre, jnp.zeros((F, NSL, 32), Bre.dtype)], axis=2)
@@ -451,10 +472,22 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     sine_lvl = sine_lvl * boost
 
     # ---- per-slot smoothing + injection (scan over frames) ----------
+    # the scan carries (filt smoothing state, the adjusted 6-slot tail):
+    # window slots below 2*borders[0] belong to the PREVIOUS frame's
+    # envelopes — their final values ride the tail carry (fdk overlap
+    # update, sbr_dec.cpp:745-755); everything from 2*borders[0] on is
+    # this frame's own patch + adjustment
     def frame_step(carry, inp):
-        filt = carry                                    # (2, M)
+        filt, tail_r, tail_i = carry                    # (2,M),(6,M)x2
         (Gf, Nf, Sf, Sbins, Af, Apf, rf, actf, lastf,
-         nre, nim, sre, sim, er, ei) = inp
+         nre, nim, sre, sim, er, ei, cmask) = inp
+        head_r = jnp.concatenate(
+            [tail_r, jnp.zeros((NSL - 6, tail_r.shape[1]), tail_r.dtype)])
+        head_i = jnp.concatenate(
+            [tail_i, jnp.zeros((NSL - 6, tail_i.shape[1]), tail_i.dtype)])
+        cm = cmask[:, None]
+        er = jnp.where(cm > 0, head_r, er)
+        ei = jnp.where(cm > 0, head_i, ei)
         Gext = jnp.concatenate([Gf, filt[0][None]])     # (MAXE+1, M)
         Next = jnp.concatenate([Nf, filt[1][None]])
         Gcur = Af @ Gf                                  # (38, M)
@@ -477,7 +510,8 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
         has_env = lastf.sum() > 0
         filt = jnp.where(has_env,
                          jnp.stack([new_gain, new_noise]), filt)
-        return filt, (out_r, out_i)
+        return (filt, out_r[32:], out_i[32:]), \
+            (out_r[:32], out_i[:32])
 
     # ---- regenerate noise/sine value planes from the counter seeds --
     # (host advances st.noise_index by M and st.sine_index by 1 per
@@ -501,27 +535,38 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
                       jnp.where(ph == 3, -1.0, 0.0)).reshape(F, NSL)
     sine_slot = jnp.einsum("fse,fem->fsm", A, sine_bins)
     par = jnp.asarray(static.parity)
-    sre = ph_re[..., None] * sine_slot
-    sim = ph_im[..., None] * par[None, None, :] * sine_slot
+    # sine planes carry the injection calibration (see
+    # SbrDecoder.INJECT_CAL; the noise ROM already carries it) — the
+    # boost bookkeeping above stays in uncalibrated energy units
+    sre = ph_re[..., None] * sine_slot * static.inject_cal
+    sim = ph_im[..., None] * par[None, None, :] * sine_slot \
+        * static.inject_cal
     inputs = (gain, noise_lvl, sine_lvl, sine_bins, A, Aprev,
               cond["r"], active, cond["last_env"],
-              nre, nim, sre, sim, Er, Ei)
+              nre, nim, sre, sim, Er, Ei, cond["carry_mask"])
     import jax as _jax
-    filt, (Or, Oi) = _jax.lax.scan(frame_step, state["filt"], inputs)
+    (filt, tail_r, tail_i), (Or, Oi) = _jax.lax.scan(
+        frame_step, (state["filt"], state["tail_r"], state["tail_i"]),
+        inputs)
 
-    # ---- synthesis QMF over the 32 fresh slots of every frame -------
-    Zr = jnp.concatenate(
-        [Yre[:, 6:, :kx], Or[:, 6:], Yre[:, 6:, kx + M:]], axis=2)
-    Zi = jnp.concatenate(
-        [Yim[:, 6:, :kx], Oi[:, 6:], Yim[:, 6:, kx + M:]], axis=2)
-    Zr = Zr.reshape(NS, 64)
-    Zi = Zi.reshape(NS, 64)
+    # ---- synthesis QMF over the frame-output slots [0, 32) ----------
+    # (the fdk delayed-output timeline: timeline slots [0, NS) are this
+    # group's output; the adjusted tail [NS, NS+6) carries forward)
+    out_lo_r = Xre_ext[:NS]                             # (NS, 32)
+    out_lo_i = Xim_ext[:NS]
+    Omr = Or.reshape(NS, M)
+    Omi = Oi.reshape(NS, M)
+    hi_z = jnp.zeros((NS, 64 - kx - M))
+    Zr = jnp.concatenate([out_lo_r[:, :kx], Omr, hi_z], axis=1)
+    Zi = jnp.concatenate([out_lo_i[:, :kx], Omi, hi_z], axis=1)
     if ps_extras is not None:
         # hand the adjusted QMF matrix to the PS stage; the PS caller
         # owns the (per-output-channel) synthesis states
         new_state = {"ana_hist": new_ana_hist,
                      "x_hist_re": new_x_hist[0],
                      "x_hist_im": new_x_hist[1],
+                     "pre_re": new_pre[0], "pre_im": new_pre[1],
+                     "tail_r": tail_r, "tail_i": tail_i,
                      "syn_state": state["syn_state"],
                      "filt": filt}
         return (Zr, Zi), new_state
@@ -529,6 +574,8 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     new_state = {"ana_hist": new_ana_hist,
                  "x_hist_re": new_x_hist[0],
                  "x_hist_im": new_x_hist[1],
+                 "pre_re": new_pre[0], "pre_im": new_pre[1],
+                 "tail_r": tail_r, "tail_i": tail_i,
                  "syn_state": new_syn,
                  "filt": filt}
     return out, new_state
@@ -795,11 +842,7 @@ class SbrDeviceRunner:
 
     def _init_state(self):
         M = self.static.M
-        return {"ana_hist": np.zeros(320, np.float32),
-                "x_hist_re": np.zeros((6, 32), np.float32),
-                "x_hist_im": np.zeros((6, 32), np.float32),
-                "syn_state": np.zeros(704, np.float32),
-                "filt": np.zeros((2, M), np.float32)}
+        return device_init_state(M)
 
     def decode_group(self, ch: int, pcm_frames: np.ndarray,
                      datas: list, Es: list, Qs: list) -> np.ndarray:
@@ -1285,11 +1328,7 @@ class SbrPsDeviceRunner:
         self.ps_static = PsStatic()
         M = self.static.M
         self.state_host = SBR.SbrChannelState()
-        self.state_dev = {"ana_hist": np.zeros(320, np.float32),
-                          "x_hist_re": np.zeros((6, 32), np.float32),
-                          "x_hist_im": np.zeros((6, 32), np.float32),
-                          "syn_state": np.zeros(704, np.float32),
-                          "filt": np.zeros((2, M), np.float32)}
+        self.state_dev = device_init_state(M)
         self.ps_state = ps_init_state()
         self.syn_state_r = np.zeros(704, np.float32)
         self.pdec_host = SBR.PsDecoder()

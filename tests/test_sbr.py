@@ -125,9 +125,13 @@ def _band_profiles(a, b, nfft=2048, hop=1024):
     return out_a, out_b, edges
 
 
-@pytest.mark.parametrize("kind,hf_rms_limit", [("noise", 3.0),
-                                               ("mix", 3.0)])
+@pytest.mark.parametrize("kind,hf_rms_limit", [("noise", 1.0),
+                                               ("mix", 0.8)])
 def test_he_aac_conformance(kind, hf_rms_limit):
+    """Band-energy bounds vs the HQ libSBRdec oracle.  Measured state
+    after the fdk-timing/dequant-calibration work: hf rms 0.34 dB on
+    noise content, 0.25 dB on mix (was 1.5-6.9 dB before the
+    ENERGY_CAL x8 fix) — bounds carry ~2-3x headroom over that."""
     data, ref = _encode_he(_content(kind))
     got, info = _decode_he(data)
     a, b = _aligned(ref, got)
@@ -146,9 +150,18 @@ def test_he_aac_conformance(kind, hf_rms_limit):
     Pa, Pb, edges = _band_profiles(a, b)
     r = (10 * np.log10((Pb + 1e-3) / (Pa + 1e-3)))[2:-2]
     hf = r[..., edges[:-1] > 6000]
-    assert abs(hf.mean()) <= 3.0, f"HF energy bias {hf.mean():.2f} dB"
+    assert abs(hf.mean()) <= 0.8, f"HF energy bias {hf.mean():.2f} dB"
     rms = float(np.sqrt((hf ** 2).mean()))
     assert rms <= hf_rms_limit, f"HF energy rms {rms:.2f} dB"
+    # full-band per-sample SNR: noise filling follows fdk's V-table
+    # walk in lock-step and the frame timing is fdk's delayed-output
+    # scheme, so even noise-dominated content tracks per sample
+    # (measured 21.4 dB noise / 41.1 dB mix; residual = the float-vs-
+    # fixed-point LPC difference in the transposer on noise-like input)
+    err = a - b
+    snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
+    assert snr >= (15.0 if kind == "noise" else 33.0), \
+        f"per-sample SNR {snr:.1f} dB"
 
 
 def test_sbr_payloads_parse():
@@ -203,8 +216,15 @@ def test_he_aac_tonal_hf():
     Pa, Pb, edges = _band_profiles(a, b)
     r = (10 * np.log10((Pb + 1e-3) / (Pa + 1e-3)))[2:-2]
     hf = r[..., edges[:-1] > 6000]
-    assert abs(hf.mean()) <= 4.0
-    assert float(np.sqrt((hf ** 2).mean())) <= 9.0
+    # measured +1.4 mean / 2.6 rms with the calibrated sine injection
+    # (a flagged harmonic lands at 0.0 dB of the oracle's band energy;
+    # it was -9 dB before INJECT_CAL/ENERGY_CAL)
+    assert abs(hf.mean()) <= 2.5
+    assert float(np.sqrt((hf ** 2).mean())) <= 4.0
+    a2, b2 = _aligned(ref, got)
+    err = a2 - b2
+    snr = 10 * np.log10((a2 * a2).sum() / max((err * err).sum(), 1e-9))
+    assert snr >= 35.0, f"per-sample SNR {snr:.1f} dB"
 
 
 @pytest.mark.parametrize("explicit", [False, True])
@@ -534,16 +554,18 @@ def test_he_aac_v2_in_mp4():
 
 
 def test_he_aac_per_sample_snr_tonal():
-    """Per-sample SNR vs libSBRdec on tonal content (VERDICT r2 #6:
-    stricter than the band-energy RMS bound — phase and transient
-    placement must track, not just envelopes).  Noise-heavy content is
-    excluded by design: SBR noise filling is generated from each
-    decoder's own random-phase table (ISO 14496-3 leaves it free), so
-    per-sample comparison of the noise floor is meaningless; the
-    band-energy bounds in test_he_aac_conformance cover it."""
+    """Per-sample SNR vs libSBRdec (VERDICT r2 #6 / r3 #5).  The decoder
+    now tracks fdk per sample, not just per band-energy: the HQ
+    (complex-QMF) oracle is apples-to-apples (fdk silently used the
+    low-power chain for stereo until tools/aac_oracle.c forces HQ), the
+    frame scheme is fdk's delayed-output timing so the noise/sine phase
+    counters walk fdk's V table in lock-step, and the envelope dequant
+    level is calibrated to fdk's own QMF domain (ENERGY_CAL).  Measured:
+    41.1 dB on this content (was 17.5 when the bound was 14), 71.5 dB
+    pure tones, 21.4 dB pure noise."""
     data, ref = _encode_he(_content("mix"))
     got, _info = _decode_he(data)
     a, b = _aligned(ref, got)
     err = a - b
     snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
-    assert snr >= 14.0, f"per-sample SNR {snr:.1f} dB"
+    assert snr >= 35.0, f"per-sample SNR {snr:.1f} dB"

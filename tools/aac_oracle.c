@@ -109,6 +109,12 @@ static int do_decode(const char *in, const char *out, int tt)
     /* bypass the time-domain limiter/concealment delay so output is the
      * plain spec filterbank result (sample-aligned with encoder delay) */
     aacDecoder_SetParam(dec, AAC_PCM_LIMITER_ENABLE, 0);
+    /* force the high-quality (complex-QMF) SBR chain for every channel
+     * configuration: fdk silently falls back to the low-power real-QMF
+     * chain for stereo (CAacDecoder_SyncQmfMode, aacdecoder.cpp:169-179)
+     * which is a different, lower-fidelity algorithm; the TPU build
+     * implements the HQ chain everywhere, so the oracle must too */
+    aacDecoder_SetParam(dec, AAC_QMF_LOWPOWER, 0);
     static INT_PCM pcm[8 * 2048];
     UCHAR *ptr = bs;
     UINT left = (UINT)nbytes;

@@ -90,6 +90,37 @@ static void run_syn(int bands) {
     }
 }
 
+/* Streaming analysis of a whole int16 mono PCM file (little-endian) on
+ * fdk's own slot framing: prints one line per slot with re/im of every
+ * band.  Lets host-side diagnostics compare two decoders' outputs in
+ * fdk's exact QMF domain (slot grid anchored at sample 0). */
+static void run_ana_stream(int bands, const char *path) {
+    FILE *f = fopen(path, "rb");
+    if (!f) exit(4);
+    QMF_FILTER_BANK bank;
+    memset(&bank, 0, sizeof(bank));
+    static FIXP_QAS states[1280];
+    memset(states, 0, sizeof(states));
+    if (qmfInitAnalysisFilterBank(&bank, states, 2, bands, bands,
+                                  bands, 0))
+        exit(3);
+    static FIXP_QMF workbuf[4096];
+    static INT_PCM pcm[64];
+    FIXP_QMF re[64], im[64];
+    int slot = 0;
+    for (;;) {
+        size_t n = fread(pcm, sizeof(INT_PCM), (size_t)bands, f);
+        if (n < (size_t)bands)
+            break;
+        qmfAnalysisFilteringSlot(&bank, re, im, pcm, 1, workbuf);
+        printf("%d", slot++);
+        for (int k = 0; k < bands; k++)
+            printf(" %d %d", (int)re[k], (int)im[k]);
+        printf("\n");
+    }
+    fclose(f);
+}
+
 int main(int argc, char **argv) {
     if (argc >= 3 && !strcmp(argv[1], "ana")) {
         run_ana(atoi(argv[2]));
@@ -99,6 +130,11 @@ int main(int argc, char **argv) {
         run_syn(atoi(argv[2]));
         return 0;
     }
-    fprintf(stderr, "usage: %s ana|syn <bands>\n", argv[0]);
+    if (argc >= 4 && !strcmp(argv[1], "anas")) {
+        run_ana_stream(atoi(argv[2]), argv[3]);
+        return 0;
+    }
+    fprintf(stderr, "usage: %s ana|syn <bands> | anas <bands> <pcmfile>\n",
+            argv[0]);
     return 1;
 }
