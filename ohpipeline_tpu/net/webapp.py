@@ -295,12 +295,14 @@ class ConfigApp(WebApp):
 
     name = "config"
 
-    def __init__(self, config_manager):
+    def __init__(self, config_manager, on_reboot=None):
         import os
         self._cm = config_manager
+        self._on_reboot = on_reboot
         self.resources = FileResourceManager(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "webui", "config"))
+                         "webui", "config"),
+            languages=("en-gb",))
         # tab id -> [(config_val, subscription_id)] so reaped/terminated
         # tabs release their callbacks (previously leaked forever)
         self._subs: dict[int, list] = {}
@@ -362,4 +364,9 @@ class ConfigApp(WebApp):
                 except (ValueError, TypeError) as e:
                     tab.send({"type": "error", "key": key,
                               "description": str(e)})
+        elif message.get("type") == "reboot":
+            # webconfig.js Reboot() — wired to the product's reboot
+            # handler when the composition root provides one
+            if self._on_reboot is not None:
+                self._on_reboot()
 

@@ -200,7 +200,54 @@ class TestStaticResources:
         cm.has = lambda k: False
         framework.add_app(ConfigApp(cm))
         st, body = get(f"http://127.0.0.1:{framework.port}/config/")
-        assert st == 200 and b"Configuration" in body
+        assert st == 200 and b"StartLongPolling" in body
+        assert b"config.js" in body
+
+
+class TestConfigUiClientApp:
+    """The generated config web app (reference ConfigUi/res: index.html
+    + webconfig.js + lang/en-gb/ConfigOptions.txt): typed widgets built
+    from meta.json, a language resource for choice display strings, and
+    the Reboot control (the value round-trips themselves are covered by
+    TestConfigUi above)."""
+
+    def test_client_app_resources(self, framework):
+        """config.js ships the generated app: it references exactly the
+        endpoints the framework serves, renders typed widgets, and the
+        language resource resolves through the per-language dir."""
+        cm = ConfigManager()
+        cm.create_num("Volume.Limit", 0, 100, 85)
+        framework.add_app(ConfigApp(cm))
+        base = f"http://127.0.0.1:{framework.port}/config"
+        st, js = get(f"{base}/config.js")
+        assert st == 200
+        for endpoint in (b"meta.json", b"lpcreate", b"lp?session-id=",
+                         b"send?session-id=", b"lpterminate"):
+            assert endpoint in js, endpoint
+        for widget in (b"select", b"number", b"maxLength",
+                       b"RebootButton", b"ConfigValContainer"):
+            assert widget in js, widget
+        # language resource only resolves with a matching language
+        req = urllib.request.Request(
+            f"{base}/ConfigOptions.txt",
+            headers={"Accept-Language": "en-gb"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            text = r.read().decode()
+        assert "Sender.Mode" in text and "Multicast" in text
+        with pytest.raises(urllib.error.HTTPError):
+            get(f"{base}/ConfigOptions.txt")  # only in the lang dirs
+
+    def test_reboot_control(self, framework):
+        cm = ConfigManager()
+        cm.create_num("Volume.Limit", 0, 100, 85)
+        rebooted = []
+        framework.add_app(ConfigApp(cm,
+                                    on_reboot=lambda: rebooted.append(1)))
+        base = f"http://127.0.0.1:{framework.port}/config"
+        _, body = get(f"{base}/lpcreate")
+        sid = json.loads(body)["session-id"]
+        post(f"{base}/send?session-id={sid}", {"type": "reboot"})
+        assert rebooted
 
 
 class TestSessionEviction:
