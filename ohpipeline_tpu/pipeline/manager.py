@@ -105,7 +105,8 @@ class Pipeline:
 
         # render chain (runs on the animator thread); order mirrors
         # Pipeline.cpp:339-589
-        from .branch import AsyncTrackObserver, Brancher, SampleReporter
+        from .branch import (AirplayReporter, AsyncTrackObserver,
+                             Brancher, SampleReporter, SpotifyReporter)
         from .latency import PhaseAdjuster, StarterTimed, VariableDelay
         e: Element = self.decoded
         self.ramper = Ramper(e, p.ramp_long_jiffies)
@@ -136,6 +137,13 @@ class Pipeline:
         e = wrap(self.async_track_observer, "asynctrack")
         self.sample_reporter = SampleReporter(e)
         e = wrap(self.sample_reporter, "samplereporter")
+        # distinct per-source position-correcting reporters, composed in
+        # the reference order (Pipeline.cpp:479-483: AirplayReporter,
+        # then SpotifyReporter, then the generic Reporter downstream)
+        self.airplay_reporter = AirplayReporter(e)
+        e = wrap(self.airplay_reporter, "airplayreporter")
+        self.spotify_reporter = SpotifyReporter(e)
+        e = wrap(self.spotify_reporter, "spotifyreporter")
         self.brancher_songcast = Brancher(e, "brancher-songcast")
         e = wrap(self.brancher_songcast, "brancherSongcast")
         self.attenuator = Attenuator(e)

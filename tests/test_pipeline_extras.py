@@ -153,6 +153,140 @@ class TestAsyncAndSampleReporter:
         assert sr.track_position_ms == 200
 
 
+class Obs:
+    """ISpotifyPlaybackObserver recorder."""
+
+    def __init__(self):
+        self.calls = []
+
+    def notify_track_length(self, sid, ms):
+        self.calls.append(("length", sid, ms))
+
+    def notify_playback_started(self, sid):
+        self.calls.append(("started", sid))
+
+    def notify_playback_continued(self, sid):
+        self.calls.append(("continued", sid))
+
+    def notify_playback_finished_naturally(self, sid, pos):
+        self.calls.append(("finished", sid, pos))
+
+
+def strack(uri="spotify:42", sos=True):
+    return ev.TrackEvent(ev.Track(uri), start_of_stream=sos)
+
+
+class TestSpotifyReporter:
+    """SpotifyReporter position-correction semantics
+    (SpotifyReporter.cpp): intercept only on the Spotify mode, swallow
+    pipeline MsgDecodedStream and regenerate it with the out-of-band
+    start offset + metadata duration, emit a generated MsgTrack with
+    DIDL metadata, track playback with subsample counts, and event
+    playback started/continued/finished."""
+
+    def test_passthrough_outside_intercept_mode(self):
+        sr = branch.SpotifyReporter(Up([ev.ModeEvent("Playlist"),
+                                        strack(), stream(), audio()]))
+        kinds = [sr.pull().kind for _ in range(4)]
+        assert kinds == ["mode", "track", "stream" if False else
+                        "decoded_stream", "audio_pcm"]
+        assert sr.sub_samples == 0      # no counting off-mode
+
+    def test_stream_regenerated_with_offset_and_duration(self):
+        sr = branch.SpotifyReporter(Up([ev.ModeEvent("Spotify"),
+                                        strack(), stream(), audio(4410)]))
+        sr.metadata_changed({"track": "Song", "artist": "Band",
+                             "duration_ms": 60000})
+        sr.track_offset_changed(30000)  # track started at 30 s (seek)
+        assert sr.pull().kind == "mode"
+        assert sr.pull().kind == "track"      # the pipeline track
+        gen = sr.pull()                       # generated metadata track
+        assert gen.kind == "track" and not gen.start_of_stream
+        assert "Song" in gen.track.metadata
+        assert "Band" in gen.track.metadata
+        st = sr.pull()                        # regenerated stream
+        assert st.kind == "decoded_stream"
+        assert st.info.sample_start == 30000 * 44100 // 1000
+        assert st.info.track_length_jiffies == \
+            60 * 44100 * Jiffies.per_sample(44100)
+        assert sr.pull().kind == "audio_pcm"
+        assert sr.sub_samples == 4410 * 2     # samples x channels
+
+    def test_position_sync_threshold(self):
+        sr = branch.SpotifyReporter(Up([ev.ModeEvent("Spotify"),
+                                        strack(), stream(), audio(),
+                                        audio(), audio()]))
+        for _ in range(4):                    # mode, track, gen, stream
+            sr.pull()
+        assert sr.pull().kind == "audio_pcm"
+        sr.track_position(1500)               # < 2000 ms drift: no regen
+        assert sr.pull().kind == "audio_pcm"
+        sr.track_position(4000)               # > 2000 ms from 1500
+        st = sr.pull()
+        assert st.kind == "decoded_stream"
+        assert st.info.sample_start == 4000 * 44100 // 1000
+
+    def test_flush_suspends_counting_and_continues(self):
+        obs = Obs()
+        sr = branch.SpotifyReporter(Up([ev.ModeEvent("Spotify"),
+                                        strack(), stream(), audio(441),
+                                        audio(441), ev.FlushEvent(7),
+                                        audio(441)]))
+        sr.add_playback_observer(obs)
+        for _ in range(4):
+            sr.pull()
+        sr.pull()                             # audio: started
+        assert ("started", 42) in obs.calls
+        sr.flush(7)                           # seek: suspend counting
+        before = sr.sub_samples
+        sr.pull()                             # audio during flush window
+        assert sr.sub_samples == before       # not counted
+        assert sr.pull().kind == "flush"      # flush id 7 passes
+        sr.pull()                             # audio after flush
+        assert sr.sub_samples == before + 441 * 2
+        assert ("continued", 42) in obs.calls
+
+    def test_finished_naturally_and_track_length(self):
+        obs = Obs()
+        # the Spotify protocol feeds one continuous stream: subsequent
+        # tracks arrive with !StartOfStream (the reference clears its
+        # cached stream on StartOfStream tracks and would report pos 0)
+        sr = branch.SpotifyReporter(Up([ev.ModeEvent("Spotify"),
+                                        strack("spotify:42"), stream(),
+                                        audio(44100),
+                                        strack("spotify:43", sos=False),
+                                        stream(), audio(441)]))
+        sr.add_playback_observer(obs)
+        for _ in range(4):
+            sr.pull()
+        sr.pull()                             # 1 s of audio
+        nxt = sr.pull()                       # next pipeline track
+        assert nxt.kind == "track"
+        finished = [c for c in obs.calls if c[0] == "finished"]
+        assert finished == [("finished", 42, 1000)]
+        for _ in range(3):                    # gen track, stream, audio
+            sr.pull()
+        assert any(c[0] == "started" and c[1] == 43 for c in obs.calls)
+        assert any(c[0] == "length" for c in obs.calls)
+
+
+class TestAirplayReporter:
+    def test_airplay_mode_and_samples(self):
+        ar = branch.AirplayReporter(Up([ev.ModeEvent("AirPlay2"),
+                                        strack("raop:1"), stream(),
+                                        audio(4410)]))
+        ar.track_offset_changed(10000)
+        assert ar.pull().kind == "mode"
+        assert ar.pull().kind == "track"
+        gen = ar.pull()
+        assert gen.kind == "track" and not gen.start_of_stream
+        st = ar.pull()
+        assert st.kind == "decoded_stream"
+        assert st.info.sample_start == 10000 * 44100 // 1000
+        ar.pull()
+        assert ar.samples == 4410             # frames, not subsamples
+
+
 def test_assembled_chain_has_all_elements():
     from ohpipeline_tpu.pipeline.manager import Pipeline, PipelineInitParams
     p = PipelineInitParams()
