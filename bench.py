@@ -654,6 +654,33 @@ def main() -> int:
             lambda buf: flac_part(mslab.unpack(buf))).lower(
             jax.ShapeDtypeStruct(m_bufs[0].shape, np.uint8)).compile()
 
+    # one exec RPC for the WHOLE pass: each per-chunk exec blocks its
+    # caller for a full tunnel round trip (~20 ms fixed + result wait;
+    # the AAC overlap carry serialises them), so folding the chunk loop
+    # into one lax.scan saves NCH-1 blocking round trips per pass.  The
+    # per-chunk program stays the compile unit (the scan body), so
+    # compile time and the persistent cache behave like the old path.
+    one_exec = None
+    if S_a and not args.smoke \
+            and os.environ.get("OHP_BENCH_ONE_EXEC", "1") != "0":
+        def pass_fn(bufs, ov0, ml, ms_, w_, sw_, esf):
+            xs = jnp.stack(bufs)
+
+            def step(ov, buf):
+                pk, ov2 = merged_chunk_fn(buf, ov, ml, ms_, w_, sw_,
+                                          esf)
+                return ov2, pk
+
+            _ov_end, pks = jax.lax.scan(step, ov0, xs)
+            return jnp.max(pks)
+
+        one_exec = jax.jit(pass_fn).lower(
+            tuple(jax.ShapeDtypeStruct(m_bufs[0].shape, np.uint8)
+                  for _ in range(NCH)),
+            jax.ShapeDtypeStruct((SC, 1024), np.float32),
+            *[jax.ShapeDtypeStruct(c.shape, c.dtype)
+              for c in aac_consts]).compile()
+
     warm_exec = jax.jit(lambda x: jnp.sum(x)).lower(
         jax.ShapeDtypeStruct((128, 128), jnp.float32)).compile()
 
@@ -662,7 +689,12 @@ def main() -> int:
     # (minutes for these program sizes) — run each once on the zeroed
     # slabs before any timed pass
     float(warm_exec(jnp.asarray(np.ones((128, 128), np.float32))))
-    if S_a:
+    if one_exec is not None:
+        pk0 = one_exec(tuple(jnp.asarray(b) for b in m_bufs),
+                       jnp.asarray(np.zeros((SC, 1024), np.float32)),
+                       *aac_consts)
+        float(pk0)
+    elif S_a:
         pk0, ov0_ = merged_exec(jnp.asarray(m_bufs[0]),
                                 jnp.asarray(np.zeros((SC, 1024),
                                                      np.float32)),
@@ -710,8 +742,30 @@ def main() -> int:
 
         up = threading.Thread(target=uploader, daemon=True)
         up.start()
-        peaks = []
         trace = []
+        if one_exec is not None:
+            # all slabs upload (overlapped with parse) then the whole
+            # pass runs as ONE exec round trip
+            for c in range(NCH):
+                t1 = time.perf_counter()
+                upev[c].wait()
+                trace.append(("u", c, round(time.perf_counter() - t1, 2)))
+            if state["fail"]:
+                th.join()
+                up.join()
+                return None, None
+            t2 = time.perf_counter()
+            ov0 = jnp.asarray(np.zeros((SC, 1024), np.float32))
+            peak = float(one_exec(tuple(devs), ov0, *aac_consts))
+            for c in range(NCH):
+                devs[c] = None
+            trace.append(("x", round(time.perf_counter() - t2, 2)))
+            th.join()
+            up.join()
+            if os.environ.get("BENCH_TRACE"):
+                print(json.dumps({"trace": trace}))
+            return time.perf_counter() - t0, peak
+        peaks = []
         ov = jnp.asarray(np.zeros((SC, 1024), np.float32)) if S_a else None
         for c in range(NCH):
             t1 = time.perf_counter()
