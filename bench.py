@@ -660,9 +660,15 @@ def main() -> int:
     # into one lax.scan saves NCH-1 blocking round trips per pass.  The
     # per-chunk program stays the compile unit (the scan body), so
     # compile time and the persistent cache behave like the old path.
+    # measured head-to-head (one 29-36 MB/s window each): per-chunk
+    # 552x @ 37 MB/s (wall = wire + 1.08 s), one-exec 373x @ 29 MB/s
+    # (wall = wire + 2.09 s) — one-exec saves 7 exec round trips but
+    # must wait for ALL slabs before computing, losing the upload/exec
+    # overlap, which costs more than the RPCs below ~37 MB/s.  Default
+    # stays the overlapped per-chunk loop.
     one_exec = None
     if S_a and not args.smoke \
-            and os.environ.get("OHP_BENCH_ONE_EXEC", "1") != "0":
+            and os.environ.get("OHP_BENCH_ONE_EXEC", "0") != "0":
         def pass_fn(bufs, ov0, ml, ms_, w_, sw_, esf):
             xs = jnp.stack(bufs)
 
