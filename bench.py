@@ -667,8 +667,9 @@ def main() -> int:
     # overlap, which costs more than the RPCs below ~37 MB/s.  Default
     # stays the overlapped per-chunk loop.
     one_exec = None
-    if S_a and not args.smoke \
-            and os.environ.get("OHP_BENCH_ONE_EXEC", "0") != "0":
+    group_exec = None
+    GEX = 0
+    if S_a and not args.smoke:
         def pass_fn(bufs, ov0, ml, ms_, w_, sw_, esf):
             xs = jnp.stack(bufs)
 
@@ -677,15 +678,25 @@ def main() -> int:
                                           esf)
                 return ov2, pk
 
-            _ov_end, pks = jax.lax.scan(step, ov0, xs)
-            return jnp.max(pks)
+            ov_end, pks = jax.lax.scan(step, ov0, xs)
+            return jnp.max(pks), ov_end
 
-        one_exec = jax.jit(pass_fn).lower(
-            tuple(jax.ShapeDtypeStruct(m_bufs[0].shape, np.uint8)
-                  for _ in range(NCH)),
-            jax.ShapeDtypeStruct((SC, 1024), np.float32),
-            *[jax.ShapeDtypeStruct(c.shape, c.dtype)
-              for c in aac_consts]).compile()
+        def compile_group(g):
+            return jax.jit(pass_fn).lower(
+                tuple(jax.ShapeDtypeStruct(m_bufs[0].shape, np.uint8)
+                      for _ in range(g)),
+                jax.ShapeDtypeStruct((SC, 1024), np.float32),
+                *[jax.ShapeDtypeStruct(c.shape, c.dtype)
+                  for c in aac_consts]).compile()
+
+        if os.environ.get("OHP_BENCH_ONE_EXEC", "0") != "0":
+            one_exec = compile_group(NCH)
+        # split-exec middle ground: G-chunk scans keep most of the
+        # upload/exec overlap while paying NCH/G exec round trips
+        # instead of NCH (OHP_BENCH_EXEC_SPLIT=G, G must divide NCH)
+        GEX = int(os.environ.get("OHP_BENCH_EXEC_SPLIT", "0") or 0)
+        if GEX > 1 and NCH % GEX == 0:
+            group_exec = compile_group(GEX)
 
     warm_exec = jax.jit(lambda x: jnp.sum(x)).lower(
         jax.ShapeDtypeStruct((128, 128), jnp.float32)).compile()
@@ -695,10 +706,12 @@ def main() -> int:
     # (minutes for these program sizes) — run each once on the zeroed
     # slabs before any timed pass
     float(warm_exec(jnp.asarray(np.ones((128, 128), np.float32))))
-    if one_exec is not None:
-        pk0 = one_exec(tuple(jnp.asarray(b) for b in m_bufs),
-                       jnp.asarray(np.zeros((SC, 1024), np.float32)),
-                       *aac_consts)
+    if one_exec is not None or group_exec is not None:
+        fn = one_exec if one_exec is not None else group_exec
+        g = NCH if one_exec is not None else GEX
+        pk0, _ov = fn(tuple(jnp.asarray(b) for b in m_bufs[:g]),
+                      jnp.asarray(np.zeros((SC, 1024), np.float32)),
+                      *aac_consts)
         float(pk0)
     elif S_a:
         pk0, ov0_ = merged_exec(jnp.asarray(m_bufs[0]),
@@ -749,23 +762,30 @@ def main() -> int:
         up = threading.Thread(target=uploader, daemon=True)
         up.start()
         trace = []
-        if one_exec is not None:
-            # all slabs upload (overlapped with parse) then the whole
-            # pass runs as ONE exec round trip
-            for c in range(NCH):
+        if one_exec is not None or group_exec is not None:
+            # grouped exec: wait for each G-chunk group's slabs, then
+            # one exec RPC per group (G=NCH: single RPC, no upload/exec
+            # overlap; G<NCH: groups overlap the next group's uploads)
+            fn = one_exec if one_exec is not None else group_exec
+            g = NCH if one_exec is not None else GEX
+            ov = jnp.asarray(np.zeros((SC, 1024), np.float32))
+            peaks = []
+            for g0 in range(0, NCH, g):
                 t1 = time.perf_counter()
-                upev[c].wait()
-                trace.append(("u", c, round(time.perf_counter() - t1, 2)))
-            if state["fail"]:
-                th.join()
-                up.join()
-                return None, None
-            t2 = time.perf_counter()
-            ov0 = jnp.asarray(np.zeros((SC, 1024), np.float32))
-            peak = float(one_exec(tuple(devs), ov0, *aac_consts))
-            for c in range(NCH):
-                devs[c] = None
-            trace.append(("x", round(time.perf_counter() - t2, 2)))
+                for c in range(g0, g0 + g):
+                    upev[c].wait()
+                if state["fail"]:
+                    th.join()
+                    up.join()
+                    return None, None
+                t2 = time.perf_counter()
+                pk, ov = fn(tuple(devs[g0:g0 + g]), ov, *aac_consts)
+                peaks.append(pk)
+                for c in range(g0, g0 + g):
+                    devs[c] = None
+                trace.append(("g", g0, round(t2 - t1, 2),
+                              round(time.perf_counter() - t2, 2)))
+            peak = max(float(p) for p in peaks)
             th.join()
             up.join()
             if os.environ.get("BENCH_TRACE"):
