@@ -569,3 +569,41 @@ def test_he_aac_per_sample_snr_tonal():
     err = a - b
     snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
     assert snr >= 35.0, f"per-sample SNR {snr:.1f} dB"
+
+
+def test_he_aac_v2_per_sample_snr():
+    """HE-AAC v2 (PS) per-sample SNR vs the HQ oracle (mono cores run
+    fdk's HQ chain by default, so this path was always apples-to-apples;
+    the delayed-output timing + dequant calibration lifted it too).
+    Measured 29.2 dB on mixed content with IPD/OPD ignored on both
+    sides (fdk psdec.h:96-98)."""
+    x = _content("mix")
+    pcm = np.stack([x, x]).T.copy()
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "i.raw")
+        fout = os.path.join(td, "o.aac")
+        fdec = os.path.join(td, "d.raw")
+        pcm.tofile(fin)
+        subprocess.run([ORACLE, "encode", fin, fout, "44100", "2",
+                        "24000", "2", "29"], check=True,
+                       capture_output=True)
+        data = open(fout, "rb").read()
+        subprocess.run([ORACLE, "decode", fout, fdec], check=True,
+                       capture_output=True)
+        ref = np.fromfile(fdec, np.int16).reshape(-1, 2).T \
+            .astype(np.float64)
+    c = CodecAacAdts()
+    r = _MemReader(data)
+    info = c.stream_initialise(r)
+    assert info.codec_name == "HE-AAC v2"
+    outs = []
+    try:
+        while True:
+            outs.append(c.process(r).resolve())
+    except EndOfStream:
+        pass
+    got = np.concatenate(outs, axis=1).astype(np.float64)
+    a, b = _aligned(ref, got)
+    err = a - b
+    snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
+    assert snr >= 24.0, f"v2 per-sample SNR {snr:.1f} dB"
