@@ -721,7 +721,9 @@ def parse_grid(b: Bits) -> ChannelGrid:
         for r in rel1:
             hi.append(hi[-1] - r)
         g.t_env = sorted(set(lo + hi))
-        g.tran_env = ((nrel0 + nrel1 + 1) - g.pointer) if g.pointer else -1
+        # tranEnv = #borders - pointer = nEnv + 1 - p
+        # (env_extr.cpp:1256: "tranEnv = p ? b - p : -1", b = nEnv+1)
+        g.tran_env = ((nrel0 + nrel1 + 2) - g.pointer) if g.pointer else -1
     # out-of-spec pointer: fdk's extractFrameInfo rejects the frame
     # (bs_pointer > bs_num_env + 1); an unchecked value would index
     # outside t_env below
@@ -926,7 +928,56 @@ def parse_sbr_data(b: Bits, hdr: SbrHeader, ft: FreqTables,
 # decoder state & DSP
 # ---------------------------------------------------------------------------
 
-BW_TABLE = [0.0, 0.6, 0.9, 0.98]
+BW_TABLE = [0.0, 0.6, 0.9, 0.98]    # legacy flat map (kept for tools)
+
+
+def map_invf_bw(invf, prev_invf):
+    """Whitening (chirp) level per noise band from the current AND
+    previous inverse-filtering modes — fdk mapInvfMode
+    (lpp_tran.cpp:128-153): LOW whitens at 0.75 in steady state and
+    0.6 only on the OFF->LOW transition; NONE after LOW decays through
+    0.6.  The whFactorsTable rows are identical for every start
+    frequency (sbr_rom.cpp:145-156), so the five levels are constants.
+    Getting this wrong (a flat per-mode table) leaves every steady
+    LOW-mode band under-whitened: the patch carries ~10% more energy
+    relative to its source and the whole SBR band lands ~0.4 dB hot
+    after self-normalization — the former per-sample conformance
+    ceiling on noise-like content."""
+    out = np.empty(len(invf), np.float64)
+    for i in range(len(invf)):
+        m, pm = invf[i], prev_invf[i]
+        if m == 1:
+            out[i] = 0.6 if pm == 0 else 0.75
+        elif m == 2:
+            out[i] = 0.90
+        elif m == 3:
+            out[i] = 0.98
+        else:
+            out[i] = 0.6 if pm == 1 else 0.0
+    return out
+
+#: diagnostic tap: when a list, _reconstruct appends (ch, {band: (a0,
+#: a1)}) per frame — used by tools/lpc_compare.py to align this
+#: decoder's transposer coefficients with the instrumented oracle's
+ALPHA_SINK: list | None = None
+
+#: diagnostic tap: when a list, _adjust appends "CALL" at each frame
+#: then per envelope (e, gain, noise_lvl, sine_lvl, Emap, Ecurr) —
+#: post-limiter/boost, pre-smoothing (comparable with the instrumented
+#: oracle's env_calc dump; tools/lpc_compare.py env mode)
+ENV_SINK: list | None = None
+
+#: diagnostic override: {(call_idx, env): (gain, noise_lvl, sine_lvl)}
+#: — when set, _adjust uses these post-boost values instead of its own
+#: (units: gain dimensionless; noise/sine in this decoder's QMF
+#: amplitude units).  Used by tools/env_compare.py to isolate the gain
+#: pipeline from the patch/noise-walk when chasing per-sample deltas.
+GAIN_OVERRIDE: dict | None = None
+_GAIN_CALL = [0]
+
+#: diagnostic tap: per _reconstruct call, (start, stop, patched HF
+#: buffer slots [start:stop) x bins [kx:kx+M)) before adjustment
+PATCH_SINK: list | None = None
 
 #: global envelope-reference calibration: ratio between the encoder's
 #: envelope energy reference and this decoder's analysis-kernel scale,
@@ -963,6 +1014,9 @@ class SbrChannelState:
         self.prev_res = 1
         self.prev_noise = None
         self.bw = np.zeros(5, np.float64)
+        # previous frame's inverse-filtering modes (fdk
+        # h_prev_data->sbr_invf_mode, init INVF_OFF — env_extr.cpp:255)
+        self.prev_invf = np.zeros(5, np.int64)
         self.noise_index = 0
         self.sine_index = 0
         self.prev_harm_bins: set = set()    # mid bins flagged last frame
@@ -1208,10 +1262,12 @@ class SbrDecoder:
         kx, M = ft.kx, ft.M
         start = max(0, min(2 * g.t_env[0], nbuf))
         stop = max(start, min(2 * g.t_env[-1], nbuf))
-        # chirp factors (one per noise band, smoothed across frames)
+        # chirp factors (one per noise band, smoothed across frames;
+        # level from current+previous invf mode — see map_invf_bw)
         bw = np.empty(ft.n_q)
+        nbs = map_invf_bw(data.invf[:ft.n_q], st.prev_invf[:ft.n_q])
         for i in range(ft.n_q):
-            nb = BW_TABLE[data.invf[i]]
+            nb = nbs[i]
             prev = st.bw[i]
             v = 0.75 * nb + 0.25 * prev if nb < prev \
                 else 0.90625 * nb + 0.09375 * prev
@@ -1219,6 +1275,7 @@ class SbrDecoder:
                 v = 0.0
             bw[i] = min(v, 0.99609375)
             st.bw[i] = bw[i]
+        st.prev_invf[:ft.n_q] = data.invf[:ft.n_q]
 
         # HF generation: per low band, 2nd-order LPC over the contiguous
         # low-band sequence (2-slot prehistory + 38 buffer slots, the
@@ -1256,6 +1313,13 @@ class SbrDecoder:
                 Xbuf[sl, k] = (z[sl + 2] + bwk * a0 * z[sl + 1]
                                + bwk * bwk * a1 * z[sl])
 
+        if ALPHA_SINK is not None:
+            zs = {p: np.concatenate([st.lpp_pre[:, p], Xbuf[:, p]])
+                  for p in alphas}
+            ALPHA_SINK.append((ch, dict(alphas), zs))
+        if PATCH_SINK is not None:
+            PATCH_SINK.append((start, stop,
+                               Xbuf[start:stop, kx:kx + M].copy()))
         Xadj = self._adjust(st, Xbuf, data, E, Q)
         st.lpp_pre = Xadj[nsl - 2:nsl].copy()       # buffer slots 30, 31
         st.x_hist = Xadj[nsl:nsl + 6].copy()        # adjusted tail 32..38
@@ -1287,6 +1351,10 @@ class SbrDecoder:
                    2: 10 ** 0.45, 3: 1e10}[hdr.limiter_gains]
         Xout = Xbuf
         bins = np.arange(M)
+        if ENV_SINK is not None:
+            ENV_SINK.append("CALL")
+        if GAIN_OVERRIDE is not None:
+            _GAIN_CALL[0] += 1
         for e in range(g.n_env):
             # buffer slot range = timeStep * borders (env_calc.cpp:621-
             # 622): borders index the delayed-output timeline directly;
@@ -1333,11 +1401,16 @@ class SbrDecoder:
                 if sine[lo:hi].any():
                     sine_in_band[lo:hi] = True
             qfac = Qmap / (1.0 + Qmap)
+            # gain rules per calcSubbandGain (env_calc.cpp:1608-1701):
+            # sine-in-band -> R*qfac/Est; plain -> R/((1+Q)*Est); on
+            # no-noise (attack) envelopes the (1+Q) divisor drops —
+            # gain^2 = R/Est (the noise won't be injected, so the
+            # signal alone must carry the full reference energy)
             gain = np.where(
                 sine_in_band,
                 np.sqrt(Emap * qfac / np.maximum(Ecurr, 1e-12)),
-                np.sqrt(Emap / ((1.0 + Qmap)
-                                * np.maximum(Ecurr, 1e-12))))
+                np.sqrt(Emap / np.maximum(Ecurr, 1e-12)
+                        / (1.0 if no_noise_env else 1.0 + Qmap)))
             noise_lvl = np.sqrt(Emap * qfac)
             sine_lvl = np.where(sine, np.sqrt(Emap / (1.0 + Qmap)), 0.0)
             # limiter + boost per limiter band
@@ -1355,15 +1428,28 @@ class SbrDecoder:
                 noise_lvl[lo:hi] *= ratio
                 gain[lo:hi] = np.minimum(gain[lo:hi], gmax)
                 target = Emap[lo:hi].sum()
+                # boost accumulator (env_calc.cpp:786-805): gained
+                # energy always; per SINE BIN either the sine energy or
+                # (without sine, non-attack) the noise energy
+                noise_acc = 0.0 if no_noise_env else \
+                    (noise_lvl[lo:hi] ** 2
+                     * (sine_lvl[lo:hi] == 0.0)).sum()
                 achieved = (Ecurr[lo:hi] * gain[lo:hi] ** 2).sum() \
-                    + (noise_lvl[lo:hi] ** 2
-                       * ~sine_in_band[lo:hi]).sum() \
-                    + (sine_lvl[lo:hi] ** 2).sum()
+                    + noise_acc + (sine_lvl[lo:hi] ** 2).sum()
                 boost = min(np.sqrt(target / max(achieved, 1e-12)),
                             1.584893192)
                 gain[lo:hi] *= boost
                 noise_lvl[lo:hi] *= boost
                 sine_lvl[lo:hi] *= boost
+            if ENV_SINK is not None:
+                ENV_SINK.append((e, gain.copy(), noise_lvl.copy(),
+                                 sine_lvl.copy(), Emap.copy(),
+                                 Ecurr.copy(), sl0, sl1))
+            if GAIN_OVERRIDE is not None:
+                ov = GAIN_OVERRIDE.get((_GAIN_CALL[0] - 1, e))
+                if ov is not None:
+                    gain, noise_lvl, sine_lvl = [np.asarray(v, float)
+                                                 for v in ov]
             # time smoothing: the first 4 slots of a non-attack envelope
             # blend the previous envelope's gains/noise levels in
             # (env_calc.cpp:642-647, 999-1003, sbr_smoothFilter)

@@ -199,13 +199,14 @@ def build_frame_cond(dec: "SBR.SbrDecoder", st: "SBR.SbrChannelState",
     cond.noise_idx0[0] = st.noise_index
     cond.sine_ph0[0] = st.sine_index
     map_low, map_high, map_noise = static._band_maps
-    bw_tab = np.asarray(SBR.BW_TABLE)
     smooth = np.asarray(SBR._SMOOTH_FILTER)
     for f, (data, E, Q) in enumerate(zip(datas, Es, Qs)):
         g = data.grid
-        # chirp factors (host recurrence, same as _reconstruct)
+        # chirp factors (host recurrence, same as _reconstruct; level
+        # from current+previous invf mode — SBR.map_invf_bw)
         nq = ft.n_q
-        nbq = bw_tab[np.asarray(data.invf[:nq], np.int64)]
+        nbq = SBR.map_invf_bw(data.invf[:nq], st.prev_invf[:nq])
+        st.prev_invf[:nq] = data.invf[:nq]
         prev = np.asarray(st.bw[:nq], np.float64)
         bw = np.where(nbq < prev, 0.75 * nbq + 0.25 * prev,
                       0.90625 * nbq + 0.09375 * prev)
@@ -441,9 +442,14 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
         Ecurr = jnp.where(fres > 0, band_avg(mapH), band_avg(mapL))
     qfac = Qmap / (1.0 + Qmap)
     Ecs = jnp.maximum(Ecurr, 1e-12)
+    # calcSubbandGain rules (env_calc.cpp:1608-1701): the (1+Q)
+    # divisor drops on no-noise (attack) envelopes — no noise will be
+    # injected, the gained signal alone carries the reference energy
+    nn = cond["no_noise"][:, :, None]                   # (F, E, 1)
     gain = jnp.where(sine_band > 0,
                      jnp.sqrt(Emap * qfac / Ecs),
-                     jnp.sqrt(Emap / ((1.0 + Qmap) * Ecs)))
+                     jnp.sqrt(Emap / (jnp.where(nn > 0, 1.0,
+                                                1.0 + Qmap) * Ecs)))
     noise_lvl = jnp.sqrt(Emap * qfac)
     sine_lvl = jnp.where(sine_bins > 0,
                          jnp.sqrt(Emap / (1.0 + Qmap)), 0.0)
@@ -459,8 +465,11 @@ def device_decode_group(static: SbrStatic, pcm, cond: dict, state: dict,
     ratio = jnp.minimum(1.0, gmax / jnp.maximum(gain, 1e-12))
     noise_lvl = noise_lvl * ratio
     gain = jnp.minimum(gain, gmax)
+    # boost accumulator (env_calc.cpp:786-805): per bin the sine energy
+    # if a sine sits there, else (non-attack) the noise energy
     achieved_m = (Ecurr * gain ** 2
-                  + noise_lvl ** 2 * (1.0 - sine_band)
+                  + jnp.where(sine_lvl > 0, 0.0, noise_lvl ** 2)
+                  * (1.0 - nn)
                   + sine_lvl ** 2)
     ach_l = jnp.einsum("lm,fem->fel", L, achieved_m)
     boost_l = jnp.minimum(

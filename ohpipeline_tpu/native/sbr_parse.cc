@@ -159,7 +159,8 @@ bool parse_grid(Bits& b, Grid& g) {
         for (int i = 0; i < n_all; i++)
             if (g.nt == 0 || all[i] != g.t_env[g.nt - 1])
                 g.t_env[g.nt++] = all[i];
-        g.tran_env = g.pointer ? ((nrel0 + nrel1 + 1) - g.pointer) : -1;
+        // tranEnv = #borders - pointer = nEnv + 1 - p (env_extr.cpp:1256)
+        g.tran_env = g.pointer ? ((nrel0 + nrel1 + 2) - g.pointer) : -1;
     }
     if (!b.ok || g.n_env < 1 || g.n_env > MAXENV || g.nt < 2
         || g.nt > MAXT)

@@ -154,13 +154,17 @@ def test_he_aac_conformance(kind, hf_rms_limit):
     rms = float(np.sqrt((hf ** 2).mean()))
     assert rms <= hf_rms_limit, f"HF energy rms {rms:.2f} dB"
     # full-band per-sample SNR: noise filling follows fdk's V-table
-    # walk in lock-step and the frame timing is fdk's delayed-output
-    # scheme, so even noise-dominated content tracks per sample
-    # (measured 21.4 dB noise / 41.1 dB mix; residual = the float-vs-
-    # fixed-point LPC difference in the transposer on noise-like input)
+    # walk in lock-step, the frame timing is fdk's delayed-output
+    # scheme, the chirp levels use the transition-dependent whitening
+    # map (lpp_tran.cpp mapInvfMode — LOW is 0.75 steady, 0.6 only on
+    # OFF<->LOW transitions) and the VARVAR transient envelope index is
+    # fdk's (#borders - pointer).  Measured 37.8 dB noise / 50.5 dB mix
+    # after those fixes (was 21.4/41.1 when a flat per-mode chirp table
+    # under-whitened every steady LOW band by ~10% patch energy and the
+    # off-by-one misplaced noNoiseFlag on VARVAR attack frames).
     err = a - b
     snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
-    assert snr >= (15.0 if kind == "noise" else 33.0), \
+    assert snr >= (30.0 if kind == "noise" else 42.0), \
         f"per-sample SNR {snr:.1f} dB"
 
 
@@ -561,22 +565,27 @@ def test_he_aac_per_sample_snr_tonal():
     frame scheme is fdk's delayed-output timing so the noise/sine phase
     counters walk fdk's V table in lock-step, and the envelope dequant
     level is calibrated to fdk's own QMF domain (ENERGY_CAL).  Measured:
-    41.1 dB on this content (was 17.5 when the bound was 14), 71.5 dB
-    pure tones, 21.4 dB pure noise."""
+    50.5 dB on this content after the chirp-transition-map + VARVAR
+    tranEnv fixes (was 17.5 when the bound was 14), 71.5 dB pure
+    tones."""
     data, ref = _encode_he(_content("mix"))
     got, _info = _decode_he(data)
     a, b = _aligned(ref, got)
     err = a - b
     snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
-    assert snr >= 35.0, f"per-sample SNR {snr:.1f} dB"
+    assert snr >= 42.0, f"per-sample SNR {snr:.1f} dB"
 
 
 def test_he_aac_v2_per_sample_snr():
     """HE-AAC v2 (PS) per-sample SNR vs the HQ oracle (mono cores run
     fdk's HQ chain by default, so this path was always apples-to-apples;
     the delayed-output timing + dequant calibration lifted it too).
-    Measured 29.2 dB on mixed content with IPD/OPD ignored on both
-    sides (fdk psdec.h:96-98)."""
+    Measured 29.6 dB on mixed content with IPD/OPD ignored on both
+    sides (fdk psdec.h:96-98).  The residual is the parametric-stereo
+    SIDE channel: the decorrelator output correlates 0.978 with fdk's
+    at lag 0 (measured) — a diffuse ~2% amplitude difference between
+    the float allpass chain and fdk's fixed-point one, spread over the
+    whole signal, not a structural delta."""
     x = _content("mix")
     pcm = np.stack([x, x]).T.copy()
     with tempfile.TemporaryDirectory() as td:
@@ -606,4 +615,4 @@ def test_he_aac_v2_per_sample_snr():
     a, b = _aligned(ref, got)
     err = a - b
     snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
-    assert snr >= 24.0, f"v2 per-sample SNR {snr:.1f} dB"
+    assert snr >= 28.0, f"v2 per-sample SNR {snr:.1f} dB"
