@@ -740,6 +740,10 @@ def main() -> int:
         # computes (the ~0.6 s reclaim identified in NEXT.md)
         devs: list = [None] * NCH
         upev = [threading.Event() for _ in range(NCH)]
+        # per-pass wire attribution: bytes and seconds spent inside the
+        # blocking upload calls of THIS pass — the pass's own effective
+        # link rate, reported next to the (separate-moment) probe's
+        up_stats = {"bytes": 0, "secs": 0.0}
 
         def uploader():
             try:
@@ -749,8 +753,11 @@ def main() -> int:
                         aq[c].wait()
                     if state["fail"]:
                         return
+                    tu = time.perf_counter()
                     d = jnp.asarray(m_bufs[c])
                     jax.block_until_ready(d)
+                    up_stats["secs"] += time.perf_counter() - tu
+                    up_stats["bytes"] += m_bufs[c].nbytes
                     devs[c] = d
                     upev[c].set()
             except Exception as e:          # noqa: BLE001 — tunnel drop
@@ -777,7 +784,7 @@ def main() -> int:
                 if state["fail"]:
                     th.join()
                     up.join()
-                    return None, None
+                    return None, None, None
                 t2 = time.perf_counter()
                 pk, ov = fn(tuple(devs[g0:g0 + g]), ov, *aac_consts)
                 peaks.append(pk)
@@ -790,7 +797,8 @@ def main() -> int:
             up.join()
             if os.environ.get("BENCH_TRACE"):
                 print(json.dumps({"trace": trace}))
-            return time.perf_counter() - t0, peak
+            mbps = up_stats["bytes"] / 1e6 / max(up_stats["secs"], 1e-9)
+            return time.perf_counter() - t0, peak, mbps
         peaks = []
         ov = jnp.asarray(np.zeros((SC, 1024), np.float32)) if S_a else None
         for c in range(NCH):
@@ -799,7 +807,7 @@ def main() -> int:
             if state["fail"]:
                 th.join()
                 up.join()
-                return None, None
+                return None, None, None
             t2 = time.perf_counter()
             dev = devs[c]
             devs[c] = None
@@ -815,7 +823,8 @@ def main() -> int:
         peak = max(float(p) for p in peaks)
         if os.environ.get("BENCH_TRACE"):
             print(json.dumps({"trace": trace}))
-        return time.perf_counter() - t0, peak
+        mbps = up_stats["bytes"] / 1e6 / max(up_stats["secs"], 1e-9)
+        return time.perf_counter() - t0, peak, mbps
 
     if os.environ.get("BENCH_PHASES"):
         float(warm_exec(jnp.asarray(np.ones((128, 128), np.float32))))
@@ -864,14 +873,17 @@ def main() -> int:
     # break below stops starting new passes near the deadline, the
     # watchdog rescues a pass hung INSIDE a blocking RPC by printing
     # the best completed result and exiting)
+    best_mbps = {"v": 0.0}
     for _ in range(max(1, args.passes)):
-        w, p = timed_pass()
+        w, p, mbps = timed_pass()
         if w is None:
             print(json.dumps({"metric": "flac_aac_decode_realtime_x",
                               "value": 0.0, "unit": "x_realtime",
                               "vs_baseline": 0.0, "error": state["fail"]}))
             return 1
         walls.append(w)
+        if w <= min(walls):
+            best_mbps["v"] = mbps       # the best pass's own wire rate
         peak = max(peak, p)
         fa = counts["flac_samples"] / nch / rate
         aa = counts["aac"] * 1024 / rate
@@ -882,6 +894,7 @@ def main() -> int:
                 "flac_audio_s": round(fa, 1), "aac_audio_s": round(aa, 1),
                 "wall_s": round(min(walls), 2),
                 "tunnel_mbps": round(tunnel_mbps, 1),
+                "pass_mbps": round(best_mbps["v"], 1),
                 "passes_completed": len(walls)}
         if aac_error:
             best["error"] = aac_error
@@ -952,7 +965,8 @@ def main() -> int:
             "flac_audio_s": round(flac_audio, 1),
             "aac_audio_s": round(aac_audio, 1),
             "wall_s": round(wall, 2),
-            "tunnel_mbps": round(tunnel_mbps, 1)}
+            "tunnel_mbps": round(tunnel_mbps, 1),
+            "pass_mbps": round(best_mbps["v"], 1)}
     if aac_error:
         line["error"] = aac_error
     if args.smoke:

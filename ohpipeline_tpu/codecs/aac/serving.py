@@ -35,7 +35,8 @@ import numpy as np
 from .bitstream import parse_adts_header
 
 
-def decode_he_streams_device(streams: list, frames_per_group: int = 48):
+def decode_he_streams_device(streams: list, frames_per_group: int = 48,
+                             mesh=None):
     """Multi-stream batched device HE-AAC v1: every stream's channels
     ride ONE spec-mode SBR program dispatch per group (the fused LC
     core + QMF/HF/envelope chain in sbr_jax vmapped over S*C channels),
@@ -235,6 +236,15 @@ def decode_he_streams_device(streams: list, frames_per_group: int = 48):
         # dead/short channels: empty cond lists leave their frames
         # inactive (the device passes the zero core through untouched)
         # and their trailing output is sliced off in drain()
+        if mesh is not None:
+            # stream-axis dp sharding of the zz wire planes; escape/
+            # side lists + consts replicate (parallel.serving_put)
+            from ...parallel import serving_put
+            for k in ("q4", "sfb", "msb", "opx"):
+                zz[k] = serving_put(mesh, zz[k], 1)
+            for k in ("epak", "eva2", "side", "srow", "ssf", "ssr",
+                      "tfi", "tco", "tdir", "trow"):
+                zz[k] = serving_put(mesh, zz[k])
         resolve = runner.decode_group_multi_lazy_zz(
             zz, per_ch, np.zeros((SC, 1024), np.float32))
         pending.append((resolve, counts_g))
@@ -245,15 +255,20 @@ def decode_he_streams_device(streams: list, frames_per_group: int = 48):
             np.zeros((nch, 0), np.int32) for o in outs]
 
 
-def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
+def decode_aac_streams_device(streams: list, frames_per_group: int = 64,
+                              mesh=None):
     """streams: ADTS AAC-LC files (bytes) sharing rate and channel
     count.  Returns [(channels, nsamples) int32 PCM] per stream,
     clipped to the int16 range like the host decode path (fdk also
-    saturates inter-sample overs at the 16-bit output)."""
+    saturates inter-sample overs at the 16-bit output).
+
+    With ``mesh`` the (G, S*C, ...) wire planes shard their stream
+    axis over dp (parallel.serving_put); results match mesh=None."""
     import jax
     import jax.numpy as jnp
 
     from ... import native
+    from ...parallel import serving_put
     from . import synthesis as ASYN
 
     hdrs = [parse_adts_header(s) for s in streams]
@@ -385,6 +400,12 @@ def decode_aac_streams_device(streams: list, frames_per_group: int = 64):
         ne = esc.count.value
         epak[:ne] = esc.row[:ne] * 1024 + esc.pos[:ne]
         eva2[:ne] = esc.val[:ne]
+        if mesh is not None:
+            q4, sfb, msb, opx = (serving_put(mesh, a, 1)
+                                 for a in (q4, sfb, msb, opx))
+            ov = serving_put(mesh, ov, 0)
+            epak, eva2, side, srow = (serving_put(mesh, a)
+                                      for a in (epak, eva2, side, srow))
         pcm, ov = fn(q4, sfb, ssfv.sf, ssfv.row, msb, opx,
                      epak, None, eva2, side, srow, ov, *consts,
                      tnsv.tfi, tnsv.tco, tnsv.tdir, tnsv.row)

@@ -714,7 +714,7 @@ def prepare_group(batch: dict, nframes: int, channels: int,
         if not sel.any():
             continue
         d = dst[sel]
-        n = _PNS_RNG.standard_normal(len(d))
+        n = _pns_noise(int(r), int(d[0]), len(d))
         # normalise per band to energy 2^(sf/4)
         bids = band[sel]
         for b in np.unique(bids):
@@ -820,7 +820,16 @@ def _apply_tns_arrays(spec: np.ndarray, batch: dict, r: int, rate_index: int,
             spec[base + start:base + end] = out
 
 
-_PNS_RNG = np.random.default_rng(0x9A5)
+def _pns_noise(row: int, pos: int, n: int) -> np.ndarray:
+    """Deterministic PNS noise: seeded per (row, band position) so the
+    substitution is reproducible — identical streams decode identically
+    call after call (the old module-global RNG state made the serving
+    batch path non-deterministic run-to-run).  fdk equally uses a
+    deterministic generator per channel (libAACdec block.cpp random
+    vector); the exact sample values are decoder-specific — PNS
+    conformance is an energy criterion (ISO 14496-3 4.6.13)."""
+    return np.random.default_rng(
+        (0x9A5 << 32) ^ (row * 2048 + pos)).standard_normal(n)
 
 
 def apply_spectral_tools(frame: FrameData, specs: list[np.ndarray]) -> None:
@@ -878,7 +887,7 @@ def _apply_pns(ch: ChannelData, spec: np.ndarray, rate_index: int) -> None:
             energy = 2.0 ** (0.25 * ch.scalefactors[g, k])
             for w in range(wins):
                 base = (win_base + w) * 128 if ics.short else 0
-                n = _PNS_RNG.standard_normal(b0 - a0)
+                n = _pns_noise(win_base + w, base + a0, b0 - a0)
                 n *= energy / np.sqrt(np.mean(n * n) + 1e-30)
                 spec[base + a0:base + b0] = n
         win_base += wins

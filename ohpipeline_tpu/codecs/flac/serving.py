@@ -23,13 +23,20 @@ import numpy as np
 from . import frames as FF
 
 
-def decode_flac_streams_device(streams: list, frames_per_group: int = 32):
+def decode_flac_streams_device(streams: list, frames_per_group: int = 32,
+                               mesh=None):
     """streams: FLAC files (bytes) sharing a channel count (bit depths
     and lengths may differ; max_blocksize must be a 64-multiple).
-    Returns [(channels, nsamples) int32 PCM] per stream."""
+    Returns [(channels, nsamples) int32 PCM] per stream.
+
+    With ``mesh`` (a jax.sharding.Mesh with a ``dp`` axis) the
+    per-(frame,channel) row planes shard over dp — streams spread
+    across devices, the shared rice wire replicates (see
+    parallel.serving_put); results are identical to mesh=None."""
     import jax
 
     from ... import native
+    from ...parallel import serving_put
     from . import _synthesise_group_rice
 
     metas = [FF.parse_metadata(b) for b in streams]
@@ -153,10 +160,21 @@ def decode_flac_streams_device(streams: list, frames_per_group: int = 32):
             meta_rows.append((s, n, b["blocksize"][:n].copy()))
             if n < Gc:
                 live[s] = False
-        pcm = jitted(bits, gcur, gk, ov.cur, ov.k, ov.mode, ov.cnt,
-                     ov.row, ov.pos, cf.row, cf.val, cf.n, warm,
-                     es.row, es.pos, es.val, coeffs, shift, order,
-                     wasted, assign)
+        if mesh is not None:
+            rows = lambda a: serving_put(mesh, a, 0)     # noqa: E731
+            repl = lambda a: serving_put(mesh, a)        # noqa: E731
+            pcm = jitted(repl(bits), rows(gcur), rows(gk), repl(ov.cur),
+                         repl(ov.k), repl(ov.mode), repl(ov.cnt),
+                         repl(ov.row), repl(ov.pos), repl(cf.row),
+                         repl(cf.val), repl(cf.n), rows(warm),
+                         repl(es.row), repl(es.pos), repl(es.val),
+                         rows(coeffs), rows(shift), rows(order),
+                         rows(wasted), rows(assign))
+        else:
+            pcm = jitted(bits, gcur, gk, ov.cur, ov.k, ov.mode, ov.cnt,
+                         ov.row, ov.pos, cf.row, cf.val, cf.n, warm,
+                         es.row, es.pos, es.val, coeffs, shift, order,
+                         wasted, assign)
         pending.append((pcm, meta_rows))
         if len(pending) >= 4:              # bound in-flight downloads
             drain()

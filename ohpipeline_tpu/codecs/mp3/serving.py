@@ -32,14 +32,20 @@ from . import synthesis as SYN
 from . import parse_vbr_header, prepare_granules
 
 
-def decode_mp3_streams_device(streams: list, frames_per_group: int = 32):
+def decode_mp3_streams_device(streams: list, frames_per_group: int = 32,
+                              mesh=None):
     """streams: MP3 files (bytes) sharing MPEG version, sample rate and
     channel count (one compiled program serves the batch; mismatches
     raise).  Returns [(channels, nsamples) int32 PCM] per stream.
     Hostile/irregular streams should use CodecMp3 — this is the
     throughput API; a stream whose frames stop parsing early simply
-    ends early (same stance as the other serving APIs)."""
+    ends early (same stance as the other serving APIs).
+
+    With ``mesh`` the (Tg, S*C, ...) spectra planes shard their stream
+    axis over dp (parallel.serving_put); results match mesh=None."""
     import jax.numpy as jnp
+
+    from ...parallel import serving_put
 
     hdrs = [BS.parse_frame_header(s) for s in streams]
     if any(h is None for h in hdrs):
@@ -123,6 +129,11 @@ def decode_mp3_streams_device(streams: list, frames_per_group: int = 32):
         # padded granules advance only dead streams' state (live streams
         # always fill the whole bucket), so the scalar n_real boundary is
         # safe — same stance as the AAC serving path's ragged tails
+        if mesh is not None:
+            q16, scl, btp = (serving_put(mesh, a, 1)
+                             for a in (q16, scl, btp))
+            ov = serving_put(mesh, ov, 0)
+            vf = serving_put(mesh, vf, 0)
         pcm_i, ov, vf = SYN.hybrid_synthesis_parallel_i16(
             q16, scl, btp, ov, vf, ops, poly, wnd, n_real)
         pending.append((pcm_i, counts_g))

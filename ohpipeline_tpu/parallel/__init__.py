@@ -45,6 +45,33 @@ def make_mesh(n_devices: int | None = None,
     return Mesh(np.array(devs).reshape(dp, sp), axes)
 
 
+def serving_put(mesh, arr, stream_axis: int | None = None):
+    """Place one serving-call array for stream-parallel mesh execution.
+
+    The multi-stream serving entry points (codecs/*/serving.py
+    decode_*_streams_device) batch independent streams along one axis;
+    under a mesh, that axis shards over ``dp`` (SURVEY §2.7: stream
+    concurrency = batch parallelism across decode streams) while shared
+    wire planes (entropy-coded bytes, escape/side lists, device
+    constants) replicate — any row may address any offset in them.
+    XLA compiles the same jitted program with these input shardings and
+    inserts the collectives.
+
+    ``stream_axis=None`` or a non-divisible axis extent replicates.
+    ``mesh=None`` is the single-device fast path (no placement)."""
+    if mesh is None:
+        return arr
+    import jax
+    a = np.asarray(arr) if not hasattr(arr, "sharding") else arr
+    spec = [None] * a.ndim
+    dp = mesh.shape["dp"]
+    if stream_axis is not None and a.ndim > stream_axis \
+            and a.shape[stream_axis] >= dp \
+            and a.shape[stream_axis] % dp == 0:
+        spec[stream_axis] = "dp"
+    return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+
 def decode_render_step(data, coeffs, shift, order, wasted, assign,
                        ramp_start, ramp_end, gain, num_channels: int = 2):
     """The flagship fused step: FLAC-family subframe batch -> rendered PCM.
