@@ -1566,6 +1566,16 @@ class PsDecoder:
         # mixing state (true-value scale: identity mono split)
         self.H = np.array([np.ones(22), np.ones(22),
                            np.zeros(22), np.zeros(22)])
+        # 6-slot pipeline of interpolated H matrices: this decoder's
+        # hybrid path delays the signal by the filter's 6-slot group
+        # delay (fdk instead look-aheads in its low-band buffer,
+        # psdec_hybrid.cpp:501-504, so its signal is undelayed); the
+        # envelope-interpolation timeline must ride the same delay or
+        # every H lands 6 slots early on the audio — measured as the
+        # whole v2 SIDE channel decorrelating from the oracle (its
+        # waveform is h21*d with h21 crossing zero mid-ramp)
+        from collections import deque
+        self._h_delay = deque([self.H.copy()] * 6, maxlen=7)
         self.prev_iid = None
         self.prev_icc = None
         self.last_ps: PsData = None
@@ -1606,8 +1616,10 @@ class PsDecoder:
             dH = (h_tgt - self.H) / (t1 - t0)
             for sl in range(t0, t1):
                 self.H = self.H + dH
+                self._h_delay.append(self.H.copy())
                 d = self._decorrelate_slot(mid[sl])
-                self._mix_slot(mid[sl], d, L[sl], R[sl])
+                self._mix_slot(mid[sl], d, L[sl], R[sl],
+                               self._h_delay.popleft())
             self.H = h_tgt
         XL = PsHybrid.synthesize(L[:, :12], L[:, 12:])
         XR = PsHybrid.synthesize(R[:, :12], R[:, 12:])
@@ -1721,8 +1733,8 @@ class PsDecoder:
                 % _PS_SER_DELAYS[mi]
         return d
 
-    def _mix_slot(self, m, d, outL, outR):
-        h11, h12, h21, h22 = self.H
+    def _mix_slot(self, m, d, outL, outR, H=None):
+        h11, h12, h21, h22 = self.H if H is None else H
         for gr in range(10):
             sb = _PS_GROUP_BORDERS20[gr]
             outL[sb] = h11[gr] * m[sb] + h21[gr] * d[sb]

@@ -1306,7 +1306,18 @@ def build_ps_H_slots(pdec, ps_datas: list, nsl: int = 32) -> np.ndarray:
                 H = H + dH
                 H_slots[f * nsl + sl] = H
             pdec.H = h_tgt
-    return H_slots
+    # apply the hybrid path's 6-slot group delay to the H timeline
+    # (PsDecoder._h_delay rationale: the signal is delayed, fdk's is
+    # not, so H must ride the same delay to land on the right slots)
+    q = getattr(pdec, "_h_delay", None)
+    if q is not None and len(q) >= 6:
+        carry = np.stack([q[i] for i in range(6)]).astype(np.float32)
+        for i in range(6):
+            q[i] = H_slots[F * nsl - 6 + i].astype(np.float64)
+    else:
+        carry = np.repeat(H_slots[:1], 6, axis=0)
+    delayed = np.concatenate([carry, H_slots[:-6]], axis=0)
+    return delayed
 
 
 def device_decode_group_ps(static: SbrStatic, ps_static: PsStatic,

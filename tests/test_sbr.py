@@ -341,7 +341,12 @@ def test_he_aac_v2_stereo_reconstruction():
                        / ((b[1] ** 2).reshape(-1, 2048).mean(1) + 1))
     n = min(len(ea), len(eb))
     assert np.corrcoef(ea[:n], eb[:n])[0, 1] >= 0.95
-    assert np.sqrt(((ea[:n] - eb[:n]) ** 2).mean()) <= 1.5
+    # fixed-offset comparison (no search): the 6-slot H-delay alignment
+    # (see test_he_aac_v2_per_sample_snr) moved the ILD ramp by 384
+    # samples within these 2048-sample frames — measured 1.55 here
+    # while the optimally-aligned per-sample SNR rose 29.6 -> 32.6 dB;
+    # that per-sample bound is the precise gate, this one is coarse
+    assert np.sqrt(((ea[:n] - eb[:n]) ** 2).mean()) <= 2.0
 
 
 def test_ps_payloads_parse():
@@ -580,12 +585,14 @@ def test_he_aac_v2_per_sample_snr():
     """HE-AAC v2 (PS) per-sample SNR vs the HQ oracle (mono cores run
     fdk's HQ chain by default, so this path was always apples-to-apples;
     the delayed-output timing + dequant calibration lifted it too).
-    Measured 29.6 dB on mixed content with IPD/OPD ignored on both
-    sides (fdk psdec.h:96-98).  The residual is the parametric-stereo
-    SIDE channel: the decorrelator output correlates 0.978 with fdk's
-    at lag 0 (measured) — a diffuse ~2% amplitude difference between
-    the float allpass chain and fdk's fixed-point one, spread over the
-    whole signal, not a structural delta."""
+    Measured 32.6 dB on mixed content with IPD/OPD ignored on both
+    sides (fdk psdec.h:96-98).  The last 3 dB came from the rotation
+    timeline: this decoder's hybrid path delays the signal by the
+    filter's 6-slot group delay (fdk look-aheads instead,
+    psdec_hybrid.cpp:501-504), so the interpolated H matrices must ride
+    the same 6-slot delay — applied early, the whole SIDE channel
+    (h21*d) decorrelated from the oracle at 13.5 dB; delayed, it
+    tracks at 37.7 dB."""
     x = _content("mix")
     pcm = np.stack([x, x]).T.copy()
     with tempfile.TemporaryDirectory() as td:
@@ -615,4 +622,4 @@ def test_he_aac_v2_per_sample_snr():
     a, b = _aligned(ref, got)
     err = a - b
     snr = 10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-9))
-    assert snr >= 28.0, f"v2 per-sample SNR {snr:.1f} dB"
+    assert snr >= 30.0, f"v2 per-sample SNR {snr:.1f} dB"

@@ -135,6 +135,106 @@ ENV_HOOK = """
 """
 
 
+PS_SCOPE = """
+#include <stdio.h>
+#include <stdlib.h>
+static FILE *ps_dumpf_;
+static int ps_slot_ = -1;
+"""
+
+# anchor: end of deCorrelateSlotBased, before the headroom rescale —
+# dump the decorrelated right (d) signal: 12 hybrid + qmf bands 3..63
+PS_HOOK = """
+  { static int init_ = 0;
+    if (!init_) { const char *p_ = getenv("SBR_PS_DUMP");
+                  if (p_) ps_dumpf_ = fopen(p_, "w"); init_ = 1; }
+    if (ps_dumpf_) {
+      ps_slot_++;
+      fprintf(ps_dumpf_, "D %d", ps_slot_);
+      for (int k_ = 0; k_ < 12; k_++)
+        fprintf(ps_dumpf_, " %d %d", (int)mHybridRealRight[k_],
+                (int)mHybridImagRight[k_]);
+      for (int k_ = 3; k_ < 64; k_++)
+        fprintf(ps_dumpf_, " %d %d", (int)rIntBufferRight[k_],
+                (int)iIntBufferRight[k_]);
+      fprintf(ps_dumpf_, "\\n");
+      fprintf(ps_dumpf_, "L %d", ps_slot_);
+      for (int k_ = 0; k_ < 12; k_++)
+        fprintf(ps_dumpf_, " %d %d", (int)mHybridRealLeft[k_],
+                (int)mHybridImagLeft[k_]);
+      for (int k_ = 3; k_ < 64; k_++)
+        fprintf(ps_dumpf_, " %d %d", (int)rIntBufferLeft[k_],
+                (int)iIntBufferLeft[k_]);
+      fprintf(ps_dumpf_, "\\n");
+    } }
+"""
+
+
+PS_IDX_HOOK = """
+    if (ps_dumpf_)
+      fprintf(ps_dumpf_, "I %d %d %d %d %d\\n", ps_slot_, (int)env,
+              (int)group, (int)h_ps_d->specificTo.mpeg.coef.aaIidIndexMapped[env][bin],
+              (int)h_ps_d->specificTo.mpeg.coef.aaIccIndexMapped[env][bin]);
+"""
+
+PS_H_HOOK = """
+  if (ps_dumpf_) {
+    fprintf(ps_dumpf_, "H %d", ps_slot_);
+    for (int g_ = 0; g_ < NO_IID_GROUPS; g_++)
+      fprintf(ps_dumpf_, " %d %d %d %d",
+              (int)h_ps_d->specificTo.mpeg.coef.H11r[g_],
+              (int)h_ps_d->specificTo.mpeg.coef.H12r[g_],
+              (int)h_ps_d->specificTo.mpeg.coef.H21r[g_],
+              (int)h_ps_d->specificTo.mpeg.coef.H22r[g_]);
+    fprintf(ps_dumpf_, "\\n");
+  }
+}
+"""
+
+
+def patch_ps(out_dir):
+    src = os.path.join(REF, "fdk-aac/libSBRdec/src/psdec.cpp")
+    text = open(src, encoding="latin-1").read()
+    anchor = '#include "psdec.h"'
+    assert anchor in text, "ps include anchor missing"
+    text = text.replace(anchor, anchor + PS_SCOPE, 1)
+    anchor = """  scaleValues( &rIntBufferLeft[NO_QMF_BANDS_HYBRID20],  NO_QMF_CHANNELS-NO_QMF_BANDS_HYBRID20, -SCAL_HEADROOM );"""
+    assert anchor in text, "ps dump anchor missing"
+    text = text.replace(anchor, PS_HOOK + anchor, 1)
+    # per-slot interpolated H: replace applySlotBasedRotation's closing
+    # brace (the '}' right after the subband loop's end) with the dump.
+    anchor = """      HybrLeftImag [subband] = tmpLeft;
+      HybrRightImag[subband] = tmpRight;
+
+    } /* subband */
+  }
+}"""
+    anchor = """    AlphasValue = 0;
+    if (h_ps_d->specificTo.mpeg.coef.aaIccIndexMapped[env][bin] >= 0)
+      AlphasValue = Alphas[h_ps_d->specificTo.mpeg.coef.aaIccIndexMapped[env][bin]];"""
+    assert anchor in text, "ps idx anchor missing"
+    text = text.replace(anchor, anchor + PS_IDX_HOOK, 1)
+    anchor = """      HybrLeftImag [subband] = tmpLeft;
+      HybrRightImag[subband] = tmpRight;
+
+    } /* subband */
+  }
+}"""
+    assert anchor in text, "ps H anchor missing"
+    text = text.replace(anchor, """      HybrLeftImag [subband] = tmpLeft;
+      HybrRightImag[subband] = tmpRight;
+
+    } /* subband */
+  }""" + PS_H_HOOK, 1)
+    patched = os.path.join(out_dir, "psdec_instr.cpp")
+    open(patched, "w", encoding="latin-1").write(patched_text(text))
+    return patched
+
+
+def patched_text(t):
+    return t
+
+
 def patch_env(out_dir):
     src = os.path.join(REF, "fdk-aac/libSBRdec/src/env_calc.cpp")
     text = open(src, encoding="latin-1").read()
@@ -207,13 +307,17 @@ def main():
     env_obj = os.path.join(instr, "env_calc_instr.o")
     subprocess.run(["g++", "-O2", *inc, "-w", "-fno-exceptions", "-c",
                     env_patched, "-o", env_obj], check=True)
+    ps_patched = patch_ps(instr)
+    ps_obj = os.path.join(instr, "psdec_instr.o")
+    subprocess.run(["g++", "-O2", *inc, "-w", "-fno-exceptions", "-c",
+                    ps_patched, "-o", ps_obj], check=True)
     fdk_obj = os.path.join(OUT, "fdk_obj")
     objs = [os.path.join(fdk_obj, f) for f in os.listdir(fdk_obj)
             if f.endswith(".o")
             and f not in ("libSBRdec_lpp_tran.o", "libSBRdec_env_calc.o",
-                          "aac_oracle.o")]
+                          "libSBRdec_psdec.o", "aac_oracle.o")]
     subprocess.run(["g++", "-O2", os.path.join(fdk_obj, "aac_oracle.o"),
-                    obj, env_obj, *objs, "-lm", "-o",
+                    obj, env_obj, ps_obj, *objs, "-lm", "-o",
                     os.path.join(OUT, "aac_oracle_instr")], check=True)
     print("built", os.path.join(OUT, "aac_oracle_instr"))
 
