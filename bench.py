@@ -967,6 +967,22 @@ def main() -> int:
             "wall_s": round(wall, 2),
             "tunnel_mbps": round(tunnel_mbps, 1),
             "pass_mbps": round(best_mbps["v"], 1)}
+    # compact serving-floor probe (the four 16-stream device serving
+    # paths) folded into the headline artifact so the recorded bench
+    # certifies the secondary floor too; skipped near the deadline or
+    # with OHP_BENCH_NO_FLOOR=1 (a cold compile of those programs
+    # through the tunnel can take minutes — they are cached after the
+    # first run, and the nightly --secondary covers the full sweep)
+    if not args.smoke and not os.environ.get("OHP_BENCH_NO_FLOOR") \
+            and time.monotonic() < deadline - 120:
+        try:
+            import bench_secondary
+            fp = bench_secondary.floor_probe(passes=2)
+            line["secondary_floor"] = fp.get("floor", 0.0)
+            line["secondary_codecs"] = {
+                k: round(v, 1) for k, v in fp.get("codecs", {}).items()}
+        except Exception as e:                       # noqa: BLE001
+            line["secondary_floor_error"] = str(e)[:200]
     if aac_error:
         line["error"] = aac_error
     if args.smoke:

@@ -81,6 +81,127 @@ def bench_one(name: str, data: bytes, decode, audio_s: float,
     return audio_s / best
 
 
+def floor_probe(passes: int = 2) -> dict:
+    """Compact serving-floor probe: the four 16-stream *device* serving
+    paths (CELT, HE-AAC, MP3, Vorbis), cached content, ``passes``
+    timed passes each.  Returns {"codecs": {...}, "floor": min_x}.
+    Reuses main()'s .bench_cache keys, so the sweep and the probe share
+    encodes; compiled programs come from the persistent jit cache.
+    bench.py folds this into the headline JSON as ``secondary_floor``
+    when its deadline allows (round-5 verdict #7)."""
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from oracles import ensure_oracles
+    if not ensure_oracles():
+        return {"codecs": {}, "floor": 0.0, "error": "oracles"}
+    secs = SECONDS
+    out: dict = {"codecs": {}}
+
+    def timed(fn, audio_of):
+        best = 1e9
+        res = None
+        for _ in range(max(1, passes)):
+            t0 = time.perf_counter()
+            res = fn()
+            best = min(best, time.perf_counter() - t0)
+        return audio_of(res) / best
+
+    try:
+        from ohpipeline_tpu.codecs.opus import celt_jax
+        streams = []
+        for i in range(16):
+            def b(i=i):
+                pcm = _content(secs, 48000, stereo=True)
+                pcm = np.roll(pcm, 31 * i, axis=1)
+                return _oracle_encode("opus_oracle", pcm,
+                                      ["2", "96000", "celt"])
+            streams.append(_cached(f"opus_celt16_{i}", b))
+        celt_jax.decode_celt_streams_device(streams)          # warm
+        out["codecs"]["opus_celt_16stream_device"] = timed(
+            lambda: celt_jax.decode_celt_streams_device(streams),
+            lambda o: o.shape[0] * o.shape[2] / 48000.0)
+    except Exception as e:                                 # noqa: BLE001
+        out["codecs"]["opus_celt_16stream_device"] = -1.0
+        out.setdefault("errors", []).append(f"celt: {e}")
+
+    try:
+        from ohpipeline_tpu.codecs.aac.serving import \
+            decode_he_streams_device
+
+        def he_s(i):
+            def b():
+                pcm = _content(secs, 44100, stereo=True)
+                pcm = np.roll(pcm, 37 * i, axis=1)
+                return _oracle_encode("aac_oracle", pcm,
+                                      ["44100", "2", "48000", "2", "5"])
+            return _cached(f"heaac16_{i}", b)
+        streams = [he_s(i) for i in range(16)]
+        decode_he_streams_device(streams)                     # warm
+        out["codecs"]["he_aac_16stream_device"] = timed(
+            lambda: decode_he_streams_device(streams),
+            lambda o: sum(x.shape[1] for x in o) / 88200.0)
+    except Exception as e:                                 # noqa: BLE001
+        out["codecs"]["he_aac_16stream_device"] = -1.0
+        out.setdefault("errors", []).append(f"he: {e}")
+
+    try:
+        from ohpipeline_tpu.codecs.mp3.serving import \
+            decode_mp3_streams_device
+
+        def m3(i):
+            def b():
+                from ohpipeline_tpu.codecs.mp3 import encoder as ENC
+                rng = np.random.default_rng(300 + i)
+                frames = []
+                for _ in range(int(secs * 44100 / 1152)):
+                    spec = np.zeros((2, 576), np.int32)
+                    m = rng.random((2, 576)) < 0.25
+                    spec[m] = rng.integers(1, 12, m.sum())
+                    frames.append(ENC.build_frame(
+                        [spec[0], spec[1]],
+                        global_gain=int(rng.integers(174, 184))))
+                return b"".join(frames)
+            return b
+        streams = [_cached(f"mp3_16_{i}", m3(i)) for i in range(16)]
+        decode_mp3_streams_device(streams)                    # warm
+        out["codecs"]["mp3_16stream_device"] = timed(
+            lambda: decode_mp3_streams_device(streams),
+            lambda o: sum(x.shape[1] for x in o) / 44100.0)
+    except Exception as e:                                 # noqa: BLE001
+        out["codecs"]["mp3_16stream_device"] = -1.0
+        out.setdefault("errors", []).append(f"mp3: {e}")
+
+    try:
+        from ohpipeline_tpu.codecs.vorbis import vorbis_jax
+
+        def vb(i):
+            def build():
+                from ohpipeline_tpu.codecs.vorbis.encoder import \
+                    StreamSpec
+                rng = np.random.default_rng(100 + i)
+                spec = StreamSpec(channels=2, sample_rate=44100,
+                                  bs0=256, bs1=1024, coupling=True)
+                blocks = []
+                for _ in range(int(secs * 44100 / 512)):
+                    r = np.zeros((2, 512), np.int64)
+                    m = rng.random((2, 512)) < 0.3
+                    r[m] = rng.integers(-2, 3, m.sum())
+                    blocks.append((1, [(140, 120)] * 2, r))
+                return spec.build(blocks)
+            return build
+        streams = [_cached(f"vorbis16_{i}", vb(i)) for i in range(16)]
+        vorbis_jax.decode_vorbis_streams_device(streams)      # warm
+        out["codecs"]["vorbis_16stream_device"] = timed(
+            lambda: vorbis_jax.decode_vorbis_streams_device(streams),
+            lambda o: sum(x.shape[1] for x in o) / 44100.0)
+    except Exception as e:                                 # noqa: BLE001
+        out["codecs"]["vorbis_16stream_device"] = -1.0
+        out.setdefault("errors", []).append(f"vorbis: {e}")
+
+    vals = [v for v in out["codecs"].values() if v > 0]
+    out["floor"] = round(min(vals), 2) if vals else 0.0
+    return out
+
+
 def main() -> int:
     # self-contained: build missing conformance oracles on first run
     sys.path.insert(0, os.path.join(HERE, "tools"))

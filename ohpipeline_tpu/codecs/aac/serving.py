@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import _serving_util as _SU
 from .bitstream import parse_adts_header
 
 
@@ -121,17 +122,14 @@ def decode_he_streams_device(streams: list, frames_per_group: int = 48,
     live = [True] * S
     pshape = [np.zeros(nch, np.int32) for _ in range(S)]
     outs: list[list[np.ndarray]] = [[] for _ in range(S)]
-    pending: list = []
     hdr0 = None
 
-    def drain():
-        for resolve, counts_g in pending:
-            pcm = resolve()                # (SC, F*2048) int32
-            for s, n in counts_g:
-                if n:
-                    outs[s].append(
-                        pcm[s * nch:(s + 1) * nch, :n * 2048])
-        pending.clear()
+    def sink(pcm, counts_g):               # (SC, F*2048) int32
+        for s, n in counts_g:
+            if n:
+                outs[s].append(pcm[s * nch:(s + 1) * nch, :n * 2048])
+
+    drainer = _SU.ThreadedDrainer(sink)
 
     while any(live):
         zz = dict(q4=np.zeros((G, SC, 512), np.uint8),
@@ -247,10 +245,8 @@ def decode_he_streams_device(streams: list, frames_per_group: int = 48,
                 zz[k] = serving_put(mesh, zz[k])
         resolve = runner.decode_group_multi_lazy_zz(
             zz, per_ch, np.zeros((SC, 1024), np.float32))
-        pending.append((resolve, counts_g))
-        if len(pending) >= 4:              # bound in-flight downloads
-            drain()
-    drain()
+        drainer.put(resolve, counts_g)
+    drainer.close()
     return [np.concatenate(o, axis=1) if o else
             np.zeros((nch, 0), np.int32) for o in outs]
 
@@ -329,19 +325,16 @@ def decode_aac_streams_device(streams: list, frames_per_group: int = 64,
     pshape = [np.zeros(nch, np.int32) for _ in range(S)]
     ov = jnp.asarray(np.zeros((SC, 1024), np.float32))
     outs: list[list[np.ndarray]] = [[] for _ in range(S)]
-    pending: list = []
 
-    def drain():
-        for pcm_dev, counts_g in pending:
-            pcm = np.asarray(pcm_dev)          # (G, SC, 1024)
-            for s, n in counts_g:
-                if n:
-                    cols = pcm[:n, s * nch:(s + 1) * nch]
-                    pcm16 = np.clip(np.rint(cols), -32768,
-                                    32767).astype(np.int32)
-                    outs[s].append(
-                        pcm16.transpose(1, 0, 2).reshape(nch, -1))
-        pending.clear()
+    def sink(pcm, counts_g):                   # (G, SC, 1024)
+        for s, n in counts_g:
+            if n:
+                cols = pcm[:n, s * nch:(s + 1) * nch]
+                pcm16 = np.clip(np.rint(cols), -32768,
+                                32767).astype(np.int32)
+                outs[s].append(pcm16.transpose(1, 0, 2).reshape(nch, -1))
+
+    drainer = _SU.ThreadedDrainer(sink)
 
     while any(live):
         q4 = np.zeros((G, SC, 512), np.uint8)
@@ -409,9 +402,7 @@ def decode_aac_streams_device(streams: list, frames_per_group: int = 64,
         pcm, ov = fn(q4, sfb, ssfv.sf, ssfv.row, msb, opx,
                      epak, None, eva2, side, srow, ov, *consts,
                      tnsv.tfi, tnsv.tco, tnsv.tdir, tnsv.row)
-        pending.append((pcm, counts_g))
-        if len(pending) >= 4:              # bound in-flight downloads
-            drain()
-    drain()
+        drainer.put(lambda p=pcm: np.asarray(p), counts_g)
+    drainer.close()
     return [np.concatenate(o, axis=1) if o else
             np.zeros((nch, 0), np.int32) for o in outs]

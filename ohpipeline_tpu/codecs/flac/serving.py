@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import _serving_util as _SU
 from . import frames as FF
 
 
@@ -100,15 +101,13 @@ def decode_flac_streams_device(streams: list, frames_per_group: int = 32,
     pos = [m.header_bytes * 8 for m in metas]
     live = [True] * S
     outs: list[list[np.ndarray]] = [[] for _ in range(S)]
-    pending: list = []
 
-    def drain():
-        for pcm_dev, meta_rows in pending:
-            pcm = np.asarray(pcm_dev)          # (S*Gc, nch, stride)
-            for s, n, sizes in meta_rows:
-                for f in range(n):
-                    outs[s].append(pcm[s * Gc + f, :, :sizes[f]])
-        pending.clear()
+    def sink(pcm, meta_rows):                  # (S*Gc, nch, stride)
+        for s, n, sizes in meta_rows:
+            for f in range(n):
+                outs[s].append(pcm[s * Gc + f, :, :sizes[f]])
+
+    drainer = _SU.ThreadedDrainer(sink)
 
     while any(live):
         bits = np.zeros(BITCAP, np.uint8)
@@ -175,9 +174,7 @@ def decode_flac_streams_device(streams: list, frames_per_group: int = 32,
                          ov.row, ov.pos, cf.row, cf.val, cf.n, warm,
                          es.row, es.pos, es.val, coeffs, shift, order,
                          wasted, assign)
-        pending.append((pcm, meta_rows))
-        if len(pending) >= 4:              # bound in-flight downloads
-            drain()
-    drain()
+        drainer.put(lambda p=pcm: np.asarray(p), meta_rows)
+    drainer.close()
     return [np.concatenate(o, axis=1) if o else np.zeros((nch, 0), np.int32)
             for o in outs]

@@ -46,6 +46,7 @@ def decode_mp3_streams_device(streams: list, frames_per_group: int = 32,
     import jax.numpy as jnp
 
     from ...parallel import serving_put
+    from .. import _serving_util as _SU
 
     hdrs = [BS.parse_frame_header(s) for s in streams]
     if any(h is None for h in hdrs):
@@ -82,17 +83,14 @@ def decode_mp3_streams_device(streams: list, frames_per_group: int = 32,
     vf = jnp.zeros((SC, 16, 64), jnp.float32)
     live = [True] * S
     outs: list[list[np.ndarray]] = [[] for _ in range(S)]
-    pending: list = []
 
-    def drain():
-        for pcm_dev, counts_g in pending:
-            pcm = np.asarray(pcm_dev)          # (Tg, SC, 576) int32
-            for s, tg in counts_g:
-                if tg:
-                    cols = pcm[:tg, s * nch:(s + 1) * nch]
-                    outs[s].append(
-                        cols.transpose(1, 0, 2).reshape(nch, -1))
-        pending.clear()
+    def sink(pcm, counts_g):                   # (Tg, SC, 576) int32
+        for s, tg in counts_g:
+            if tg:
+                cols = pcm[:tg, s * nch:(s + 1) * nch]
+                outs[s].append(cols.transpose(1, 0, 2).reshape(nch, -1))
+
+    drainer = _SU.ThreadedDrainer(sink)
 
     while any(live):
         q16 = np.zeros((Tg, SC, 576), np.int16)
@@ -136,9 +134,7 @@ def decode_mp3_streams_device(streams: list, frames_per_group: int = 32,
             vf = serving_put(mesh, vf, 0)
         pcm_i, ov, vf = SYN.hybrid_synthesis_parallel_i16(
             q16, scl, btp, ov, vf, ops, poly, wnd, n_real)
-        pending.append((pcm_i, counts_g))
-        if len(pending) >= 4:                  # bound in-flight downloads
-            drain()
-    drain()
+        drainer.put(lambda p=pcm_i: np.asarray(p), counts_g)
+    drainer.close()
     return [np.concatenate(o, axis=1) if o else
             np.zeros((nch, 0), np.int32) for o in outs]
