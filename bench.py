@@ -186,6 +186,10 @@ def main() -> int:
     ap.add_argument("--secondary", action="store_true",
                     help="run the per-codec secondary sweep "
                          "(bench_secondary.py) instead of the headline")
+    ap.add_argument("--all-codecs", action="store_true",
+                    help="run every serving entry point concurrently "
+                         "on one chip (FLAC+AAC+HE-AAC+MP3+Vorbis+CELT)"
+                         " and report the aggregate realtime-x")
     args = ap.parse_args()
     # self-contained verification: build the conformance oracles if this
     # is a fresh checkout (untimed setup; no-op when already built)
@@ -195,6 +199,16 @@ def main() -> int:
     if args.secondary:
         import bench_secondary
         return bench_secondary.main()
+    if args.all_codecs:
+        import bench_secondary
+        r = bench_secondary.all_codecs_bench()
+        r = {"metric": "all_codecs_realtime_x",
+             "value": r.pop("all_codecs_realtime_x", 0.0),
+             "unit": "x_realtime", **r}
+        with open(os.path.join(HERE, "BENCH_ALLCODECS.json"), "w") as f:
+            json.dump(r, f, indent=1)
+        print(json.dumps(r))
+        return 0
     if args.smoke:
         args.flac_streams, args.aac_streams = 2, 2
         args.seconds, args.chunks, args.passes = 4.0, 2, 1

@@ -85,26 +85,26 @@ def main():
                     print("headline:", json.dumps(j), flush=True)
                     break
         else:
-            env = dict(os.environ, BENCH2_SECONDS="20")
+            # one good-weather all-codecs capture, then done
             try:
                 r = subprocess.run(
-                    [sys.executable, "bench.py", "--secondary"],
-                    capture_output=True, text=True, cwd=HERE, env=env,
+                    [sys.executable, "bench.py", "--all-codecs"],
+                    capture_output=True, text=True, cwd=HERE,
                     timeout=3000)
                 for ln in r.stdout.strip().splitlines()[::-1]:
                     try:
                         j = json.loads(ln)
                     except ValueError:
                         continue
-                    if "codecs" in j:
+                    if j.get("metric") == "all_codecs_realtime_x":
                         j["probe_before"] = round(mbps, 1)
                         st["secondary"].append(j)
                         save(st)
-                        print("secondary:", json.dumps(j), flush=True)
+                        print("all-codecs:", json.dumps(j), flush=True)
                         break
             except subprocess.TimeoutExpired:
-                print("secondary timeout", flush=True)
-            if any(s.get("floor", 0) >= 30 for s in st["secondary"]):
+                print("all-codecs timeout", flush=True)
+            if st["secondary"]:
                 print("targets met; stopping", flush=True)
                 return
         time.sleep(30)
